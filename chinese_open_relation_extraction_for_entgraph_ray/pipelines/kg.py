@@ -1,0 +1,115 @@
+"""End-to-end KG construction pipeline (the flagship pipeline).
+
+transcripts.parquet
+  -> explode_turns           (stateless map_batches; split+normalize)   [sentences]
+  -> TemplateParserActor     (actor-pool map_batches; warm parser)      [parses]
+  -> extract_triples         (stateless map_batches; rule cascade)      [triples]
+  -> link_entities           (broadcast gazetteer lookup)
+  -> aggregate_edges         (salted two-phase groupby)                 [edges]
+  -> aggregate_entities      (groupby entity)                           [entities]
+
+Every stage materializes to Parquet under ``out_dir`` with a lineage manifest
+(``state/lineage.py``); a resumed run skips completed stages.  The per-stage
+checkpoints double as the reference's ``--ready_ddp`` contract: downstream
+stages re-read ``parses`` instead of re-parsing (dudepparse.py:1891-1897).
+
+Scale notes (100 TB / multi-node):
+- the only all-to-all exchanges are the two edge/entity group-bys, which run
+  over batch-level partial counts (the combiner collapses each ~10k-row batch
+  to distinct triples first) with explicit hot-key salting;
+- reads prune to the columns each stage needs;
+- everything else is embarrassingly parallel map_batches with streaming
+  execution — no driver-side loops, no full materialization.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..sources.synthetic import transcripts_dir_for_sf
+from ..stages.canonicalize import aggregate_edges, aggregate_entities, link_entities
+from ..stages.extract import extract_triples
+from ..stages.parse import TemplateParserActor
+from ..stages.preprocess import explode_turns
+from ..state.lineage import CheckpointStore, fingerprint_paths, parquet_files
+
+PARSE_BATCH_SIZE = 4096
+PARSE_CONCURRENCY = 4
+
+
+def _read(path_or_dir, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(path_or_dir, columns=columns)
+
+
+def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
+             parse_concurrency: int = PARSE_CONCURRENCY,
+             config_tag: str = "v1") -> dict:
+    """Run (or resume) the full pipeline; returns {stage: Dataset} handles of
+    the materialized outputs plus run metadata under "_meta"."""
+    store = CheckpointStore(out_dir)
+    in_files = parquet_files(transcripts_dir)
+    base_fp = fingerprint_paths(in_files, extra=config_tag)
+    ran: list[str] = []
+
+    def stage(name: str, make, upstream_fp: str) -> str:
+        fp = f"{upstream_fp}:{name}"
+        if not (resume and store.is_complete(name, fp)):
+            ds = make()
+            ds.write_parquet(store.stage_dir(name), mode="overwrite")
+            store.commit_stage(name, fp)
+            ran.append(name)
+        # downstream fingerprints chain through this stage's commit record, so
+        # recomputing a stage invalidates everything after it
+        manifest = store.read_manifest(name)
+        return f"{fp}@{manifest['completed_at']}"
+
+    fp = stage(
+        "sentences",
+        lambda: _read(transcripts_dir, columns=["conv_id", "turn_idx", "text"])
+        .map_batches(explode_turns, batch_format="pyarrow"),
+        base_fp)
+
+    fp = stage(
+        "parses",
+        lambda: _read(store.stage_dir("sentences"))
+        .map_batches(TemplateParserActor, batch_format="pyarrow",
+                     batch_size=PARSE_BATCH_SIZE, concurrency=parse_concurrency),
+        fp)
+
+    fp = stage(
+        "triples",
+        lambda: _read(store.stage_dir("parses"))
+        .map_batches(extract_triples, batch_format="pyarrow")
+        .map_batches(link_entities, batch_format="pyarrow"),
+        fp)
+
+    edges_fp = stage(
+        "edges",
+        lambda: aggregate_edges(_read(store.stage_dir("triples"))),
+        fp)
+
+    stage(
+        "entities",
+        lambda: aggregate_entities(_read(store.stage_dir("edges"))),
+        edges_fp)
+
+    return {
+        "sentences": _read(store.stage_dir("sentences")),
+        "parses": _read(store.stage_dir("parses")),
+        "triples": _read(store.stage_dir("triples")),
+        "edges": _read(store.stage_dir("edges")),
+        "entities": _read(store.stage_dir("entities")),
+        "_meta": {"ran_stages": ran, "out_dir": out_dir,
+                  "input_fingerprint": base_fp},
+    }
+
+
+def build_kg_for_sf(sf_dir: str, out_base: str = "/tmp/entgraph_kg",
+                    **kwargs) -> dict:
+    """Convenience: synthesize (once) the deterministic transcripts matching a
+    testdata scale-factor dir, then build the KG from them."""
+    tdir = transcripts_dir_for_sf(sf_dir)
+    out_dir = os.path.join(out_base, os.path.basename(os.path.normpath(tdir)))
+    return build_kg(tdir, out_dir, **kwargs)

@@ -1,0 +1,160 @@
+"""Entity linking + EntGraph-style canonicalization (dedup/aggregate).
+
+The reference has no relational joins (SURVEY.md §2.5) — its only dedup is the
+serialize_rel set in the coref path (/root/reference/dudepparse.py:41-46,
+2157-2166).  This module adds the EntGraph-side canonicalization the north
+rule requires:
+
+- mention -> entity linking via a broadcast-style gazetteer lookup (static
+  alias map shipped with the code; a large gazetteer would be ``ray.put`` once
+  and fetched in ``__init__``), with containment fallback for coarse spans;
+- (subj, pred, obj) triple dedup as a salted two-phase groupby-aggregate:
+  per-batch partial counts (combiner) -> groupby(salt + key) -> groupby(key),
+  so a hot key (e.g. a copular predicate over a celebrity entity) is first
+  reduced in parallel across NUM_SALTS sub-groups before the final exchange.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.lexicon import ENTITY_ALIASES, NER_GAZETTEER
+
+NUM_SALTS = 16
+
+
+def stable_salt(subj: str, pred: str, obj: str) -> int:
+    """Process-stable salt for the hot-key first aggregation round
+    (``hash()`` is PYTHONHASHSEED-dependent; crc32 is not)."""
+    import zlib
+
+    return zlib.crc32(f"{subj}\x00{pred}\x00{obj}".encode("utf-8")) % NUM_SALTS
+
+_CANONICAL = {s: s for s in NER_GAZETTEER}
+_CANONICAL.update(ENTITY_ALIASES)
+_SURFACE_RE = re.compile(
+    "|".join(re.escape(w) for w in sorted(_CANONICAL, key=len, reverse=True)))
+
+
+def link_surface(surface) -> str | None:
+    """surface -> canonical entity surface, or None if unlinkable.
+
+    Exact gazetteer/alias hit first; else the longest-first leftmost gazetteer
+    mention contained in the (possibly span-expanded, coarse) argument.
+    """
+    if not surface:
+        return None
+    hit = _CANONICAL.get(surface)
+    if hit is not None:
+        return hit
+    m = _SURFACE_RE.search(surface)
+    return _CANONICAL[m.group(0)] if m else None
+
+
+def link_entities(batch: pa.Table) -> pa.Table:
+    """Adds subj_ent / obj_ent columns (nullable canonical surfaces)."""
+    subj_ent = [link_surface(s) for s in batch.column("subj").to_pylist()]
+    obj_ent = [link_surface(o) for o in batch.column("obj").to_pylist()]
+    return batch.append_column("subj_ent", pa.array(subj_ent, pa.string())) \
+                .append_column("obj_ent", pa.array(obj_ent, pa.string()))
+
+
+EDGE_KEYS = ["subj", "pred", "obj", "subj_ent", "obj_ent"]
+
+
+def partial_edge_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: collapse the batch to one row per distinct triple
+    with a partial weight + a sample provenance, and a salt for the first
+    aggregation round."""
+    if batch.num_rows == 0:
+        return _empty_partial()
+    batch = batch.set_column(
+        batch.schema.get_field_index("subj"), "subj",
+        pc.fill_null(batch.column("subj"), ""))
+    batch = batch.set_column(
+        batch.schema.get_field_index("obj"), "obj",
+        pc.fill_null(batch.column("obj"), ""))
+    batch = batch.set_column(
+        batch.schema.get_field_index("subj_ent"), "subj_ent",
+        pc.fill_null(batch.column("subj_ent"), ""))
+    batch = batch.set_column(
+        batch.schema.get_field_index("obj_ent"), "obj_ent",
+        pc.fill_null(batch.column("obj_ent"), ""))
+    agg = batch.group_by(EDGE_KEYS).aggregate(
+        [("conv_id", "min"), ("turn_idx", "min"), ("subj", "count")])
+    cols = {
+        "subj": agg.column("subj"), "pred": agg.column("pred"),
+        "obj": agg.column("obj"), "subj_ent": agg.column("subj_ent"),
+        "obj_ent": agg.column("obj_ent"),
+        "sample_conv_id": agg.column("conv_id_min"),
+        "sample_turn_idx": agg.column("turn_idx_min"),
+        "weight": agg.column("subj_count").cast(pa.int64()),
+    }
+    salt = [stable_salt(s, p, o) for s, p, o in zip(
+        cols["subj"].to_pylist(), cols["pred"].to_pylist(),
+        cols["obj"].to_pylist())]
+    cols["salt"] = pa.array(salt, pa.int32())
+    return pa.Table.from_arrays(list(cols.values()), names=list(cols.keys()))
+
+
+def _empty_partial() -> pa.Table:
+    schema = pa.schema([
+        ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+        ("subj_ent", pa.string()), ("obj_ent", pa.string()),
+        ("sample_conv_id", pa.string()), ("sample_turn_idx", pa.int32()),
+        ("weight", pa.int64()), ("salt", pa.int32()),
+    ])
+    return pa.Table.from_arrays([pa.array([], f.type) for f in schema], schema=schema)
+
+
+def aggregate_edges(triples_ds, rel_kinds=("fine", "amend_fine")):
+    """triples Dataset -> canonical edges Dataset.
+
+    Shuffle plan: batch-level combiner -> groupby(salt+key) partial sums ->
+    groupby(key) final sums.  Keys are the triple surfaces; entity ids ride
+    along via ``min`` (they are functions of the key).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    kinds = set(rel_kinds)
+
+    def keep_kinds(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("rel_kind"),
+                                     value_set=pa.array(sorted(kinds))))
+
+    ds = triples_ds.map_batches(keep_kinds, batch_format="pyarrow")
+    partials = ds.map_batches(partial_edge_counts, batch_format="pyarrow")
+    salted = partials.groupby(["salt"] + EDGE_KEYS).aggregate(
+        Sum("weight", alias_name="weight"),
+        Min("sample_conv_id", alias_name="sample_conv_id"),
+        Min("sample_turn_idx", alias_name="sample_turn_idx"))
+    final = salted.groupby(EDGE_KEYS).aggregate(
+        Sum("weight", alias_name="weight"),
+        Min("sample_conv_id", alias_name="sample_conv_id"),
+        Min("sample_turn_idx", alias_name="sample_turn_idx"))
+    return final
+
+
+def aggregate_entities(edges_ds):
+    """Edges -> entity table: canonical surface + total mention weight."""
+    from ray.data.aggregate import Sum
+
+    def explode_mentions(batch: pa.Table) -> pa.Table:
+        ents, weights = [], []
+        for col in ("subj_ent", "obj_ent"):
+            e = batch.column(col).to_pylist()
+            w = batch.column("weight").to_pylist()
+            for ent, wt in zip(e, w):
+                if ent:
+                    ents.append(ent)
+                    weights.append(wt)
+        return pa.Table.from_arrays(
+            [pa.array(ents, pa.string()), pa.array(weights, pa.int64())],
+            names=["entity_id", "mention_count"])
+
+    return edges_ds.map_batches(explode_mentions, batch_format="pyarrow") \
+                   .groupby("entity_id") \
+                   .aggregate(Sum("mention_count", alias_name="mention_count"))

@@ -1,0 +1,70 @@
+"""Sentence rows -> dependency parses (the stateful parser stage).
+
+This is the reference's DDParser stage (`/root/reference/dudepparse.py:1851,
+1891-1906`) as a Ray Data actor-pool ``map_batches`` stage: the parser state
+(compiled template automata here; warm model weights in a production parser)
+is built ONCE per actor in ``__init__`` and reused per batch.  A real
+DDParser/LTP model drops in by swapping :class:`TemplateParserActor` for a
+model-backed actor with the same ``{word, head, deprel}`` output contract —
+exactly the reference's ``--ready_ddp`` decoupling of parsing from extraction.
+
+The stage asserts the reference's reconstruction invariant per row:
+``''.join(words) == text`` (dudepparse.py:1901-1906).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.grammar import compiled_templates
+
+PARSES_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("sent_idx", pa.int32()),
+    ("text", pa.string()),
+    ("words", pa.list_(pa.string())),
+    ("heads", pa.list_(pa.int32())),
+    ("deprels", pa.list_(pa.string())),
+])
+
+
+class TemplateParserActor:
+    """Deterministic rule/lexicon parser held warm per actor.
+
+    ``concurrency=N`` sizes the pool; with a GPU model this is where
+    ``num_gpus`` would be set (SURVEY.md §2.4 ST3).
+    """
+
+    def __init__(self):
+        self._templates = compiled_templates()   # compile once per actor
+
+    def _parse(self, text: str) -> tuple[list[str], list[int], list[str]]:
+        for t, pat in self._templates:
+            m = pat.match(text)
+            if m is None:
+                continue
+            words = [m.group(f"g{i}") if kind == "slot" else val
+                     for i, (kind, val) in enumerate(t.parts)]
+            return words, list(t.heads), list(t.deprels)
+        return [text], [0], ["HED"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        words_col: list[list[str]] = []
+        heads_col: list[list[int]] = []
+        deprels_col: list[list[str]] = []
+        for text in texts:
+            words, heads, deprels = self._parse(text)
+            if "".join(words) != text:   # dudepparse.py:1901-1906
+                raise AssertionError(f"parse reconstruction mismatch: {text!r}")
+            words_col.append(words)
+            heads_col.append(heads)
+            deprels_col.append(deprels)
+        return pa.Table.from_arrays(
+            [batch.column("conv_id"), batch.column("turn_idx"),
+             batch.column("sent_idx"), batch.column("text"),
+             pa.array(words_col, pa.list_(pa.string())),
+             pa.array(heads_col, pa.list_(pa.int32())),
+             pa.array(deprels_col, pa.list_(pa.string()))],
+            schema=PARSES_SCHEMA)
