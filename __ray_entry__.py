@@ -1,44 +1,586 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke pipeline, queries() + oracle_sql() pairs.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Query families (SURVEY.md §2 coverage):
+- kg_*               — the flagship KG-construction pipeline over the
+                       deterministic synthetic transcripts (non-SQL-expressible
+                       rule cascade -> rows-only checks, except the transcript-
+                       level relational queries which have SQL oracles).
+- lineitem/orders/…  — relational operator parity (groupby/agg, broadcast
+                       join, sort+limit, windowed sessionization) on the
+                       driver's TPC-H-ish tables, all SQL-oracled.
+- docs_*             — training-data text ops (token stats, quality, lang-ID,
+                       fingerprints, exact dedup, deterministic sampling), all
+                       SQL-oracled via matching RE2 regexes / md5.
+- minhash_* simhash_* embedding_* — near-dup suites (rows-only; sketch-based,
+                       not SQL-expressible).
+- similarity_topk    — brute-force cosine top-k with a DuckDB
+                       list_cosine_similarity oracle.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+    pc_round_away,
+)
+
+TRANSCRIPTS_BASE = "/tmp/entgraph_transcripts"
+SQL_SF = "sf0.01"     # the driver's correctness scale
+
+
+def _transcripts_dir(sf_dir: str) -> str:
+    from chinese_open_relation_extraction_for_entgraph_ray.sources.synthetic import (
+        transcripts_dir_for_sf,
+    )
+
+    return transcripts_dir_for_sf(sf_dir, base=TRANSCRIPTS_BASE)
+
+
+def _ensure_sql_transcripts() -> str:
+    return _transcripts_dir(os.path.join("/root/testdata", SQL_SF))
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _kg(sf_dir: str) -> dict:
+    from chinese_open_relation_extraction_for_entgraph_ray.pipelines.kg import (
+        build_kg_for_sf,
+    )
+
+    return build_kg_for_sf(sf_dir)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: transcripts -> ... -> canonical edges."""
+    return _kg("/root/testdata/sf0.001")["edges"]
+
+
+# =============================================================================
+# Query implementations
+# =============================================================================
+
+def _q_kg_triples(sf_dir: str):
+    return _kg(sf_dir)["triples"]
+
+
+def _q_kg_edges(sf_dir: str):
+    return _kg(sf_dir)["edges"]
+
+
+def _q_kg_entities(sf_dir: str):
+    return _kg(sf_dir)["entities"]
+
+
+def _q_kg_sentences(sf_dir: str):
+    return _kg(sf_dir)["sentences"]
+
+
+def _q_transcripts_turn_stats(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    tdir = _transcripts_dir(sf_dir)
+    return (rd.read_parquet(tdir, columns=["conv_id", "turn_idx"])
+            .groupby("conv_id")
+            .aggregate(Count(alias_name="n_turns"),
+                       Min("turn_idx", alias_name="first_turn"),
+                       Max("turn_idx", alias_name="last_turn")))
+
+
+def _q_transcripts_role_counts(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    tdir = _transcripts_dir(sf_dir)
+    return (rd.read_parquet(tdir, columns=["role"])
+            .groupby("role").aggregate(Count(alias_name="n_turns")))
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def disc_price(batch: pa.Table) -> pa.Table:
+        dp = pc.multiply(batch.column("l_extendedprice"),
+                         pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return batch.append_column("disc_price", dp)
+
+    agg = (ds.map_batches(disc_price, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Mean("l_quantity", alias_name="avg_qty"),
+                      Count(alias_name="count_order")))
+
+    def round_cols(batch: pa.Table) -> pa.Table:
+        batch = batch.set_column(
+            batch.schema.get_field_index("sum_disc_price"), "sum_disc_price",
+            pc_round_away(batch.column("sum_disc_price"), 2))
+        return batch.set_column(
+            batch.schema.get_field_index("avg_qty"), "avg_qty",
+            pc_round_away(batch.column("avg_qty"), 4))
+
+    return agg.map_batches(round_cols, batch_format="pyarrow")
+
+
+def _q_orders_by_status(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    agg = (_read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+           .groupby("o_orderstatus")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="total_price")))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("total_price"), "total_price",
+            pc_round_away(batch.column("total_price"), 2))
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_customer_revenue_topk(sf_dir: str):
+    """Broadcast join: per-customer revenue top-10; the small side (customer
+    names) is fetched once and looked up inside map_batches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    names_tbl = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                              columns=["c_custkey", "c_name"])
+    name_of = dict(zip(names_tbl.column("c_custkey").to_pylist(),
+                       names_tbl.column("c_name").to_pylist()))
+
+    agg = (_read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+           .groupby("o_custkey")
+           .aggregate(Sum("o_totalprice", alias_name="revenue")))
+    top = agg.sort(["revenue", "o_custkey"], descending=[True, False]).limit(10)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_custkey").to_pylist()
+        return pa.Table.from_arrays(
+            [batch.column("o_custkey"),
+             pa.array([name_of.get(k) for k in keys], pa.string()),
+             pc_round_away(batch.column("revenue"), 2)],
+            names=["custkey", "name", "revenue"])
+
+    return top.map_batches(attach, batch_format="pyarrow")
+
+
+def _q_nation_customer_counts(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    nations = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"])
+    nname = dict(zip(nations.column("n_nationkey").to_pylist(),
+                     nations.column("n_name").to_pylist()))
+
+    agg = (_read(sf_dir, "customer", columns=["c_nationkey"])
+           .groupby("c_nationkey").aggregate(Count(alias_name="n_customers")))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_nationkey").to_pylist()
+        return pa.Table.from_arrays(
+            [pa.array([nname.get(k) for k in keys], pa.string()),
+             batch.column("n_customers")],
+            names=["n_name", "n_customers"])
+
+    return agg.map_batches(attach, batch_format="pyarrow")
+
+
+def _q_events_hourly(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        epoch_us = batch.column("ts").cast(pa.int64())
+        hour = pc.multiply(pc.divide(epoch_us, 3_600_000_000), 3600)
+        return batch.append_column("hour_epoch", hour)
+
+    agg = (ds.map_batches(add_hour, batch_format="pyarrow")
+           .groupby(["event_type", "hour_epoch"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="total_value")))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("total_value"), "total_value",
+            pc_round_away(batch.column("total_value"), 2))
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_events_user_topk(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    agg = (_read(sf_dir, "events", columns=["user_id", "value"])
+           .groupby("user_id")
+           .aggregate(Sum("value", alias_name="total_value"),
+                      Count(alias_name="n_events")))
+    top = agg.sort(["total_value", "user_id"], descending=[True, False]).limit(10)
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("total_value"), "total_value",
+            pc_round_away(batch.column("total_value"), 2))
+
+    return top.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_events_sessions(sf_dir: str):
+    """Windowed op: per-user session count with a 30-minute inactivity gap
+    (groupby(key).map_groups over ts-sorted groups — the streaming-shaped
+    pattern; ordering contract stated in SURVEY.md §2.6)."""
+    import pandas as pd
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        gaps = g["ts"].astype("int64").diff() / 1e6
+        n_sessions = int(1 + (gaps > 1800).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(g)]})
+
+    return (_read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+            .groupby("user_id").map_groups(sessions, batch_format="pandas"))
+
+
+def _q_part_brand_stats(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Min, Max
+
+    agg = (_read(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+           .groupby("p_brand")
+           .aggregate(Count(alias_name="n_parts"),
+                      Mean("p_retailprice", alias_name="avg_price"),
+                      Min("p_size", alias_name="min_size"),
+                      Max("p_size", alias_name="max_size")))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("avg_price"), "avg_price",
+            pc_round_away(batch.column("avg_price"), 2))
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_docs_lang_stats(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean
+
+    agg = (_read(sf_dir, "documents", columns=["lang", "n_chars"])
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Mean("n_chars", alias_name="avg_chars")))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("avg_chars"), "avg_chars",
+            pc_round_away(batch.column("avg_chars"), 4))
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_docs_token_stats(sf_dir: str):
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (
+        token_stats,
+    )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(token_stats, batch_format="pyarrow")
+
+
+def _q_docs_quality(sf_dir: str):
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (
+        quality_scores,
+    )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(quality_scores, batch_format="pyarrow")
+
+
+def _q_docs_lang_detect(sf_dir: str):
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (
+        detect_lang,
+    )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(detect_lang, batch_format="pyarrow")
+
+
+def _q_docs_fingerprints(sf_dir: str):
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (
+        fingerprints,
+    )
+
+    def md5_only(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "md5"])
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(fingerprints, batch_format="pyarrow")
+            .map_batches(md5_only, batch_format="pyarrow"))
+
+
+def _q_docs_exact_dedup(sf_dir: str):
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        exact_dedup,
+    )
+
+    return exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_docs_deterministic_sample(sf_dir: str):
+    """The reference's toy Bernoulli sample (merge_parsed_results.py:52,76-78)
+    made deterministic: keep docs whose md5 starts with '0' (~1/16)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keep = [i for i, t in zip(ids, texts)
+                if hashlib.md5((t or "").encode()).hexdigest().startswith("0")]
+        return pa.Table.from_arrays([pa.array(keep, pa.int64())], names=["doc_id"])
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(sample, batch_format="pyarrow")
+
+
+def _q_embeddings_norms(sf_dir: str):
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
+        embedding_norms,
+    )
+
+    return _read(sf_dir, "embeddings").map_batches(
+        embedding_norms, batch_format="pyarrow")
+
+
+def _query_vec(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = tbl.column("vec_id").to_pylist().index(0)
+    return tbl.column("embedding").to_pylist()[idx]
+
+
+def _q_similarity_topk(sf_dir: str):
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
+        brute_force_top_k,
+    )
+
+    return brute_force_top_k(_read(sf_dir, "embeddings"), _query_vec(sf_dir), k=10)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    return minhash_candidate_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_simhash_signatures(sf_dir: str):
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        add_simhash,
+    )
+
+    def sig_only(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "simhash"])
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(add_simhash, batch_format="pyarrow")
+            .map_batches(sig_only, batch_format="pyarrow"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # flagship KG pipeline (rule cascade — rows-only checks)
+        "kg_sentences": _q_kg_sentences,
+        "kg_triples": _q_kg_triples,
+        "kg_edges": _q_kg_edges,
+        "kg_entities": _q_kg_entities,
+        # transcript-table relational queries (SQL-oracled on the synthesized
+        # deterministic transcripts parquet)
+        "transcripts_turn_stats": _q_transcripts_turn_stats,
+        "transcripts_role_counts": _q_transcripts_role_counts,
+        # relational operator parity on the driver's tables (SQL-oracled)
+        "lineitem_pricing": _q_lineitem_pricing,
+        "orders_by_status": _q_orders_by_status,
+        "customer_revenue_topk": _q_customer_revenue_topk,
+        "nation_customer_counts": _q_nation_customer_counts,
+        "events_hourly": _q_events_hourly,
+        "events_user_topk": _q_events_user_topk,
+        "events_sessions": _q_events_sessions,
+        "part_brand_stats": _q_part_brand_stats,
+        # training-data text ops (SQL-oracled)
+        "docs_lang_stats": _q_docs_lang_stats,
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_quality": _q_docs_quality,
+        "docs_lang_detect": _q_docs_lang_detect,
+        "docs_fingerprints": _q_docs_fingerprints,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_deterministic_sample": _q_docs_deterministic_sample,
+        # embeddings (norms SQL-oracled; similarity SQL-oracled via
+        # list_cosine_similarity)
+        "embeddings_norms": _q_embeddings_norms,
+        "similarity_topk": _q_similarity_topk,
+        # near-dup sketches (rows-only)
+        "minhash_candidate_pairs": _q_minhash_pairs,
+        "simhash_signatures": _q_simhash_signatures,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# =============================================================================
+# DuckDB oracles
+# =============================================================================
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tdir = _ensure_sql_transcripts()
+    tglob = os.path.join(tdir, "transcripts-*.parquet")
+    stop_re = r"\b(the|a|an|and|of|to|in|is)\b"
+    langs = {k: v.replace("\\", "\\") for k, v in {
+        "zh": r"[一-鿿]", "en": r"\b(the|is|and|of|to)\b",
+        "de": r"\b(der|die|das|und|ist|nicht)\b",
+        "fr": r"\b(le|la|les|et|est|une)\b",
+        "es": r"\b(el|los|las|es|una|y)\b"}.items()}
+    lang_counts = ", ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS c_{k}"
+        for k, p in langs.items())
+    return {
+        "transcripts_turn_stats": f"""
+            SELECT conv_id, count(*) AS n_turns, min(turn_idx) AS first_turn,
+                   max(turn_idx) AS last_turn
+            FROM read_parquet('{tglob}') GROUP BY conv_id""",
+        "transcripts_role_counts": f"""
+            SELECT role, count(*) AS n_turns
+            FROM read_parquet('{tglob}') GROUP BY role""",
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "orders_by_status": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY o_orderstatus""",
+        "customer_revenue_topk": """
+            SELECT o_custkey AS custkey, max(c_name) AS name,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_custkey
+            ORDER BY sum(o_totalprice) DESC, o_custkey ASC LIMIT 10""",
+        "nation_customer_counts": """
+            SELECT n_name, count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "events_hourly": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2""",
+        "events_user_topk": """
+            SELECT user_id, round(sum(value), 2) AS total_value,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY sum(value) DESC, user_id ASC LIMIT 10""",
+        "events_sessions": """
+            SELECT user_id,
+                   CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM (SELECT user_id,
+                         (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap
+                  FROM events)
+            GROUP BY user_id""",
+        "part_brand_stats": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_retailprice), 2) AS avg_price,
+                   min(p_size) AS min_size, max(p_size) AS max_size
+            FROM part GROUP BY p_brand""",
+        "docs_lang_stats": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang""",
+        "docs_token_stats": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   length(text) AS n_chars_text,
+                   len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digit
+            FROM documents""",
+        "docs_quality": rf"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   round(len(regexp_extract_all(text, '{stop_re}')) * 1.0 /
+                         greatest(len(regexp_extract_all(text, '\S+')), 1), 4)
+                       AS stop_ratio,
+                   round(length(text) * 1.0 /
+                         greatest(len(regexp_extract_all(text, '\S+')), 1), 4)
+                       AS avg_token_len
+            FROM documents""",
+        "docs_lang_detect": f"""
+            SELECT doc_id,
+                   CASE WHEN c_zh > 0 THEN 'zh'
+                        WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                        WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                        WHEN c_fr >= c_es THEN 'fr'
+                        ELSE 'es' END AS detected_lang
+            FROM (SELECT doc_id, {lang_counts} FROM documents)""",
+        "docs_fingerprints": """
+            SELECT doc_id, md5(text) AS md5 FROM documents""",
+        "docs_exact_dedup": """
+            SELECT md5(text) AS md5, min(doc_id) AS keep_doc_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)""",
+        "docs_deterministic_sample": """
+            SELECT doc_id FROM documents WHERE substr(md5(text), 1, 1) = '0'""",
+        "embeddings_norms": """
+            SELECT vec_id, label,
+                   round(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+            FROM embeddings""",
+        "similarity_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                        FROM embeddings WHERE vec_id = 0)), 6) AS cosine_sim
+            FROM embeddings
+            ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""",
+    }

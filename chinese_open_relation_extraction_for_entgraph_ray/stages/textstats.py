@@ -1,0 +1,115 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are vectorized Arrow kernels (``pyarrow.compute`` regex counts)
+so a batch never round-trips through Python rows.  Each operator has an exact
+DuckDB-SQL mirror in ``__ray_entry__.oracle_sql`` — both sides use RE2, so the
+regex semantics match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.fputil import pc_round_away
+
+TOKEN_RE = r"\S+"
+ALPHA_RE = r"[A-Za-z]"
+DIGIT_RE = r"[0-9]"
+STOPWORD_RE = r"\b(the|a|an|and|of|to|in|is)\b"
+
+# language-ID n-gram/function-word cue patterns (shared with the SQL oracle)
+LANG_PATTERNS = {
+    "zh": r"[一-鿿]",
+    "en": r"\b(the|is|and|of|to)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "fr": r"\b(le|la|les|et|est|une)\b",
+    "es": r"\b(el|los|las|es|una|y)\b",
+}
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """doc_id + token/char/alpha/digit counts (whitespace tokenization)."""
+    text = batch.column("text")
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"),
+         pc.count_substring_regex(text, TOKEN_RE).cast(pa.int64()),
+         pc.utf8_length(text).cast(pa.int64()),
+         pc.count_substring_regex(text, ALPHA_RE).cast(pa.int64()),
+         pc.count_substring_regex(text, DIGIT_RE).cast(pa.int64())],
+        names=["doc_id", "n_tokens", "n_chars_text", "n_alpha", "n_digit"])
+
+
+def quality_scores(batch: pa.Table) -> pa.Table:
+    """Length / stop-word-ratio quality features, rounded for FP-stable
+    comparison against the SQL oracle."""
+    text = batch.column("text")
+    n_tok = pc.count_substring_regex(text, TOKEN_RE).cast(pa.float64())
+    n_stop = pc.count_substring_regex(text, STOPWORD_RE).cast(pa.float64())
+    n_chars = pc.utf8_length(text).cast(pa.float64())
+    denom = pc.max_element_wise(n_tok, pa.scalar(1.0))
+    stop_ratio = pc_round_away(pc.divide(n_stop, denom), 4)
+    avg_tok_len = pc_round_away(pc.divide(n_chars, denom), 4)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), n_tok.cast(pa.int64()),
+         stop_ratio, avg_tok_len],
+        names=["doc_id", "n_tokens", "stop_ratio", "avg_token_len"])
+
+
+def detect_lang(batch: pa.Table) -> pa.Table:
+    """Heuristic language ID: CJK presence wins, else argmax of function-word
+    cue counts with a fixed en>de>fr>es tie-break (mirrored in SQL)."""
+    text = batch.column("text")
+    counts = {k: pc.count_substring_regex(text, p).to_pylist()
+              for k, p in LANG_PATTERNS.items()}
+    langs = []
+    for i in range(batch.num_rows):
+        if counts["zh"][i] > 0:
+            langs.append("zh")
+        elif counts["en"][i] >= counts["de"][i] and \
+                counts["en"][i] >= counts["fr"][i] and \
+                counts["en"][i] >= counts["es"][i]:
+            langs.append("en")
+        elif counts["de"][i] >= counts["fr"][i] and counts["de"][i] >= counts["es"][i]:
+            langs.append("de")
+        elif counts["fr"][i] >= counts["es"][i]:
+            langs.append("fr")
+        else:
+            langs.append("es")
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(langs, pa.string())],
+        names=["doc_id", "detected_lang"])
+
+
+def fingerprints(batch: pa.Table) -> pa.Table:
+    """Content fingerprint per document: md5 hex (exact-dup key; matches
+    DuckDB's ``md5(text)``) + a 64-bit rolling min-shingle hash."""
+    texts = batch.column("text").to_pylist()
+    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    rolling = [min_shingle_hash(t or "") for t in texts]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(md5s, pa.string()),
+         pa.array(rolling, pa.int64())],
+        names=["doc_id", "md5", "min_shingle_hash"])
+
+
+def min_shingle_hash(text: str, k: int = 8) -> int:
+    """Minimum polynomial rolling hash over k-char shingles (cheap near-dup
+    signal; full MinHash lives in stages/dedup.py)."""
+    if len(text) < k:
+        data = text.encode("utf-8")
+        return int.from_bytes(hashlib.md5(data).digest()[:8], "big") >> 1
+    mod = (1 << 61) - 1
+    base = 1_000_003
+    h = 0
+    power = pow(base, k - 1, mod)
+    best = None
+    for i, ch in enumerate(text):
+        if i >= k:
+            h = (h - ord(text[i - k]) * power) % mod
+        h = (h * base + ord(ch)) % mod
+        if i >= k - 1:
+            best = h if best is None or h < best else best
+    return best if best is not None else 0
