@@ -426,6 +426,82 @@ def _q_simhash_signatures(sf_dir: str):
             .map_batches(sig_only, batch_format="pyarrow"))
 
 
+def _q_kg_coref_delta(sf_dir: str):
+    """Conversation-level pronoun-coref delta triples (the reference's coref
+    branch, main_ner.py:194-325 + dudepparse.py:2149-2169 analog)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.coref import (
+        coref_delta_triples,
+    )
+
+    return coref_delta_triples(_kg(sf_dir)["parses"])
+
+
+def _q_multimodal_features(sf_dir: str):
+    """Binary-payload plumbing: synth payloads -> actor-pool decode/feature
+    stage (decode stubbed deterministically; see stages/multimodal.py)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.multimodal import (
+        MM_BATCH_SIZE,
+        ImageFeatureExtractor,
+        synthesize_payloads,
+    )
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(synthesize_payloads, batch_format="pyarrow")
+            .map_batches(ImageFeatureExtractor, batch_format="pyarrow",
+                         batch_size=MM_BATCH_SIZE, concurrency=2,
+                         fn_constructor_kwargs={"mode": "fake"})
+            .select_columns(["doc_id", "feature_norm"]))
+
+
+def _q_multimodal_frame_plan(sf_dir: str):
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.multimodal import (
+        frame_sample_plan,
+        synthesize_payloads,
+    )
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(synthesize_payloads, batch_format="pyarrow")
+            .map_batches(frame_sample_plan, batch_format="pyarrow"))
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets + exact
+    within-bucket verification."""
+    import numpy as np
+    import pandas as pd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
+        add_lsh_bucket,
+        normalize,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["vec_id"].to_numpy()
+        emb = normalize(np.asarray(list(group["embedding"]), dtype=np.float64))
+        sims = emb @ emb.T
+        out_a, out_b, out_s = [], [], []
+        order = np.argsort(ids)
+        for ii in range(len(ids)):
+            for jj in range(ii + 1, len(ids)):
+                a, b = order[ii], order[jj]
+                s = sims[a, b]
+                if s >= 0.8:
+                    out_a.append(int(ids[a]))
+                    out_b.append(int(ids[b]))
+                    out_s.append(float(np_round_away(np.array([s]), 4)[0]))
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64"),
+                             "cosine_sim": pd.Series(out_s, dtype="float64")})
+
+    return (_read(sf_dir, "embeddings")
+            .map_batches(add_lsh_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_pairs, batch_format="pandas"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (rule cascade — rows-only checks)
@@ -461,6 +537,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup sketches (rows-only)
         "minhash_candidate_pairs": _q_minhash_pairs,
         "simhash_signatures": _q_simhash_signatures,
+        "embedding_near_dups": _q_embedding_near_dups,
+        # conversation-level coref delta (rows-only)
+        "kg_coref_delta": _q_kg_coref_delta,
+        # multimodal payload plumbing (rows-only, deterministic fake decode)
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
 
 

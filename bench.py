@@ -1,0 +1,139 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and print
+ONE JSON line:
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "triples_per_sec": ...}
+
+--scaling: run the headline KG pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs plus
+scaling efficiency T_32/(4*T_8) (the sandbox proxy for the N- vs 4N-node
+cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_OUT = "/tmp/entgraph_bench"
+
+
+def _run_headline() -> dict:
+    """KG pipeline end-to-end (transcripts -> edges/entities), cold
+    checkpoints, timed; returns seconds + triple count."""
+    from chinese_open_relation_extraction_for_entgraph_ray.pipelines.kg import build_kg
+    from chinese_open_relation_extraction_for_entgraph_ray.sources.synthetic import (
+        transcripts_dir_for_sf,
+    )
+
+    tdir = transcripts_dir_for_sf(SF_DIR)          # generated once, untimed
+    out_dir = os.path.join(BENCH_OUT, f"kg_{os.path.basename(tdir)}_{NUM_CPUS}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import ray.data as rd
+
+    rd.read_parquet(tdir).count()
+
+    t0 = time.perf_counter()
+    res = build_kg(tdir, out_dir, resume=False,
+                   parse_concurrency=max(2, NUM_CPUS // 4))
+    n_triples = res["triples"].count()
+    n_edges = res["edges"].count()
+    sec = time.perf_counter() - t0
+    return {"sec": sec, "triples": n_triples, "edges": n_edges,
+            "triples_per_sec": n_triples / sec if sec else 0.0}
+
+
+def _timed_queries() -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    names = ["lineitem_pricing", "events_hourly", "events_sessions",
+             "docs_token_stats", "docs_exact_dedup", "docs_lang_detect",
+             "minhash_candidate_pairs", "similarity_topk",
+             "customer_revenue_topk"]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        try:
+            from ray.data import Dataset
+
+            if isinstance(res, Dataset):
+                res.count()
+        except ImportError:
+            pass
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    headline = _run_headline()
+    queries = _timed_queries()
+    queries["kg_pipeline"] = round(headline["sec"], 3)
+
+    print(json.dumps({
+        "metric": "kg_pipeline_end_to_end",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "triples": headline["triples"],
+        "edges": headline["edges"],
+        "triples_per_sec": round(headline["triples_per_sec"], 1),
+    }))
+    ray.shutdown()
+
+
+def scaling():
+    """Same pipeline at num_cpus=8 and 32 in fresh processes."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    tput8 = results[8]["triples_per_sec"]
+    tput32 = results[32]["triples_per_sec"]
+    eff = tput32 / (4 * tput8) if tput8 else 0.0
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "sec_8cpu": t8, "sec_32cpu": t32,
+        "triples_per_sec_8cpu": tput8, "triples_per_sec_32cpu": tput32,
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

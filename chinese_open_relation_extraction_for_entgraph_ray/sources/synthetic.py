@@ -152,11 +152,17 @@ def transcripts_table(seed: int, num_convs: int) -> pa.Table:
 
 
 def write_transcripts(out_dir: str, seed: int, num_convs: int,
-                      files: int = 4) -> str:
+                      files: int | None = None) -> str:
     """Write the transcripts table as multiple Parquet files (multi-block
-    read path); idempotent for a given (seed, num_convs)."""
+    read path); idempotent for a given (seed, num_convs).
+
+    File count scales with corpus size so the downstream read parallelizes —
+    one file per ~250 conversations (at 100 TB this is the "one shard per
+    input partition" layout the resumable writer produces)."""
+    if files is None:
+        files = max(4, min(256, num_convs // 250))
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, f"_DONE_{seed}_{num_convs}")
+    marker = os.path.join(out_dir, f"_DONE_{seed}_{num_convs}_{files}")
     if os.path.exists(marker):
         return out_dir
     table = transcripts_table(seed, num_convs)
@@ -177,8 +183,8 @@ def write_transcripts(out_dir: str, seed: int, num_convs: int,
 SF_PRESETS = {
     "sf0.001": (42, 200),
     "sf0.01": (42, 2000),
-    "sf0.1": (42, 20000),
-    "sf1": (42, 200000),
+    "sf0.1": (42, 80000),
+    "sf1": (42, 400000),
 }
 
 

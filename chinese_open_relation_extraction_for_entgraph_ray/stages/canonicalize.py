@@ -119,14 +119,14 @@ def aggregate_edges(triples_ds, rel_kinds=("fine", "amend_fine")):
     """
     from ray.data.aggregate import Min, Sum
 
-    kinds = set(rel_kinds)
+    kinds = sorted(set(rel_kinds))
 
-    def keep_kinds(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column("rel_kind"),
-                                     value_set=pa.array(sorted(kinds))))
+    def filtered_partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch.column("rel_kind"),
+                                      value_set=pa.array(kinds)))
+        return partial_edge_counts(batch)
 
-    ds = triples_ds.map_batches(keep_kinds, batch_format="pyarrow")
-    partials = ds.map_batches(partial_edge_counts, batch_format="pyarrow")
+    partials = triples_ds.map_batches(filtered_partials, batch_format="pyarrow")
     salted = partials.groupby(["salt"] + EDGE_KEYS).aggregate(
         Sum("weight", alias_name="weight"),
         Min("sample_conv_id", alias_name="sample_conv_id"),

@@ -1,0 +1,85 @@
+"""Conversation-level coreference stage (the reference's coref branch).
+
+The reference runs CoreNLP coref over 1536-char document chunks, splices
+representative mentions over pronouns, re-runs NER + extraction on changed
+sentences, and keeps only triples NOT already found in the original sentence
+(`/root/reference/main_ner.py:168-325`, `dudepparse.py:2149-2169`).
+
+Transcript-native, deterministic rebuild: within one conversation, processed
+in stable ``(turn_idx, sent_idx)`` order, the most recent PERSON gazetteer
+mention is the active antecedent; a sentence-initial subject pronoun
+(他/她/它/他们/她们) is substituted with it, the corefed sentence is re-parsed
+and re-extracted, and the delta is computed as a serialize_rel anti-join
+against the original sentence's triples (the M19 dedup,
+dudepparse.py:2157-2166).
+
+Ray mapping: ``groupby(conv_id).map_groups`` — the ONLY stage needing
+cross-sentence state, keyed and sorted exactly like the reference's per-doc
+loop; per-turn text equality and turn ordering are preserved because rows are
+re-sorted inside the group, never by block order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..functions.cascade import process_sentence, serialize_rel
+from ..functions.grammar import parse_sentence
+from ..functions.lexicon import NER_GAZETTEER, PRONOUNS, pos_map_for_words
+
+_PERSONS = {w for w, label in NER_GAZETTEER.items() if label == "PERSON"}
+_PRONOUN_SET = set(PRONOUNS)
+
+COREF_COLUMNS = ["conv_id", "turn_idx", "sent_idx", "rel_kind", "subj", "pred",
+                 "obj", "subj_idx", "pred_idx", "obj_idx", "antecedent"]
+
+
+def _sentence_triples(ddp: dict) -> dict[str, list]:
+    return process_sentence(ddp, pos_map_for_words(ddp["word"]))
+
+
+def coref_conversation(group: pd.DataFrame) -> pd.DataFrame:
+    """One conversation's parse rows -> delta triples found only after
+    pronoun substitution."""
+    g = group.sort_values(["turn_idx", "sent_idx"])
+    antecedent: str | None = None
+    out: list[dict] = []
+    for _, row in g.iterrows():
+        words = list(row["words"])
+        pron_idx = next((i for i, w in enumerate(words)
+                         if w in _PRONOUN_SET), None)
+        if pron_idx is not None and antecedent is not None:
+            ddp_orig = {"word": words, "head": list(row["heads"]),
+                        "deprel": list(row["deprels"])}
+            orig = _sentence_triples(ddp_orig)
+            orig_keys = {serialize_rel(r) for rels in orig.values() for r in rels}
+
+            corefed_text = row["text"].replace(words[pron_idx], antecedent, 1)
+            ddp_new = parse_sentence(corefed_text)
+            for kind, rels in _sentence_triples(ddp_new).items():
+                for rel in rels:
+                    if serialize_rel(rel) in orig_keys:
+                        continue
+                    out.append({
+                        "conv_id": row["conv_id"], "turn_idx": row["turn_idx"],
+                        "sent_idx": row["sent_idx"],
+                        "rel_kind": f"coref_{kind}",
+                        "subj": rel[0][0], "pred": rel[0][1], "obj": rel[0][2],
+                        "subj_idx": rel[2][0], "pred_idx": rel[2][1],
+                        "obj_idx": rel[2][2], "antecedent": antecedent,
+                    })
+        # update the antecedent AFTER processing the sentence (a pronoun never
+        # refers forward within its own sentence here)
+        for w in words:
+            if w in _PERSONS:
+                antecedent = w
+    if not out:
+        return pd.DataFrame({c: pd.Series([], dtype=object)
+                             for c in COREF_COLUMNS})
+    return pd.DataFrame(out, columns=COREF_COLUMNS)
+
+
+def coref_delta_triples(parses_ds):
+    """parses Dataset -> coref delta-triples Dataset (shuffle key: conv_id)."""
+    return parses_ds.groupby("conv_id").map_groups(
+        coref_conversation, batch_format="pandas")

@@ -1,0 +1,123 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Opaque ``binary`` payload columns with typed metadata, processed by
+actor-pool ``map_batches`` stages.  The container has no image/audio codecs,
+so the DECODE step is stubbed: ``mode="real"`` raises NotImplementedError at
+the exact point a codec (PIL/ffmpeg) would be invoked, while ``mode="fake"``
+produces a deterministic payload-derived decode so that the Ray-side plumbing
+— schema, batch sizing, actor lifecycle, output layout — is real and tested.
+
+Scale notes: payload rows are wide, so these stages run with SMALL batch
+sizes (``MM_BATCH_SIZE``) and would raise ``DataContext.target_max_block_size``
+for very large payloads rather than letting blocks split absurdly small.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MM_BATCH_SIZE = 256          # wide binary rows -> small batches
+FEATURE_DIM = 8
+
+
+def synthesize_payloads(batch: pa.Table) -> pa.Table:
+    """docs -> fake image table: (doc_id, payload binary, width, height, fmt).
+
+    Payload bytes are an md5 keystream of the doc text — deterministic, and
+    opaque to everything downstream (as real image bytes would be)."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    payloads, widths, heights, fmts = [], [], [], []
+    for did, text in zip(ids, texts):
+        seed = hashlib.md5(f"img:{did}:{text[:32]}".encode()).digest()
+        w = 16 + seed[0] % 48
+        h = 16 + seed[1] % 48
+        stream = b"".join(
+            hashlib.md5(seed + i.to_bytes(4, "big")).digest()
+            for i in range((w * h + 15) // 16))
+        payloads.append(stream[:w * h])
+        widths.append(w)
+        heights.append(h)
+        fmts.append("fake-gray8")
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary()),
+         pa.array(widths, pa.int32()), pa.array(heights, pa.int32()),
+         pa.array(fmts, pa.string())],
+        names=["doc_id", "payload", "width", "height", "format"])
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: decode + feature-extract image payloads.
+
+    ``__init__`` is where a real model/codec loads once per actor; ``__call__``
+    handles one batch.  With ``mode="real"`` the decode raises
+    NotImplementedError (no codec in this container)."""
+
+    def __init__(self, mode: str = "fake"):
+        self.mode = mode
+        # real mode would do:  from PIL import Image; self.codec = Image
+
+    def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self.mode == "real":
+            raise NotImplementedError(
+                "image decode requires PIL/libjpeg, not present in this "
+                "container; run with mode='fake' for the deterministic stub")
+        arr = np.frombuffer(payload, dtype=np.uint8)[:width * height]
+        return arr.reshape(height, width).astype(np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_pylist()
+        heights = batch.column("height").to_pylist()
+        feats, norms = [], []
+        for p, w, h in zip(payloads, widths, heights):
+            img = self._decode(p, w, h)
+            # 8 deterministic pooled stats as the "embedding"
+            quads = [img[:h // 2, :w // 2], img[:h // 2, w // 2:],
+                     img[h // 2:, :w // 2], img[h // 2:, w // 2:]]
+            vec = np.array([q.mean() for q in quads] +
+                           [q.std() for q in quads])
+            vec = np.round(vec, 6)
+            feats.append(vec.tolist())
+            norms.append(round(float(np.linalg.norm(vec)), 4))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()),
+             pa.array(feats, pa.list_(pa.float64())),
+             pa.array(norms, pa.float64())],
+            names=["doc_id", "feature", "feature_norm"])
+
+
+def resize_metadata(batch: pa.Table, target: int = 32) -> pa.Table:
+    """Resize planning (metadata-only op; the pixel resample is part of the
+    stubbed decode): scale factors + output dims per row."""
+    import pyarrow.compute as pc
+
+    w = batch.column("width").cast(pa.float64())
+    h = batch.column("height").cast(pa.float64())
+    scale = pc.min_element_wise(pc.divide(float(target), w),
+                                pc.divide(float(target), h))
+    return (batch.append_column("scale", pc.round(scale, ndigits=4))
+            .append_column("out_w", pc.round(pc.multiply(w, scale), ndigits=0)
+                           .cast(pa.int32()))
+            .append_column("out_h", pc.round(pc.multiply(h, scale), ndigits=0)
+                           .cast(pa.int32()))).drop_columns(["payload"])
+
+
+def frame_sample_plan(batch: pa.Table, every_n: int = 8) -> pa.Table:
+    """Video frame-sampling plan: one row per sampled frame index (the decode
+    of each frame is the stubbed step)."""
+    ids = batch.column("doc_id").to_pylist()
+    widths = batch.column("width").to_pylist()
+    out_id, out_frame = [], []
+    for did, w in zip(ids, widths):
+        n_frames = 8 + (w % 24)          # deterministic fake frame count
+        for f in range(0, n_frames, every_n):
+            out_id.append(did)
+            out_frame.append(f)
+    return pa.Table.from_arrays(
+        [pa.array(out_id, pa.int64()), pa.array(out_frame, pa.int32())],
+        names=["doc_id", "frame_idx"])

@@ -1,0 +1,141 @@
+"""Unit tests for the training-data operator stages (dedup, similarity,
+textstats, multimodal) — batch-level, no Ray needed."""
+
+import numpy as np
+import pyarrow as pa
+
+from chinese_open_relation_extraction_for_entgraph_ray.stages import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+
+def docs_batch():
+    return pa.Table.from_arrays(
+        [pa.array([1, 2, 3, 4], pa.int64()),
+         pa.array(["the quick brown fox jumps over the lazy dog",
+                   "the quick brown fox jumps over the lazy cat",
+                   "completely different text with zero overlap here",
+                   "the quick brown fox jumps over the lazy dog"], pa.string())],
+        names=["doc_id", "text"])
+
+
+def test_token_stats_counts():
+    out = textstats.token_stats(docs_batch())
+    assert out.column("n_tokens").to_pylist() == [9, 9, 7, 9]
+    assert out.column("n_digit").to_pylist() == [0, 0, 0, 0]
+
+
+def test_quality_scores_ratio_bounds():
+    out = textstats.quality_scores(docs_batch())
+    for v in out.column("stop_ratio").to_pylist():
+        assert 0.0 <= v <= 1.0
+
+
+def test_detect_lang_zh_and_en():
+    batch = pa.Table.from_arrays(
+        [pa.array([1, 2], pa.int64()),
+         pa.array(["张三访问北京大学", "the cat is on the mat"], pa.string())],
+        names=["doc_id", "text"])
+    out = textstats.detect_lang(batch)
+    assert out.column("detected_lang").to_pylist() == ["zh", "en"]
+
+
+def test_fingerprints_stable_and_discriminative():
+    out1 = textstats.fingerprints(docs_batch())
+    out2 = textstats.fingerprints(docs_batch())
+    assert out1.equals(out2)
+    md5s = out1.column("md5").to_pylist()
+    assert md5s[0] == md5s[3] and md5s[0] != md5s[2]
+
+
+def test_minhash_similar_docs_share_bands():
+    t = docs_batch()
+    bands = dedup.add_minhash_bands(t)
+    by_doc = {}
+    for band, h, doc in zip(bands.column("band").to_pylist(),
+                            bands.column("band_hash").to_pylist(),
+                            bands.column("doc_id").to_pylist()):
+        by_doc.setdefault(doc, set()).add((band, h))
+    # identical docs collide on every band; near-identical on >=1;
+    # unrelated docs on none
+    assert by_doc[1] == by_doc[4]
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_jaccard_values():
+    assert dedup.jaccard("a b c d", "a b c d") == 1.0
+    assert dedup.jaccard("a b c d", "x y z w") == 0.0
+
+
+def test_simhash_hamming_tracks_similarity():
+    a = dedup.simhash64("the quick brown fox jumps over the lazy dog")
+    b = dedup.simhash64("the quick brown fox jumps over the lazy cat")
+    c = dedup.simhash64("completely different text with zero overlap here")
+    assert dedup.hamming64(a, b) < dedup.hamming64(a, c)
+
+
+def test_cosine_topk_scorer():
+    batch = pa.Table.from_arrays(
+        [pa.array([0, 1, 2], pa.int64()),
+         pa.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+                  pa.list_(pa.float32())),
+         pa.array([0, 0, 0], pa.int32())],
+        names=["vec_id", "embedding", "label"])
+    out = similarity.CosineTopK(np.array([1.0, 0.0]))(batch)
+    sims = dict(zip(out.column("vec_id").to_pylist(),
+                    out.column("cosine_sim").to_pylist()))
+    assert sims[0] == 1.0 and sims[1] == 0.0 and 0.7 < sims[2] < 0.71
+
+
+def test_multimodal_fake_decode_deterministic():
+    payloads = multimodal.synthesize_payloads(docs_batch())
+    fx = multimodal.ImageFeatureExtractor(mode="fake")
+    out1, out2 = fx(payloads), fx(payloads)
+    assert out1.equals(out2)
+    assert len(out1.column("feature")[0].as_py()) == multimodal.FEATURE_DIM
+
+
+def test_multimodal_real_decode_raises():
+    import pytest
+
+    payloads = multimodal.synthesize_payloads(docs_batch())
+    fx = multimodal.ImageFeatureExtractor(mode="real")
+    with pytest.raises(NotImplementedError):
+        fx(payloads)
+
+
+def test_resize_and_frame_plan():
+    payloads = multimodal.synthesize_payloads(docs_batch())
+    resized = multimodal.resize_metadata(payloads)
+    assert max(resized.column("out_w").to_pylist()) <= 32
+    plan = multimodal.frame_sample_plan(payloads)
+    assert plan.num_rows >= payloads.num_rows   # >= one frame per doc
+
+
+def test_coref_conversation_delta():
+    import pandas as pd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.coref import (
+        coref_conversation,
+    )
+
+    group = pd.DataFrame([
+        {"conv_id": "c1", "turn_idx": 0, "sent_idx": 0,
+         "text": "张伟访问数据。",
+         "words": ["张伟", "访问", "数据", "。"], "heads": [2, 0, 2, 2],
+         "deprels": ["SBV", "HED", "VOB", "MT"]},
+        {"conv_id": "c1", "turn_idx": 1, "sent_idx": 0,
+         "text": "他发布论文。",
+         "words": ["他", "发布", "论文", "。"], "heads": [2, 0, 2, 2],
+         "deprels": ["SBV", "HED", "VOB", "MT"]},
+    ])
+    out = coref_conversation(group)
+    # the pronoun-subject triple was stop-word-filtered originally; after
+    # substitution (他 -> 张伟) it appears as a delta
+    keys = set(zip(out["subj"], out["pred"], out["obj"]))
+    assert ("张伟", "发布", "论文") in keys
+    assert (out["antecedent"] == "张伟").all()
