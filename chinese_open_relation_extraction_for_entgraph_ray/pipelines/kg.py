@@ -48,17 +48,23 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
              config_tag: str = "v1") -> dict:
     """Run (or resume) the full pipeline; returns {stage: Dataset} handles of
     the materialized outputs plus run metadata under "_meta"."""
+    import time as _time
+
     store = CheckpointStore(out_dir)
     in_files = parquet_files(transcripts_dir)
     base_fp = fingerprint_paths(in_files, extra=config_tag)
     ran: list[str] = []
+    timings: dict[str, float] = {}
 
     def stage(name: str, make, upstream_fp: str) -> str:
         fp = f"{upstream_fp}:{name}"
         if not (resume and store.is_complete(name, fp)):
+            t0 = _time.perf_counter()
             ds = make()
             ds.write_parquet(store.stage_dir(name), mode="overwrite")
-            store.commit_stage(name, fp)
+            timings[name] = round(_time.perf_counter() - t0, 3)
+            store.commit_stage(name, fp,
+                              metrics={"wall_sec": timings[name]})
             ran.append(name)
         # downstream fingerprints chain through this stage's commit record, so
         # recomputing a stage invalidates everything after it
@@ -102,7 +108,7 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
         "edges": _read(store.stage_dir("edges")),
         "entities": _read(store.stage_dir("entities")),
         "_meta": {"ran_stages": ran, "out_dir": out_dir,
-                  "input_fingerprint": base_fp},
+                  "input_fingerprint": base_fp, "stage_wall_sec": timings},
     }
 
 

@@ -24,14 +24,25 @@ import pyarrow.compute as pc
 from ..functions.lexicon import ENTITY_ALIASES, NER_GAZETTEER
 
 NUM_SALTS = 16
+# Engage the extra salted exchange only when the per-key fan-in (= number of
+# combined blocks, since the combiner emits each key at most once per block)
+# is large enough that a single reducer would otherwise receive that many rows
+# for one hot key.  Below this, one exchange over combined partials is cheaper
+# (measured 16s vs 26s at sf0.1 / 32 CPUs).
+SALT_BLOCK_THRESHOLD = 512
+COMBINE_BATCH_SIZE = 65536
 
 
-def stable_salt(subj: str, pred: str, obj: str) -> int:
-    """Process-stable salt for the hot-key first aggregation round
-    (``hash()`` is PYTHONHASHSEED-dependent; crc32 is not)."""
+def stable_salt(sample_conv_id: str) -> int:
+    """Process-stable salt for the hot-key pre-aggregation round.
+
+    Must vary WITHIN a (subj, pred, obj) key so one hot key is split across
+    NUM_SALTS sub-groups — we derive it from the row-varying provenance
+    column, not from the key (``hash()`` is PYTHONHASHSEED-dependent; crc32
+    is not)."""
     import zlib
 
-    return zlib.crc32(f"{subj}\x00{pred}\x00{obj}".encode("utf-8")) % NUM_SALTS
+    return zlib.crc32(sample_conv_id.encode("utf-8")) % NUM_SALTS
 
 _CANONICAL = {s: s for s in NER_GAZETTEER}
 _CANONICAL.update(ENTITY_ALIASES)
@@ -93,9 +104,7 @@ def partial_edge_counts(batch: pa.Table) -> pa.Table:
         "sample_turn_idx": agg.column("turn_idx_min"),
         "weight": agg.column("subj_count").cast(pa.int64()),
     }
-    salt = [stable_salt(s, p, o) for s, p, o in zip(
-        cols["subj"].to_pylist(), cols["pred"].to_pylist(),
-        cols["obj"].to_pylist())]
+    salt = [stable_salt(c) for c in cols["sample_conv_id"].to_pylist()]
     cols["salt"] = pa.array(salt, pa.int32())
     return pa.Table.from_arrays(list(cols.values()), names=list(cols.keys()))
 
@@ -110,12 +119,27 @@ def _empty_partial() -> pa.Table:
     return pa.Table.from_arrays([pa.array([], f.type) for f in schema], schema=schema)
 
 
-def aggregate_edges(triples_ds, rel_kinds=("fine", "amend_fine")):
+def aggregate_edges(triples_ds, rel_kinds=("fine", "amend_fine"),
+                    salting: bool | str = "auto"):
     """triples Dataset -> canonical edges Dataset.
 
-    Shuffle plan: batch-level combiner -> groupby(salt+key) partial sums ->
-    groupby(key) final sums.  Keys are the triple surfaces; entity ids ride
-    along via ``min`` (they are functions of the key).
+    Shuffle plan (two-phase, skew-aware):
+
+    1. **Map-side combiner** (no shuffle): each ~64k-row batch collapses to
+       one row per distinct triple via ``pa.Table.group_by`` — a hot key
+       reaches the exchange at most once per block, so reducer fan-in per key
+       is bounded by the block count, not the row count.
+    2. **Salted pre-exchange** (only when block-count fan-in is large —
+       ``salting="auto"`` engages it above SALT_BLOCK_THRESHOLD input blocks,
+       i.e. the 100-TB regime, where a single hot copular predicate would
+       otherwise funnel millions of partial rows into one reducer): groupby
+       (salt + key) with a row-varying salt partially sums each hot key
+       across NUM_SALTS sub-groups.
+    3. **Final exchange**: groupby(key) sums the ≤NUM_SALTS (salted) or
+       ≤#blocks (unsalted) partials per key.
+
+    Keys are the triple surfaces; entity ids ride along (functions of the
+    key); provenance via ``min``.
     """
     from ray.data.aggregate import Min, Sum
 
@@ -126,12 +150,21 @@ def aggregate_edges(triples_ds, rel_kinds=("fine", "amend_fine")):
                                       value_set=pa.array(kinds)))
         return partial_edge_counts(batch)
 
-    partials = triples_ds.map_batches(filtered_partials, batch_format="pyarrow")
-    salted = partials.groupby(["salt"] + EDGE_KEYS).aggregate(
-        Sum("weight", alias_name="weight"),
-        Min("sample_conv_id", alias_name="sample_conv_id"),
-        Min("sample_turn_idx", alias_name="sample_turn_idx"))
-    final = salted.groupby(EDGE_KEYS).aggregate(
+    partials = triples_ds.map_batches(filtered_partials,
+                                      batch_format="pyarrow",
+                                      batch_size=COMBINE_BATCH_SIZE)
+    if salting == "auto":
+        try:
+            n_blocks = triples_ds.num_blocks()
+        except Exception:
+            n_blocks = 0
+        salting = bool(n_blocks and n_blocks > SALT_BLOCK_THRESHOLD)
+    if salting:
+        partials = partials.groupby(["salt"] + EDGE_KEYS).aggregate(
+            Sum("weight", alias_name="weight"),
+            Min("sample_conv_id", alias_name="sample_conv_id"),
+            Min("sample_turn_idx", alias_name="sample_turn_idx"))
+    final = partials.groupby(EDGE_KEYS).aggregate(
         Sum("weight", alias_name="weight"),
         Min("sample_conv_id", alias_name="sample_conv_id"),
         Min("sample_turn_idx", alias_name="sample_turn_idx"))
