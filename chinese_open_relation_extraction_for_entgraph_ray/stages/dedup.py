@@ -39,6 +39,27 @@ def _stable64(token: str) -> int:
                           "big") & ((1 << 61) - 1)
 
 
+# Per-process memo of token -> stable hash.  Texts in a corpus share a
+# vocabulary, so hashing each distinct token once per worker removes the md5
+# call from the per-shingle hot path.  Bounded so a pathological vocabulary
+# cannot grow the worker heap without limit.
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 1 << 20
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    cache = _TOKEN_HASH_CACHE
+    out = np.empty(len(toks), dtype=np.int64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = _stable64(t)
+            if len(cache) < _TOKEN_HASH_CACHE_MAX:
+                cache[t] = h
+        out[i] = h
+    return out
+
+
 def word_shingles(text: str, k: int = 3) -> set[str]:
     toks = text.split()
     if len(toks) < k:
@@ -46,12 +67,27 @@ def word_shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
+# Shingle hash = positional mix of the k token hashes (vectorized over the
+# whole token array).  Equivalent role to hashing the joined shingle string,
+# at numpy speed; matches word_shingles(k=3) membership semantics because the
+# mix is injective enough at 61 bits.
+_SHINGLE_MIX = _rng.randint(1, _MERSENNE, size=8, dtype=np.int64)
+
+
 def minhash_signature(text: str) -> np.ndarray:
-    """NUM_PERM-wide MinHash over word 3-shingles (vectorized across perms)."""
-    sh = word_shingles(text)
-    if not sh:
+    """NUM_PERM-wide MinHash over word 3-shingles (fully vectorized)."""
+    toks = (text or "").split()
+    if not toks:
         return np.full(NUM_PERM, _MERSENNE, dtype=np.int64)
-    base = np.fromiter((_stable64(s) for s in sh), dtype=np.int64, count=len(sh))
+    h = _token_hashes(toks)
+    k = 3
+    if len(h) < k:
+        base = np.array([h.sum() % _MERSENNE], dtype=np.int64)
+    else:
+        base = np.zeros(len(h) - k + 1, dtype=np.int64)
+        for j in range(k):
+            base = (base + h[j:len(h) - k + 1 + j] * _SHINGLE_MIX[j]) % _MERSENNE
+        base = np.unique(base)
     # (num_shingles, num_perm) permuted hashes -> column-min
     permed = (base[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE
     return permed.min(axis=0)
@@ -100,14 +136,12 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 # --- SimHash -----------------------------------------------------------------
 
 def simhash64(text: str) -> int:
-    toks = text.split()
+    toks = list(set(text.split()))
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in set(toks):
-        h = _stable64(tok)
-        bits = (h >> np.arange(64)) & 1
-        acc += np.where(bits == 1, 1, -1)
+    h = _token_hashes(toks)                                   # (n,)
+    bits = (h[:, None] >> np.arange(64)[None, :]) & 1         # (n, 64)
+    acc = (2 * bits - 1).sum(axis=0)
     return int("".join("1" if v > 0 else "0" for v in acc), 2)
 
 
@@ -150,11 +184,83 @@ def exact_dedup(docs_ds):
                        Count(alias_name="dup_count")))
 
 
+def _block_pairs_and_edges(batch: pa.Table) -> pa.Table:
+    """Pair generation over one bucket-sorted block.
+
+    Buckets fully inside the block emit their pairs here (kind=1 rows with
+    a/b set).  The block's first and last buckets may straddle a block
+    boundary, so their member rows pass through unsolved (kind=0) to a tiny
+    second pass that sees each straddling bucket whole.  Double-generated
+    pairs are collapsed by the final groupby(a, b).
+    """
+    import pandas as pd
+
+    out_a: list[int] = []
+    out_b: list[int] = []
+    edge_band: list[int] = []
+    edge_hash: list[str] = []
+    edge_doc: list[int] = []
+    if batch.num_rows:
+        df = batch.to_pandas()
+        keys = list(zip(df["band"], df["band_hash"]))
+        first_key, last_key = keys[0], keys[-1]
+        for key, g in df.groupby(["band", "band_hash"], sort=False):
+            if key == first_key or key == last_key:
+                edge_band.extend(g["band"])
+                edge_hash.extend(g["band_hash"])
+                edge_doc.extend(g["doc_id"])
+                continue
+            if len(g) < 2:
+                continue
+            ids = sorted(g["doc_id"].tolist())[:MAX_BUCKET]
+            for a, b in itertools.combinations(ids, 2):
+                out_a.append(a)
+                out_b.append(b)
+    n_pairs, n_edges = len(out_a), len(edge_doc)
+    return pa.Table.from_arrays(
+        [pa.array([1] * n_pairs + [0] * n_edges, pa.int8()),
+         pa.array(out_a + [0] * n_edges, pa.int64()),
+         pa.array(out_b + [0] * n_edges, pa.int64()),
+         pa.array([0] * n_pairs + edge_band, pa.int32()),
+         pa.array([""] * n_pairs + edge_hash, pa.string()),
+         pa.array([0] * n_pairs + edge_doc, pa.int64())],
+        names=["kind", "a", "b", "band", "band_hash", "doc_id"])
+
+
 def minhash_candidate_pairs(docs_ds):
-    """docs -> verified-unique candidate pairs (a < b) from MinHash-LSH."""
-    pairs = (docs_ds.map_batches(add_minhash_bands, batch_format="pyarrow")
-             .groupby(["band", "band_hash"])
-             .map_groups(bucket_candidate_pairs, batch_format="pandas"))
+    """docs -> verified-unique candidate pairs (a < b) from MinHash-LSH.
+
+    Shuffle plan: signatures -> exploded band rows -> ONE sort by bucket ->
+    vectorized per-block pair generation, with only boundary-straddling
+    buckets (<= 2 per block, independent of data size) routed through a
+    per-group second pass — this avoids a per-group Python call for every
+    one of the (mostly singleton) LSH buckets.
+    """
+    import pyarrow.compute as pc
+
     from ray.data.aggregate import Count
 
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+    mixed = (docs_ds.map_batches(add_minhash_bands, batch_format="pyarrow")
+             .sort(["band", "band_hash"])
+             .map_batches(_block_pairs_and_edges, batch_format="pyarrow",
+                          batch_size=None)
+             .materialize())   # small (pairs + edge-bucket rows); consumed twice
+    inner = mixed.filter(expr="kind == 1")
+
+    def _sel_pairs(batch: pa.Table) -> pa.Table:
+        return batch.select(["a", "b"])
+
+    def _sel_edges(batch: pa.Table) -> pa.Table:
+        return batch.select(["band", "band_hash", "doc_id"])
+
+    def _to_arrow(batch: pa.Table) -> pa.Table:
+        return batch    # map_batches(pyarrow) normalizes pandas blocks -> arrow
+
+    edge_pairs = (mixed.filter(expr="kind == 0")
+                  .map_batches(_sel_edges, batch_format="pyarrow")
+                  .groupby(["band", "band_hash"])
+                  .map_groups(bucket_candidate_pairs, batch_format="pandas")
+                  .map_batches(_to_arrow, batch_format="pyarrow"))
+    all_pairs = inner.map_batches(_sel_pairs, batch_format="pyarrow") \
+                     .union(edge_pairs)
+    return all_pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
