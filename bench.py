@@ -46,7 +46,7 @@ def _run_headline() -> dict:
     rd.read_parquet(tdir).count()
 
     t0 = time.perf_counter()
-    res = build_kg(tdir, out_dir, resume=False,
+    res = build_kg(tdir, out_dir, resume=False, checkpoints="minimal",
                    parse_concurrency=max(2, NUM_CPUS // 4))
     n_triples = res["triples"].count()
     n_edges = res["edges"].count()

@@ -735,6 +735,87 @@ def mark_negation(rels: list, ddp: dict) -> list:
     return out
 
 
+def pred_tense(rel, ddp: dict) -> str:
+    """'past' / 'future' / 'present' for an SVO predicate, from ADV/MT
+    children of the predicate head (reference check_rel_pred_tense
+    :1489-1516; disabled by default there and here)."""
+    from .lexicon import FUTURE_ADV_WORDS, PAST_ADV_WORDS, PAST_MT_WORDS
+
+    head_1 = rel[2][1] + 1
+    past = future = False
+    for t, h in enumerate(ddp["head"]):
+        if h != head_1:
+            continue
+        if ddp["deprel"][t] == "ADV":
+            if ddp["word"][t] in FUTURE_ADV_WORDS:
+                future = True
+            if ddp["word"][t] in PAST_ADV_WORDS:
+                past = True
+        elif ddp["deprel"][t] == "MT" and ddp["word"][t] in PAST_MT_WORDS:
+            past = True
+    return "future" if future else ("past" if past else "present")
+
+
+def pred_modal(rel, ddp: dict) -> str | None:
+    """Joined 【m】 markers for modal ADVs under the predicate head, or None
+    (reference check_rel_pred_modal :1519-1535; disabled by default)."""
+    from .lexicon import MODAL_MAP
+
+    head_1 = rel[2][1] + 1
+    modals: list[str] = []
+    for t, h in enumerate(ddp["head"]):
+        if h == head_1 and ddp["deprel"][t] == "ADV" \
+                and ddp["word"][t] in MODAL_MAP:
+            m = MODAL_MAP[ddp["word"][t]]
+            if m not in modals:
+                modals.append(m)
+    return "".join(f"【{m}】" for m in modals) if modals else None
+
+
+def convert_nct(rels: list, ddp: dict, *, copular=False, tense=False,
+                modal=False) -> list:
+    """The reference's disabled copular/tense/modal predicate conversions
+    (check_nct branches :1598-1655), off by default to mirror the reference's
+    CONVERT_* = False consts (:1551-1553).  Order matches the reference:
+    copular, then tense, then modal; all SVO-only."""
+    if copular:
+        out = []
+        for rel in rels:
+            if rel[1] == "SVO" and rel[0][1] in COPULA_PREDS:
+                out.append(((rel[0][0], f"{rel[0][1]}·{rel[0][2]}", None),
+                            rel[1], rel[2]))
+            else:
+                out.append(rel)
+        rels = out
+    if tense:
+        out = []
+        for rel in rels:
+            if rel[1] != "SVO":
+                out.append(rel)
+                continue
+            t = pred_tense(rel, ddp)
+            if t == "past":
+                out.append(((rel[0][0], "【过去式】·" + rel[0][1], rel[0][2]),
+                            rel[1], rel[2]))
+            elif t == "future":
+                out.append(((rel[0][0], "【将来式】·" + rel[0][1], rel[0][2]),
+                            rel[1], rel[2]))
+            else:
+                out.append(rel)
+        rels = out
+    if modal:
+        out = []
+        for rel in rels:
+            m = pred_modal(rel, ddp) if rel[1] == "SVO" else None
+            if m is not None:
+                out.append(((rel[0][0], f"{m}·{rel[0][1]}", rel[0][2]),
+                            rel[1], rel[2]))
+            else:
+                out.append(rel)
+        rels = out
+    return rels
+
+
 def svo_only(rels: list, cap: int = SVO_CAP) -> list:
     """Keep only SVO triples, deterministically capped (reference :215-231)."""
     return _cap([r for r in rels if r[1] == "SVO"], cap)
@@ -780,7 +861,8 @@ STREAMS = ("fine", "coarse", "amend_fine", "amend_coarse", "possible")
 
 
 def process_sentence(ddp: dict, pos_map=None, counters=None,
-                     ignore_postag=False) -> dict[str, list]:
+                     ignore_postag=False, convert_copular=False,
+                     convert_tense=False, convert_modal=False) -> dict[str, list]:
     """One sentence parse -> the five filtered triple streams.
 
     Pipeline: extract fine+coarse tuples -> reformat -> explode DOB ->
@@ -812,10 +894,17 @@ def process_sentence(ddp: dict, pos_map=None, counters=None,
     a_c = filter_stopword_triples(a_c)
     possible = filter_stopword_triples(possible)
 
-    fine = svo_only(mark_negation(fine, ddp))
-    coarse = svo_only(mark_negation(coarse, ddp))
-    a_f = svo_only(mark_negation(a_f, ddp))
-    a_c = svo_only(mark_negation(a_c, ddp))
+    def _nct(rels):
+        rels = mark_negation(rels, ddp)
+        if convert_copular or convert_tense or convert_modal:
+            rels = convert_nct(rels, ddp, copular=convert_copular,
+                               tense=convert_tense, modal=convert_modal)
+        return svo_only(rels)
+
+    fine = _nct(fine)
+    coarse = _nct(coarse)
+    a_f = _nct(a_f)
+    a_c = _nct(a_c)
 
     a_c = coarsify_rels(coarse_parse, a_c, subj_flag=True, obj_flag=True,
                         keep_same=True)

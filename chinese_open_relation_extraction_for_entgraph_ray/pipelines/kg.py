@@ -45,9 +45,19 @@ def _read(path_or_dir, columns=None):
 
 def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
              parse_concurrency: int = PARSE_CONCURRENCY,
-             config_tag: str = "v1") -> dict:
+             config_tag: str = "v1", checkpoints: str = "all") -> dict:
     """Run (or resume) the full pipeline; returns {stage: Dataset} handles of
-    the materialized outputs plus run metadata under "_meta"."""
+    the materialized outputs plus run metadata under "_meta".
+
+    checkpoints="all": materialize every stage (sentences, parses, triples,
+    edges, entities) — finest resume granularity; ``parses`` doubles as the
+    reference's ``--ready_ddp`` reuse contract.
+    checkpoints="minimal": fuse transcripts -> sentences -> parses -> triples
+    into ONE streaming execution with a single materialization at ``triples``
+    (the map stages pipeline through the object store with no write/read
+    barriers); resume granularity becomes {triples, edges, entities}.  Use
+    for throughput; "all" for long jobs where re-parsing is the expensive
+    part."""
     import time as _time
 
     store = CheckpointStore(out_dir)
@@ -71,25 +81,60 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
         manifest = store.read_manifest(name)
         return f"{fp}@{manifest['completed_at']}"
 
-    fp = stage(
-        "sentences",
-        lambda: _read(transcripts_dir, columns=["conv_id", "turn_idx", "text"])
-        .map_batches(explode_turns, batch_format="pyarrow"),
-        base_fp)
+    if checkpoints not in ("all", "minimal"):
+        raise ValueError(f"checkpoints must be 'all' or 'minimal', got {checkpoints!r}")
 
-    fp = stage(
-        "parses",
-        lambda: _read(store.stage_dir("sentences"))
-        .map_batches(TemplateParserActor, batch_format="pyarrow",
-                     batch_size=PARSE_BATCH_SIZE, concurrency=parse_concurrency),
-        fp)
+    def _sentences(src):
+        return src.map_batches(explode_turns, batch_format="pyarrow")
 
-    fp = stage(
-        "triples",
-        lambda: _read(store.stage_dir("parses"))
-        .map_batches(extract_triples, batch_format="pyarrow")
-        .map_batches(link_entities, batch_format="pyarrow"),
-        fp)
+    def _dedup_sort(src):
+        """Co-locate identical sentence texts (sort by text hash) so the
+        parser/extractor per-worker memos hit for every duplicate regardless
+        of pool width — the dedup-before-expensive-op exchange: one cheap
+        int64 sort of the sentence stream buys near-total elimination of
+        repeated parsing/extraction (transcripts repeat heavily)."""
+        import zlib
+
+        import pyarrow as _pa
+
+        def add_hash(batch: "_pa.Table") -> "_pa.Table":
+            hs = [zlib.crc32(t.encode()) for t in
+                  batch.column("text").to_pylist()]
+            return batch.append_column("__th", _pa.array(hs, _pa.int64()))
+
+        def drop_hash(batch: "_pa.Table") -> "_pa.Table":
+            return batch.drop_columns(["__th"])
+
+        return src.map_batches(add_hash, batch_format="pyarrow") \
+                  .sort("__th") \
+                  .map_batches(drop_hash, batch_format="pyarrow")
+
+    def _parses(src):
+        return _dedup_sort(src).map_batches(
+            TemplateParserActor, batch_format="pyarrow",
+            batch_size=PARSE_BATCH_SIZE, concurrency=parse_concurrency)
+
+    def _triples(src):
+        return src.map_batches(extract_triples, batch_format="pyarrow") \
+                  .map_batches(link_entities, batch_format="pyarrow")
+
+    transcripts_cols = ["conv_id", "turn_idx", "text"]
+    if checkpoints == "all":
+        fp = stage("sentences",
+                   lambda: _sentences(_read(transcripts_dir,
+                                            columns=transcripts_cols)),
+                   base_fp)
+        fp = stage("parses",
+                   lambda: _parses(_read(store.stage_dir("sentences"))), fp)
+        fp = stage("triples",
+                   lambda: _triples(_read(store.stage_dir("parses"))), fp)
+    else:
+        # fused: one streaming execution, no intermediate barriers
+        fp = stage(
+            "triples",
+            lambda: _triples(_parses(_sentences(
+                _read(transcripts_dir, columns=transcripts_cols)))),
+            f"{base_fp}:fused")
 
     edges_fp = stage(
         "edges",
@@ -101,15 +146,17 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
         lambda: aggregate_entities(_read(store.stage_dir("edges"))),
         edges_fp)
 
-    return {
-        "sentences": _read(store.stage_dir("sentences")),
-        "parses": _read(store.stage_dir("parses")),
+    out = {
         "triples": _read(store.stage_dir("triples")),
         "edges": _read(store.stage_dir("edges")),
         "entities": _read(store.stage_dir("entities")),
         "_meta": {"ran_stages": ran, "out_dir": out_dir,
                   "input_fingerprint": base_fp, "stage_wall_sec": timings},
     }
+    if checkpoints == "all":
+        out["sentences"] = _read(store.stage_dir("sentences"))
+        out["parses"] = _read(store.stage_dir("parses"))
+    return out
 
 
 def build_kg_for_sf(sf_dir: str, out_base: str = "/tmp/entgraph_kg",

@@ -115,8 +115,8 @@ def turn_spec(seed: int, ci: int, ti: int) -> TurnSpec:
     return spec
 
 
-def iter_turns(seed: int, num_convs: int):
-    for ci in range(num_convs):
+def iter_turns(seed: int, num_convs: int, start: int = 0):
+    for ci in range(start, start + num_convs):
         for ti in range(turn_count(seed, ci)):
             yield turn_spec(seed, ci, ti)
 
@@ -131,9 +131,9 @@ SCHEMA = pa.schema([
 ])
 
 
-def transcripts_table(seed: int, num_convs: int) -> pa.Table:
+def transcripts_table(seed: int, num_convs: int, start: int = 0) -> pa.Table:
     cols = {name: [] for name in SCHEMA.names}
-    for s in iter_turns(seed, num_convs):
+    for s in iter_turns(seed, num_convs, start):
         cols["conv_id"].append(s.conv_id)
         cols["turn_idx"].append(s.turn_idx)
         cols["role"].append(s.role)
@@ -165,15 +165,33 @@ def write_transcripts(out_dir: str, seed: int, num_convs: int,
     marker = os.path.join(out_dir, f"_DONE_{seed}_{num_convs}_{files}")
     if os.path.exists(marker):
         return out_dir
-    table = transcripts_table(seed, num_convs)
-    n = table.num_rows
-    per = max(1, (n + files - 1) // files)
-    for k in range(0, files):
-        lo = k * per
-        if lo >= n:
-            break
-        pq.write_table(table.slice(lo, per),
+
+    # one shard per file, each a contiguous conv range — generation is a pure
+    # function of (seed, conv_idx), so shards are independent and run as Ray
+    # tasks when a Ray session exists (sequential fallback otherwise)
+    per_convs = max(1, (num_convs + files - 1) // files)
+    shards = [(k, k * per_convs, min(per_convs, num_convs - k * per_convs))
+              for k in range(files) if k * per_convs < num_convs]
+
+    def _write_shard(k: int, start: int, count: int) -> None:
+        pq.write_table(transcripts_table(seed, count, start),
                        os.path.join(out_dir, f"transcripts-{k:04d}.parquet"))
+
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized()
+    except ImportError:
+        pass
+    if use_ray and len(shards) > 1:
+        import ray
+
+        shard_task = ray.remote(num_cpus=1)(_write_shard)
+        ray.get([shard_task.remote(k, s, c) for k, s, c in shards])
+    else:
+        for k, s, c in shards:
+            _write_shard(k, s, c)
     with open(marker, "w") as fp:
         fp.write("ok")
     return out_dir
@@ -183,8 +201,8 @@ def write_transcripts(out_dir: str, seed: int, num_convs: int,
 SF_PRESETS = {
     "sf0.001": (42, 200),
     "sf0.01": (42, 2000),
-    "sf0.1": (42, 80000),
-    "sf1": (42, 400000),
+    "sf0.1": (42, 600000),
+    "sf1": (42, 6000000),
 }
 
 

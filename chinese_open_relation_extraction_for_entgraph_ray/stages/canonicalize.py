@@ -30,7 +30,20 @@ NUM_SALTS = 16
 # for one hot key.  Below this, one exchange over combined partials is cheaper
 # (measured 16s vs 26s at sf0.1 / 32 CPUs).
 SALT_BLOCK_THRESHOLD = 512
-COMBINE_BATCH_SIZE = 65536
+
+
+def combine_batch_size() -> int:
+    """Combiner batch size adapted to cluster width: few CPUs -> bigger
+    batches (more in-batch dedup, less exchange volume); many CPUs -> smaller
+    batches so the combiner map has ~2 tasks per core (measured: 65536 best
+    at 32 CPUs, 262144 best at 8 CPUs on the sf0.1 corpus)."""
+    try:
+        import ray
+
+        ncpus = int(ray.cluster_resources().get("CPU", 32))
+    except Exception:
+        ncpus = 32
+    return max(65536, 2_097_152 // max(ncpus, 1))
 
 
 def stable_salt(sample_conv_id: str) -> int:
@@ -50,19 +63,29 @@ _SURFACE_RE = re.compile(
     "|".join(re.escape(w) for w in sorted(_CANONICAL, key=len, reverse=True)))
 
 
+_LINK_MEMO: dict[str, str | None] = {}
+_LINK_MEMO_MAX = 500_000
+
+
 def link_surface(surface) -> str | None:
     """surface -> canonical entity surface, or None if unlinkable.
 
     Exact gazetteer/alias hit first; else the longest-first leftmost gazetteer
     mention contained in the (possibly span-expanded, coarse) argument.
+    Memoized per process (argument surfaces repeat heavily).
     """
     if not surface:
         return None
     hit = _CANONICAL.get(surface)
     if hit is not None:
         return hit
+    if surface in _LINK_MEMO:
+        return _LINK_MEMO[surface]
     m = _SURFACE_RE.search(surface)
-    return _CANONICAL[m.group(0)] if m else None
+    res = _CANONICAL[m.group(0)] if m else None
+    if len(_LINK_MEMO) < _LINK_MEMO_MAX:
+        _LINK_MEMO[surface] = res
+    return res
 
 
 def link_entities(batch: pa.Table) -> pa.Table:
@@ -139,9 +162,15 @@ def aggregate_edges(triples_ds, rel_kinds=("fine", "amend_fine"),
        ≤#blocks (unsalted) partials per key.
 
     Keys are the triple surfaces; entity ids ride along (functions of the
-    key); provenance via ``min``.
+    key); provenance via ``min``.  The exchange itself runs through
+    :func:`..groupagg.sorted_hash_aggregate` — a numeric-key sort plus
+    vectorized pyarrow block aggregation, which is also inherently hot-key
+    safe (each key reduced once per block, then once over its <= #blocks
+    partials).  ``salting=True`` adds the classic salted pre-exchange on top
+    for the extreme-fan-in regime; "auto" engages it above
+    SALT_BLOCK_THRESHOLD input blocks.
     """
-    from ray.data.aggregate import Min, Sum
+    from .groupagg import sorted_hash_aggregate
 
     kinds = sorted(set(rel_kinds))
 
@@ -152,7 +181,9 @@ def aggregate_edges(triples_ds, rel_kinds=("fine", "amend_fine"),
 
     partials = triples_ds.map_batches(filtered_partials,
                                       batch_format="pyarrow",
-                                      batch_size=COMBINE_BATCH_SIZE)
+                                      batch_size=combine_batch_size())
+    agg_spec = [("weight", "sum"), ("sample_conv_id", "min"),
+                ("sample_turn_idx", "min")]
     if salting == "auto":
         try:
             n_blocks = triples_ds.num_blocks()
@@ -160,20 +191,14 @@ def aggregate_edges(triples_ds, rel_kinds=("fine", "amend_fine"),
             n_blocks = 0
         salting = bool(n_blocks and n_blocks > SALT_BLOCK_THRESHOLD)
     if salting:
-        partials = partials.groupby(["salt"] + EDGE_KEYS).aggregate(
-            Sum("weight", alias_name="weight"),
-            Min("sample_conv_id", alias_name="sample_conv_id"),
-            Min("sample_turn_idx", alias_name="sample_turn_idx"))
-    final = partials.groupby(EDGE_KEYS).aggregate(
-        Sum("weight", alias_name="weight"),
-        Min("sample_conv_id", alias_name="sample_conv_id"),
-        Min("sample_turn_idx", alias_name="sample_turn_idx"))
-    return final
+        partials = sorted_hash_aggregate(partials, ["salt"] + EDGE_KEYS,
+                                         agg_spec)
+    return sorted_hash_aggregate(partials, EDGE_KEYS, agg_spec)
 
 
 def aggregate_entities(edges_ds):
     """Edges -> entity table: canonical surface + total mention weight."""
-    from ray.data.aggregate import Sum
+    
 
     def explode_mentions(batch: pa.Table) -> pa.Table:
         ents, weights = [], []
@@ -188,6 +213,13 @@ def aggregate_entities(edges_ds):
             [pa.array(ents, pa.string()), pa.array(weights, pa.int64())],
             names=["entity_id", "mention_count"])
 
+    # entity cardinality is tiny (one row per canonical gazetteer entity), so
+    # the built-in groupby beats the sorted-block operator's fixed op count
+    from ray.data.aggregate import Sum
+
+    # coalesce before the exchange: entity cardinality is tiny, so dozens of
+    # input blocks would otherwise spawn dozens of near-empty reduce partitions
     return edges_ds.map_batches(explode_mentions, batch_format="pyarrow") \
+                   .repartition(4) \
                    .groupby("entity_id") \
                    .aggregate(Sum("mention_count", alias_name="mention_count"))

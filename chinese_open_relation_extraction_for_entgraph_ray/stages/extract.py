@@ -33,6 +33,33 @@ TRIPLES_SCHEMA = pa.schema([
 ])
 
 
+# Per-process memo: full parse key -> flattened triple rows.  Transcript
+# corpora repeat sentences heavily (tool outputs, greetings, boilerplate), and
+# the cascade is a pure function of the parse, so identical sentences are
+# extracted once per worker.  Bounded so the worker heap stays flat at 100 TB.
+_EXTRACT_MEMO: dict[str, list] = {}
+_EXTRACT_MEMO_MAX = 0 if __import__('os').environ.get('GRAFT_NO_MEMO') else 200_000
+
+
+def _cascade_rows(words, heads, deprels) -> list:
+    """Cached pure-cascade result: list of per-triple row tuples."""
+    key = "\x00".join(words) + "|" + ",".join(map(str, heads)) \
+        + "|" + ",".join(deprels)
+    rows = _EXTRACT_MEMO.get(key)
+    if rows is None:
+        ddp = {"word": words, "head": heads, "deprel": deprels}
+        streams = process_sentence(ddp, pos_map_for_words(words))
+        rows = [
+            (kind, names[0], names[1], names[2], idxs[0], idxs[1], idxs[2],
+             bool(names[1] and names[1].startswith("否·")))
+            for kind, rels in streams.items()
+            for (names, _, idxs) in rels
+        ]
+        if len(_EXTRACT_MEMO) < _EXTRACT_MEMO_MAX:
+            _EXTRACT_MEMO[key] = rows
+    return rows
+
+
 def extract_triples(batch: pa.Table) -> pa.Table:
     conv_ids = batch.column("conv_id").to_pylist()
     turn_idxs = batch.column("turn_idx").to_pylist()
@@ -44,22 +71,18 @@ def extract_triples(batch: pa.Table) -> pa.Table:
     cols: dict[str, list] = {name: [] for name in TRIPLES_SCHEMA.names}
     for cid, tid, sid, words, heads, deprels in zip(
             conv_ids, turn_idxs, sent_idxs, words_col, heads_col, deprels_col):
-        ddp = {"word": words, "head": heads, "deprel": deprels}
-        streams = process_sentence(ddp, pos_map_for_words(words))
-        for kind, rels in streams.items():
-            for rel in rels:
-                names, _, idxs = rel
-                cols["conv_id"].append(cid)
-                cols["turn_idx"].append(tid)
-                cols["sent_idx"].append(sid)
-                cols["rel_kind"].append(kind)
-                cols["subj"].append(names[0])
-                cols["pred"].append(names[1])
-                cols["obj"].append(names[2])
-                cols["subj_idx"].append(idxs[0])
-                cols["pred_idx"].append(idxs[1])
-                cols["obj_idx"].append(idxs[2])
-                cols["negated"].append(bool(names[1] and names[1].startswith("否·")))
+        for kind, s, p, o, si, vi, oi, neg in _cascade_rows(words, heads, deprels):
+            cols["conv_id"].append(cid)
+            cols["turn_idx"].append(tid)
+            cols["sent_idx"].append(sid)
+            cols["rel_kind"].append(kind)
+            cols["subj"].append(s)
+            cols["pred"].append(p)
+            cols["obj"].append(o)
+            cols["subj_idx"].append(si)
+            cols["pred_idx"].append(vi)
+            cols["obj_idx"].append(oi)
+            cols["negated"].append(neg)
     return pa.Table.from_arrays(
         [pa.array(cols[f.name], f.type) for f in TRIPLES_SCHEMA],
         schema=TRIPLES_SCHEMA)

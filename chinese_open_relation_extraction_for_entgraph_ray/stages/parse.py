@@ -36,10 +36,25 @@ class TemplateParserActor:
     ``num_gpus`` would be set (SURVEY.md §2.4 ST3).
     """
 
+    MEMO_MAX = 0 if __import__('os').environ.get('GRAFT_NO_MEMO') else 200_000
+
     def __init__(self):
         self._templates = compiled_templates()   # compile once per actor
+        # text -> parse memo (transcripts repeat sentences heavily; the
+        # parser is deterministic, so each distinct text is parsed once
+        # per actor); bounded for flat heap at scale
+        self._memo: dict[str, tuple] = {}
 
     def _parse(self, text: str) -> tuple[list[str], list[int], list[str]]:
+        hit = self._memo.get(text)
+        if hit is not None:
+            return hit
+        res = self._parse_uncached(text)
+        if len(self._memo) < self.MEMO_MAX:
+            self._memo[text] = res
+        return res
+
+    def _parse_uncached(self, text: str) -> tuple[list[str], list[int], list[str]]:
         for t, pat in self._templates:
             m = pat.match(text)
             if m is None:

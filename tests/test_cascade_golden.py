@@ -273,3 +273,50 @@ def test_filter_idempotent():
     once = filter_stopword_triples(rels)
     twice = filter_stopword_triples(once)
     assert [tuple(r[0]) for r in once] == [tuple(r[0]) for r in twice]
+
+
+# --- tense / modal / copular conversions (reference check_nct branches,
+#     dudepparse.py:1598-1655; disabled consts :1551-1553 — off by default,
+#     exposed as process_sentence flags) --------------------------------------
+
+# 张三 将 访问 法国 — future ADV on the predicate head
+T01 = {"word": ["张三", "将", "访问", "法国"], "head": [3, 3, 0, 3],
+       "deprel": ["SBV", "ADV", "HED", "VOB"]}
+# 张三 曾经 访问 法国 — past ADV
+T02 = {"word": ["张三", "曾经", "访问", "法国"], "head": [3, 3, 0, 3],
+       "deprel": ["SBV", "ADV", "HED", "VOB"]}
+# 张三 应该 访问 法国 — modal ADV (应该 -> 该)
+T03 = {"word": ["张三", "应该", "访问", "法国"], "head": [3, 3, 0, 3],
+       "deprel": ["SBV", "ADV", "HED", "VOB"]}
+
+
+def _pos(ddp):
+    return pos_map_for_words(ddp["word"])
+
+
+def test_tense_flag_off_by_default():
+    res = process_sentence(T01, _pos(T01))
+    assert ("张三", "访问", "法国") in svos(res, "fine")
+
+
+def test_tense_future_marker():
+    res = process_sentence(T01, _pos(T01), convert_tense=True)
+    assert ("张三", "【将来式】·访问", "法国") in svos(res, "fine")
+
+
+def test_tense_past_marker():
+    res = process_sentence(T02, _pos(T02), convert_tense=True)
+    assert ("张三", "【过去式】·访问", "法国") in svos(res, "fine")
+
+
+def test_modal_marker():
+    res = process_sentence(T03, _pos(T03), convert_modal=True)
+    assert ("张三", "【该】·访问", "法国") in svos(res, "fine")
+
+
+def test_copular_conversion():
+    # 郝平 是 校长 -> (郝平, 是·校长, None) under convert_copular
+    ddp = {"word": ["郝平", "是", "校长"], "head": [2, 0, 2],
+           "deprel": ["SBV", "HED", "VOB"]}
+    res = process_sentence(ddp, _pos(ddp), convert_copular=True)
+    assert ("郝平", "是·校长", None) in svos(res, "fine")
