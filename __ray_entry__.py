@@ -436,6 +436,28 @@ def _q_kg_coref_delta(sf_dir: str):
     return coref_delta_triples(_kg(sf_dir)["parses"])
 
 
+def _q_kg_mentions(sf_dir: str):
+    """Batched mention detection + entity-link scoring over sentences (the
+    reference's CoreNLP NER stage, main_ner.py:9-41, as a gazetteer actor
+    pool; see stages/mentions.py)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.mentions import (
+        detect_mentions,
+    )
+
+    return detect_mentions(_kg(sf_dir)["sentences"], concurrency=2)
+
+
+def _q_kg_mention_labels(sf_dir: str):
+    """NER label histogram (reference main_ner.py:20-23,126-127)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.mentions import (
+        detect_mentions,
+        mention_label_histogram,
+    )
+
+    return mention_label_histogram(
+        detect_mentions(_kg(sf_dir)["sentences"], concurrency=2))
+
+
 def _q_multimodal_features(sf_dir: str):
     """Binary-payload plumbing: synth payloads -> actor-pool decode/feature
     stage (decode stubbed deterministically; see stages/multimodal.py)."""
@@ -464,42 +486,50 @@ def _q_multimodal_frame_plan(sf_dir: str):
             .map_batches(frame_sample_plan, batch_format="pyarrow"))
 
 
+def _q_multimodal_audio_features(sf_dir: str):
+    """Audio-payload plumbing: synth PCM payloads -> actor-pool frame-energy
+    features (decode stubbed deterministically; stages/multimodal.py)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.multimodal import (
+        MM_BATCH_SIZE,
+        AudioFeatureExtractor,
+        synthesize_audio_payloads,
+    )
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(synthesize_audio_payloads, batch_format="pyarrow")
+            .map_batches(AudioFeatureExtractor, batch_format="pyarrow",
+                         batch_size=MM_BATCH_SIZE, concurrency=2,
+                         fn_constructor_kwargs={"mode": "fake"}))
+
+
+def _q_docs_jaccard_near_dups(sf_dir: str):
+    """n-gram-Jaccard-verified near-dup pairs over MinHash-LSH candidates."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        jaccard_near_dups,
+    )
+
+    return jaccard_near_dups(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.5)
+
+
 def _q_embedding_near_dups(sf_dir: str):
-    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets + exact
-    within-bucket verification."""
-    import numpy as np
-    import pandas as pd
-
-    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
-        np_round_away,
-    )
+    """Embedding-cosine near-dup pairs via multi-band hyperplane LSH + exact
+    within-bucket verification (stages/similarity.py)."""
     from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
-        add_lsh_bucket,
-        normalize,
+        embedding_near_dups,
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["vec_id"].to_numpy()
-        emb = normalize(np.asarray(list(group["embedding"]), dtype=np.float64))
-        sims = emb @ emb.T
-        out_a, out_b, out_s = [], [], []
-        order = np.argsort(ids)
-        for ii in range(len(ids)):
-            for jj in range(ii + 1, len(ids)):
-                a, b = order[ii], order[jj]
-                s = sims[a, b]
-                if s >= 0.8:
-                    out_a.append(int(ids[a]))
-                    out_b.append(int(ids[b]))
-                    out_s.append(float(np_round_away(np.array([s]), 4)[0]))
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64"),
-                             "cosine_sim": pd.Series(out_s, dtype="float64")})
+    return embedding_near_dups(_read(sf_dir, "embeddings"), threshold=0.8)
 
-    return (_read(sf_dir, "embeddings")
-            .map_batches(add_lsh_bucket, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(bucket_pairs, batch_format="pandas"))
+
+def _q_similarity_topk_ivf(sf_dir: str):
+    """IVF (spherical-kmeans cells, nprobe probing) approximate top-k — the
+    scale path beside the brute-force baseline."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
+        ivf_top_k,
+    )
+
+    return ivf_top_k(_read(sf_dir, "embeddings"), _query_vec(sf_dir), k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -534,15 +564,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # list_cosine_similarity)
         "embeddings_norms": _q_embeddings_norms,
         "similarity_topk": _q_similarity_topk,
+        "similarity_topk_ivf": _q_similarity_topk_ivf,
         # near-dup sketches (rows-only)
         "minhash_candidate_pairs": _q_minhash_pairs,
         "simhash_signatures": _q_simhash_signatures,
         "embedding_near_dups": _q_embedding_near_dups,
+        "docs_jaccard_near_dups": _q_docs_jaccard_near_dups,
         # conversation-level coref delta (rows-only)
         "kg_coref_delta": _q_kg_coref_delta,
+        # mention detection + link scoring (rows-only; gazetteer NER)
+        "kg_mentions": _q_kg_mentions,
+        "kg_mention_labels": _q_kg_mention_labels,
         # multimodal payload plumbing (rows-only, deterministic fake decode)
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
+        "multimodal_audio_features": _q_multimodal_audio_features,
     }
 
 
@@ -624,7 +660,9 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\S+')) AS n_tokens,
                    length(text) AS n_chars_text,
                    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
-                   len(regexp_extract_all(text, '[0-9]')) AS n_digit
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))
+                       AS n_bpeish_tokens
             FROM documents""",
         "docs_quality": rf"""
             SELECT doc_id,

@@ -264,3 +264,53 @@ def minhash_candidate_pairs(docs_ds):
     all_pairs = inner.map_batches(_sel_pairs, batch_format="pyarrow") \
                      .union(edge_pairs)
     return all_pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def jaccard_near_dups(docs_ds, threshold: float = 0.5, k: int = 3):
+    """MinHash-LSH candidates verified by exact word-k-shingle Jaccard.
+
+    The candidate set is small by construction (LSH prunes the n^2 space),
+    so verification broadcasts only the candidate documents' texts: the
+    distributed side filters docs to candidate ids (predicate pushed into
+    map_batches), the collected slice is put in the object store once, and
+    each pair batch computes exact Jaccard against it."""
+    import ray
+
+    pairs = minhash_candidate_pairs(docs_ds).materialize()
+    cand_rows = pairs.take_all()
+    cand_ids = {r["a"] for r in cand_rows} | {r["b"] for r in cand_rows}
+    if not cand_ids:
+        return pairs.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=["a", "b", "jaccard"]),
+            batch_format="pyarrow")
+
+    id_arr = pa.array(sorted(cand_ids), pa.int64())
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("doc_id"), value_set=id_arr))
+
+    cand_docs = docs_ds.map_batches(keep_candidates,
+                                    batch_format="pyarrow").take_all()
+    text_ref = ray.put({r["doc_id"]: r["text"] for r in cand_docs})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(text_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch.column("a").to_pylist(),
+                        batch.column("b").to_pylist()):
+            j = jaccard(texts.get(a, ""), texts.get(b, ""), k)
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(j, 4))
+        return pa.Table.from_arrays(
+            [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64()),
+             pa.array(out_j, pa.float64())],
+            names=["a", "b", "jaccard"])
+
+    return pairs.map_batches(verify, batch_format="pyarrow")

@@ -121,3 +121,67 @@ def frame_sample_plan(batch: pa.Table, every_n: int = 8) -> pa.Table:
     return pa.Table.from_arrays(
         [pa.array(out_id, pa.int64()), pa.array(out_frame, pa.int32())],
         names=["doc_id", "frame_idx"])
+
+
+def synthesize_audio_payloads(batch: pa.Table) -> pa.Table:
+    """docs -> fake audio table: (doc_id, payload binary, sample_rate,
+    n_samples, codec).  Same opaque-binary contract as images."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    payloads, rates, counts, codecs = [], [], [], []
+    for did, text in zip(ids, texts):
+        seed = hashlib.md5(f"aud:{did}:{text[:32]}".encode()).digest()
+        n = 1024 + seed[0] * 16               # fake sample count
+        stream = b"".join(
+            hashlib.md5(seed + i.to_bytes(4, "big")).digest()
+            for i in range((n + 15) // 16))
+        payloads.append(stream[:n])
+        rates.append(16000)
+        counts.append(n)
+        codecs.append("fake-pcm8")
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary()),
+         pa.array(rates, pa.int32()), pa.array(counts, pa.int32()),
+         pa.array(codecs, pa.string())],
+        names=["doc_id", "payload", "sample_rate", "n_samples", "codec"])
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: decode + frame-energy features for audio payloads.
+
+    ``mode="real"`` raises NotImplementedError where ffmpeg/soundfile would
+    decode; ``mode="fake"`` interprets the payload as 8-bit PCM so the
+    framing/feature plumbing is real and deterministic."""
+
+    FRAME = 256
+
+    def __init__(self, mode: str = "fake"):
+        self.mode = mode
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self.mode == "real":
+            raise NotImplementedError(
+                "audio decode requires ffmpeg/soundfile, not present in this "
+                "container; run with mode='fake' for the deterministic stub")
+        return (np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                - 128.0) / 128.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        rates = batch.column("sample_rate").to_pylist()
+        out_n_frames, out_rms, out_peak, out_dur = [], [], [], []
+        for p, rate in zip(payloads, rates):
+            pcm = self._decode(p)
+            n_frames = max(1, len(pcm) // self.FRAME)
+            frames = pcm[:n_frames * self.FRAME].reshape(n_frames, self.FRAME)
+            rms = np.sqrt((frames ** 2).mean(axis=1))
+            out_n_frames.append(n_frames)
+            out_rms.append(round(float(rms.mean()), 6))
+            out_peak.append(round(float(np.abs(pcm).max() if len(pcm) else 0.0), 6))
+            out_dur.append(round(len(pcm) / rate, 6))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(out_n_frames, pa.int32()),
+             pa.array(out_rms, pa.float64()), pa.array(out_peak, pa.float64()),
+             pa.array(out_dur, pa.float64())],
+            names=["doc_id", "n_frames", "rms_energy", "peak", "duration_sec"])

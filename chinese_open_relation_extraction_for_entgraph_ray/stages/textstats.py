@@ -19,6 +19,10 @@ TOKEN_RE = r"\S+"
 ALPHA_RE = r"[A-Za-z]"
 DIGIT_RE = r"[0-9]"
 STOPWORD_RE = r"\b(the|a|an|and|of|to|in|is)\b"
+# BPE-ish pre-tokenizer (GPT-2-style classes, RE2-safe — no lookarounds):
+# letter runs, single digits, non-space-non-alnum runs.  Counts approximate
+# BPE token usage far better than whitespace splitting on code/CJK text.
+BPEISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
 
 # language-ID n-gram/function-word cue patterns (shared with the SQL oracle)
 LANG_PATTERNS = {
@@ -38,8 +42,10 @@ def token_stats(batch: pa.Table) -> pa.Table:
          pc.count_substring_regex(text, TOKEN_RE).cast(pa.int64()),
          pc.utf8_length(text).cast(pa.int64()),
          pc.count_substring_regex(text, ALPHA_RE).cast(pa.int64()),
-         pc.count_substring_regex(text, DIGIT_RE).cast(pa.int64())],
-        names=["doc_id", "n_tokens", "n_chars_text", "n_alpha", "n_digit"])
+         pc.count_substring_regex(text, DIGIT_RE).cast(pa.int64()),
+         pc.count_substring_regex(text, BPEISH_RE).cast(pa.int64())],
+        names=["doc_id", "n_tokens", "n_chars_text", "n_alpha", "n_digit",
+               "n_bpeish_tokens"])
 
 
 def quality_scores(batch: pa.Table) -> pa.Table:

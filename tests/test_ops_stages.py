@@ -139,3 +139,87 @@ def test_coref_conversation_delta():
     keys = set(zip(out["subj"], out["pred"], out["obj"]))
     assert ("张伟", "发布", "论文") in keys
     assert (out["antecedent"] == "张伟").all()
+
+
+def test_bpeish_token_count():
+    batch = pa.Table.from_arrays(
+        [pa.array([1], pa.int64()),
+         pa.array(["hello world 42 你好!!"], pa.string())],
+        names=["doc_id", "text"])
+    out = textstats.token_stats(batch)
+    # hello, world, 4, 2, 你好!! -> [A-Za-z]+ x2, [0-9] x2, non-alnum run x1
+    assert out.column("n_bpeish_tokens").to_pylist() == [5]
+
+
+def test_mention_detector_spans_and_links():
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.mentions import (
+        MentionDetector,
+    )
+
+    batch = pa.Table.from_arrays(
+        [pa.array(["c1"], pa.string()), pa.array([0], pa.int32()),
+         pa.array([0], pa.int32()),
+         pa.array(["张三在北大访问清华大学"], pa.string())],
+        names=["conv_id", "turn_idx", "sent_idx", "text"])
+    out = MentionDetector()(batch)
+    rows = {r["surface"]: r for r in out.to_pylist()}
+    assert rows["张三"]["label"] == "PERSON"
+    assert rows["张三"]["link_score"] == 1.0
+    # alias resolves to canonical with lower score
+    assert rows["北大"]["entity_id"] == "北京大学"
+    assert rows["北大"]["link_score"] == 0.9
+    # longest-first: 清华大学 matched whole, not the 清华 alias
+    assert "清华大学" in rows and "清华" not in rows
+    text = "张三在北大访问清华大学"
+    for r in rows.values():
+        assert text[r["span_start"]:r["span_end"]] == r["surface"]
+
+
+def test_multiband_lsh_recall_on_near_dups():
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(16)
+    near = base + 0.05 * rng.standard_normal(16)      # cosine ~0.999
+    far = rng.standard_normal(16)
+    batch = pa.Table.from_arrays(
+        [pa.array([10, 11, 12], pa.int64()),
+         pa.array([base.tolist(), near.tolist(), far.tolist()],
+                  pa.list_(pa.float64()))],
+        names=["vec_id", "embedding"])
+    bands = similarity.add_lsh_bands(batch)
+    assert bands.num_rows == 3 * similarity.N_TABLES
+    by_bucket = {}
+    for r in bands.to_pylist():
+        by_bucket.setdefault((r["table"], r["bucket"]), []).append(r["vec_id"])
+    shared = any(10 in v and 11 in v for v in by_bucket.values())
+    assert shared, "near-identical vectors must share >=1 band bucket"
+
+
+def test_ivf_centroids_deterministic_and_normalized():
+    rng = np.random.RandomState(3)
+    sample = rng.standard_normal((256, 8))
+    c1 = similarity.train_centroids(sample, nlist=8)
+    c2 = similarity.train_centroids(sample, nlist=8)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_audio_fake_decode_and_features():
+    batch = multimodal.synthesize_audio_payloads(docs_batch())
+    feats = multimodal.AudioFeatureExtractor(mode="fake")(batch)
+    assert feats.num_rows == 4
+    for r in feats.to_pylist():
+        assert r["n_frames"] >= 1
+        assert 0.0 <= r["rms_energy"] <= 1.0
+        assert r["duration_sec"] > 0
+    # deterministic
+    feats2 = multimodal.AudioFeatureExtractor(mode="fake")(
+        multimodal.synthesize_audio_payloads(docs_batch()))
+    assert feats.equals(feats2)
+
+
+def test_audio_real_decode_raises():
+    import pytest
+
+    batch = multimodal.synthesize_audio_payloads(docs_batch())
+    with pytest.raises(NotImplementedError):
+        multimodal.AudioFeatureExtractor(mode="real")(batch)
