@@ -86,6 +86,37 @@ def _q_kg_sentences(sf_dir: str):
     return _kg(sf_dir)["sentences"]
 
 
+def _q_kg_rel_kind_counts(sf_dir: str):
+    """Per-stream triple counts — the reference's per-slice stats totals
+    (merge_parsed_results.py:60-74) as a grouped count."""
+    from ray.data.aggregate import Count
+
+    return _kg(sf_dir)["triples"].groupby("rel_kind").aggregate(
+        Count(alias_name="n_triples"))
+
+
+def _q_kg_rejected_turns(sf_dir: str):
+    """Turns excluded by preprocessing (the reference's excluded-docs sink,
+    preprocess_corpus.py:217-224) as the complementary filter."""
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.preprocess import (
+        rejected_turns,
+    )
+
+    tdir = _transcripts_dir(sf_dir)
+    return (rd.read_parquet(tdir, columns=["conv_id", "turn_idx", "text"])
+            .map_batches(rejected_turns, batch_format="pyarrow")
+            .select_columns(["conv_id", "turn_idx"]))
+
+
+def _q_kg_sample(sf_dir: str):
+    """Deterministic toy sample of the edges table (the reference's Bernoulli
+    toy corpus, merge_parsed_results.py:52,76-78, seeded instead of
+    wall-clock)."""
+    return _kg(sf_dir)["edges"].random_sample(0.01, seed=42)
+
+
 def _q_transcripts_turn_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Min
@@ -539,6 +570,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_edges": _q_kg_edges,
         "kg_entities": _q_kg_entities,
+        "kg_rel_kind_counts": _q_kg_rel_kind_counts,
+        "kg_rejected_turns": _q_kg_rejected_turns,
+        "kg_sample": _q_kg_sample,
         # transcript-table relational queries (SQL-oracled on the synthesized
         # deterministic transcripts parquet)
         "transcripts_turn_stats": _q_transcripts_turn_stats,
