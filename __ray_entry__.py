@@ -117,6 +117,49 @@ def _q_kg_sample(sf_dir: str):
     return _kg(sf_dir)["edges"].random_sample(0.01, seed=42)
 
 
+def _mention_surface_label() -> dict[str, str]:
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.lexicon import (
+        ENTITY_ALIASES,
+        NER_GAZETTEER,
+    )
+
+    out = dict(NER_GAZETTEER)
+    for alias, canon in ENTITY_ALIASES.items():
+        out[alias] = NER_GAZETTEER.get(canon, "MISC")
+    return out
+
+
+def _q_transcripts_mention_labels(sf_dir: str):
+    """NER label histogram over RAW turn text (SQL-oracled: both sides scan
+    with the identical longest-first alternation regex)."""
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    label_of = _mention_surface_label()
+    pat = re.compile("|".join(
+        re.escape(s) for s in sorted(label_of, key=len, reverse=True)))
+
+    def label_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for m in pat.finditer(text or ""):
+                lbl = label_of[m.group(0)]
+                counts[lbl] = counts.get(lbl, 0) + 1
+        return pa.Table.from_arrays(
+            [pa.array(list(counts), pa.string()),
+             pa.array(list(counts.values()), pa.int64())],
+            names=["label", "n_mentions"])
+
+    tdir = _transcripts_dir(sf_dir)
+    return (rd.read_parquet(tdir, columns=["text"])
+            .map_batches(label_counts, batch_format="pyarrow")
+            .groupby("label")
+            .aggregate(Sum("n_mentions", alias_name="n_mentions")))
+
+
 def _q_transcripts_turn_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Min
@@ -577,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic transcripts parquet)
         "transcripts_turn_stats": _q_transcripts_turn_stats,
         "transcripts_role_counts": _q_transcripts_role_counts,
+        "transcripts_mention_labels": _q_transcripts_mention_labels,
         # relational operator parity on the driver's tables (SQL-oracled)
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_status": _q_orders_by_status,
@@ -620,6 +664,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # DuckDB oracles
 # =============================================================================
 
+def _mention_labels_sql(tglob: str) -> str:
+    """Label histogram with the SAME longest-first alternation regex as the
+    Ray side (both RE2-compatible, non-overlapping leftmost scan)."""
+    label_of = _mention_surface_label()
+    import re as _re
+
+    alt = "|".join(_re.escape(s)
+                   for s in sorted(label_of, key=len, reverse=True))
+    cases = " ".join(f"WHEN '{s}' THEN '{l}'" for s, l in label_of.items())
+    return f"""
+        SELECT CASE surface {cases} END AS label,
+               count(*) AS n_mentions
+        FROM (SELECT unnest(regexp_extract_all(text, '{alt}')) AS surface
+              FROM read_parquet('{tglob}'))
+        GROUP BY 1"""
+
+
 def oracle_sql() -> dict[str, str]:
     tdir = _ensure_sql_transcripts()
     tglob = os.path.join(tdir, "transcripts-*.parquet")
@@ -640,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_role_counts": f"""
             SELECT role, count(*) AS n_turns
             FROM read_parquet('{tglob}') GROUP BY role""",
+        "transcripts_mention_labels": _mention_labels_sql(tglob),
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

@@ -69,6 +69,7 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
     def stage(name: str, make, upstream_fp: str) -> str:
         fp = f"{upstream_fp}:{name}"
         if not (resume and store.is_complete(name, fp)):
+            store.reset_metrics(name)
             t0 = _time.perf_counter()
             ds = make()
             ds.write_parquet(store.stage_dir(name), mode="overwrite")
@@ -115,8 +116,32 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
             batch_size=PARSE_BATCH_SIZE, concurrency=parse_concurrency)
 
     def _triples(src):
+        # per-partition extraction-count metrics to the checkpoint store
+        # (north-rule lineage contract; merged key-additively at commit like
+        # the reference's merge_dict, merge_parsed_results.py:8-14)
+        metrics_dir = store.metrics_dir("triples")
+
+        def link_and_meter(batch):
+            import pyarrow.compute as _pc
+
+            from ..state.lineage import emit_partition_metrics
+
+            out = link_entities(batch)
+            rec = {"n_triples": out.num_rows,
+                   "n_linked_subj": int(_pc.sum(
+                       _pc.is_valid(out.column("subj_ent"))).as_py() or 0),
+                   "n_linked_obj": int(_pc.sum(
+                       _pc.is_valid(out.column("obj_ent"))).as_py() or 0),
+                   "n_negated": int(_pc.sum(
+                       out.column("negated").cast("int64")).as_py() or 0)}
+            kinds = _pc.value_counts(out.column("rel_kind"))
+            for item in kinds.to_pylist():
+                rec[f"n_{item['values']}"] = item["counts"]
+            emit_partition_metrics(metrics_dir, rec)
+            return out
+
         return src.map_batches(extract_triples, batch_format="pyarrow") \
-                  .map_batches(link_entities, batch_format="pyarrow")
+                  .map_batches(link_and_meter, batch_format="pyarrow")
 
     transcripts_cols = ["conv_id", "turn_idx", "text"]
     if checkpoints == "all":

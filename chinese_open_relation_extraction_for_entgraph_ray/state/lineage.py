@@ -34,6 +34,44 @@ def parquet_files(directory: str) -> list[str]:
                             recursive=True))
 
 
+def emit_partition_metrics(metrics_dir: str, record: dict) -> None:
+    """Append one partition's metrics record to the checkpoint store — called
+    from INSIDE map tasks (each task writes its own file; on a cluster this
+    directory lives on shared storage).  The north-rule per-partition
+    'extraction-count metrics' emission."""
+    import uuid
+
+    os.makedirs(metrics_dir, exist_ok=True)
+    path = os.path.join(metrics_dir, f"part-{uuid.uuid4().hex}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fp:
+        json.dump(record, fp, ensure_ascii=False)
+    os.replace(tmp, path)
+
+
+def merge_metric_records(metrics_dir: str) -> dict:
+    """Key-wise additive merge of all partition records — the reference's
+    stats merge (merge_dict, /root/reference/merge_parsed_results.py:8-14,
+    dudepparse.py:204-211)."""
+    merged: dict = {}
+    if not os.path.isdir(metrics_dir):
+        return merged
+    for f in sorted(os.listdir(metrics_dir)):
+        if not f.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(metrics_dir, f)) as fp:
+                rec = json.load(fp)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for k, v in rec.items():
+            if isinstance(v, (int, float)):
+                merged[k] = merged.get(k, 0) + v
+    merged["n_partitions"] = sum(
+        1 for f in os.listdir(metrics_dir) if f.endswith(".json"))
+    return merged
+
+
 class CheckpointStore:
     def __init__(self, root: str):
         self.root = root
@@ -41,6 +79,14 @@ class CheckpointStore:
 
     def stage_dir(self, stage: str) -> str:
         return os.path.join(self.root, stage)
+
+    def metrics_dir(self, stage: str) -> str:
+        return os.path.join(self.root, f"{stage}_metrics")
+
+    def reset_metrics(self, stage: str) -> None:
+        import shutil
+
+        shutil.rmtree(self.metrics_dir(stage), ignore_errors=True)
 
     def _manifest_path(self, stage: str) -> str:
         return os.path.join(self.stage_dir(stage), "_lineage.json")
@@ -70,6 +116,10 @@ class CheckpointStore:
         import pyarrow.parquet as pq
 
         sdir = self.stage_dir(stage)
+        # metrics live OUTSIDE the stage dir: write_parquet(mode="overwrite")
+        # clears the stage dir at write start, which would race with metric
+        # files emitted by map tasks during the same execution
+        extraction = merge_metric_records(self.metrics_dir(stage))
         partitions = []
         total_rows = 0
         for f in parquet_files(sdir):
@@ -88,6 +138,8 @@ class CheckpointStore:
             "partitions": partitions,
             "metrics": metrics or {},
         }
+        if extraction:
+            manifest["metrics"]["extraction"] = extraction
         tmp = self._manifest_path(stage) + ".tmp"
         with open(tmp, "w") as fp:
             json.dump(manifest, fp, indent=1, ensure_ascii=False)
