@@ -54,6 +54,42 @@ AMEND_KEYS = ("pob", "mt", "vv", "vcmp", "headneg", "attobj", "attsub",
               "attatt", "vobvob", "copsbj", "attpob", "copadj")
 
 
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ExtractionConfig:
+    """Typed equivalent of the reference's module-level feature flags
+    (SURVEY.md §2.8): amendment-rule switches mirror the consts at
+    /root/reference/dudepparse.py:410-423 (same defaults), the NCT
+    conversions mirror the disabled consts at :1551-1553, caps mirror
+    :16,:215.  Consumed by :func:`process_sentence` and by the pipeline
+    builder (``pipelines.kg.build_kg(config=...)``)."""
+
+    # amendment rules (reference defaults: all these enabled)
+    amend_pob: bool = True
+    amend_mt: bool = True
+    amend_vv: bool = True
+    amend_vcmp: bool = True
+    amend_att_obj: bool = True
+    amend_att_pob: bool = True
+    amend_cop_sbj: bool = True
+    amend_cop_adj: bool = True
+    amend_att_sub: bool = True
+    amend_att_att: bool = True
+    amend_vob_vob: bool = True
+    # predicate conversions (reference defaults: all disabled, :1551-1553)
+    convert_copular: bool = False
+    convert_tense: bool = False
+    convert_modal: bool = False
+    # POS gate + caps
+    ignore_postag: bool = False
+    svo_cap: int = SVO_CAP
+
+
+DEFAULT_CONFIG = ExtractionConfig()
+
+
 def no_chinese(s) -> bool:
     """True iff s is non-empty and contains no CJK char (reference :252-260)."""
     return bool(s) and _CHINESE_RE.search(s) is None
@@ -579,16 +615,19 @@ class _Amender:
                 self.counts["vobvob"] += 1
 
 
-def amend_sentence(ddp: dict, fine: list, coarse: list, pos, ignore_postag=False):
+def amend_sentence(ddp: dict, fine: list, coarse: list, pos,
+                   ignore_postag=False, config: ExtractionConfig | None = None):
     """Run the 11 progressive amendment rules over one sentence
     (reference build_amendment_relations :404-1486, progressive_flag=True,
     discard_residue=True as called from post_processing :1737-1739).
+    Per-rule switches come from ``config`` (reference flags :410-423).
 
     Returns (amend_fine, amend_coarse, pruned_fine, pruned_coarse, possible,
     vcmp_counts, amendment_counts).
     """
+    cfg = config or DEFAULT_CONFIG
     counts = {k: 0 for k in AMEND_KEYS}
-    am = _Amender(ddp, pos, ignore_postag, counts)
+    am = _Amender(ddp, pos, ignore_postag or cfg.ignore_postag, counts)
     a_f: list = []
     a_c: list = []
     possible: list = []
@@ -599,29 +638,40 @@ def amend_sentence(ddp: dict, fine: list, coarse: list, pos, ignore_postag=False
         return fine + a_f, coarse + a_c
 
     j_f, j_c = fine, coarse
-    am.pob(j_f, j_c, a_f, a_c, f_res, c_res)
-    j_f, j_c = j()
-    am.mt(j_f, j_c, a_f, a_c)
-    j_f, j_c = j()
-    am.vv(j_f, a_f, f_res)
-    am.vv(j_c, a_c, c_res)
-    j_f, j_c = j()
-    am.vcmp_rule(j_f, a_f, f_res, surface_match=True)
-    am.vcmp_rule(j_c, a_c, c_res, surface_match=False)
-    j_f, j_c = j()
-    if pos is not None or ignore_postag:
-        am.att_obj(j_f, j_c, a_f, a_c)
+    if cfg.amend_pob:
+        am.pob(j_f, j_c, a_f, a_c, f_res, c_res)
         j_f, j_c = j()
-        am.att_pob(j_f, j_c, a_f, a_c)
+    if cfg.amend_mt:
+        am.mt(j_f, j_c, a_f, a_c)
         j_f, j_c = j()
-        am.cop_sbj(j_f, j_c, a_f, a_c)
+    if cfg.amend_vv:
+        am.vv(j_f, a_f, f_res)
+        am.vv(j_c, a_c, c_res)
         j_f, j_c = j()
-    am.cop_adj(j_f, a_f, f_res)
-    j_f, j_c = j()
-    am.att_sub(j_f, a_f)
-    j_f, j_c = j()
-    am.att_att(possible)
-    am.vob_vob(j_f, a_f)
+    if cfg.amend_vcmp:
+        am.vcmp_rule(j_f, a_f, f_res, surface_match=True)
+        am.vcmp_rule(j_c, a_c, c_res, surface_match=False)
+        j_f, j_c = j()
+    if pos is not None or am.ignore:
+        if cfg.amend_att_obj:
+            am.att_obj(j_f, j_c, a_f, a_c)
+            j_f, j_c = j()
+        if cfg.amend_att_pob:
+            am.att_pob(j_f, j_c, a_f, a_c)
+            j_f, j_c = j()
+        if cfg.amend_cop_sbj:
+            am.cop_sbj(j_f, j_c, a_f, a_c)
+            j_f, j_c = j()
+    if cfg.amend_cop_adj:
+        am.cop_adj(j_f, a_f, f_res)
+        j_f, j_c = j()
+    if cfg.amend_att_sub:
+        am.att_sub(j_f, a_f)
+        j_f, j_c = j()
+    if cfg.amend_att_att:
+        am.att_att(possible)
+    if cfg.amend_vob_vob:
+        am.vob_vob(j_f, a_f)
 
     pruned_f = [r for i, r in enumerate(fine) if i not in f_res]
     pruned_c = [r for i, r in enumerate(coarse) if i not in c_res]
@@ -862,7 +912,8 @@ STREAMS = ("fine", "coarse", "amend_fine", "amend_coarse", "possible")
 
 def process_sentence(ddp: dict, pos_map=None, counters=None,
                      ignore_postag=False, convert_copular=False,
-                     convert_tense=False, convert_modal=False) -> dict[str, list]:
+                     convert_tense=False, convert_modal=False,
+                     config: ExtractionConfig | None = None) -> dict[str, list]:
     """One sentence parse -> the five filtered triple streams.
 
     Pipeline: extract fine+coarse tuples -> reformat -> explode DOB ->
@@ -870,6 +921,11 @@ def process_sentence(ddp: dict, pos_map=None, counters=None,
     residues discarded) -> stop-word filter (all streams) -> negation marking
     (4 streams) -> SVO-only projection (4 streams) -> coarsify amend_coarse.
     """
+    cfg = config or DEFAULT_CONFIG
+    convert_copular = convert_copular or cfg.convert_copular
+    convert_tense = convert_tense or cfg.convert_tense
+    convert_modal = convert_modal or cfg.convert_modal
+    ignore_postag = ignore_postag or cfg.ignore_postag
     if counters is None:
         counters = {}
     fine = strip_interpunct(
@@ -881,7 +937,7 @@ def process_sentence(ddp: dict, pos_map=None, counters=None,
         counters, "coarse_interpunct")
 
     a_f, a_c, fine, coarse, possible, vcmp, counts = amend_sentence(
-        ddp, fine, coarse, pos_map, ignore_postag)
+        ddp, fine, coarse, pos_map, ignore_postag, config=cfg)
     for k, v in counts.items():
         if v:
             counters[f"amend::{k}"] = counters.get(f"amend::{k}", 0) + v
@@ -899,7 +955,7 @@ def process_sentence(ddp: dict, pos_map=None, counters=None,
         if convert_copular or convert_tense or convert_modal:
             rels = convert_nct(rels, ddp, copular=convert_copular,
                                tense=convert_tense, modal=convert_modal)
-        return svo_only(rels)
+        return svo_only(rels, cfg.svo_cap)
 
     fine = _nct(fine)
     coarse = _nct(coarse)

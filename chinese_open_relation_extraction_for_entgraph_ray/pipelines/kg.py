@@ -45,7 +45,8 @@ def _read(path_or_dir, columns=None):
 
 def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
              parse_concurrency: int = PARSE_CONCURRENCY,
-             config_tag: str = "v1", checkpoints: str = "all") -> dict:
+             config_tag: str = "v1", checkpoints: str = "all",
+             config=None, extra_stages=()) -> dict:
     """Run (or resume) the full pipeline; returns {stage: Dataset} handles of
     the materialized outputs plus run metadata under "_meta".
 
@@ -57,12 +58,24 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
     (the map stages pipeline through the object store with no write/read
     barriers); resume granularity becomes {triples, edges, entities}.  Use
     for throughput; "all" for long jobs where re-parsing is the expensive
-    part."""
+    part.
+
+    ``config``: an :class:`..functions.cascade.ExtractionConfig` — rule
+    flags/caps (SURVEY.md §2.8); part of the checkpoint fingerprint, so
+    changing flags invalidates downstream stages.
+    ``extra_stages``: user stage hooks — callables ``Dataset -> Dataset``
+    applied to the triples stream after entity linking (the §2.8
+    stage-registration point)."""
     import time as _time
 
+    from ..functions.cascade import DEFAULT_CONFIG
+
+    cfg = config or DEFAULT_CONFIG
     store = CheckpointStore(out_dir)
     in_files = parquet_files(transcripts_dir)
-    base_fp = fingerprint_paths(in_files, extra=config_tag)
+    extra_tag = ",".join(getattr(s, "__name__", repr(s)) for s in extra_stages)
+    base_fp = fingerprint_paths(in_files,
+                                extra=f"{config_tag}|{cfg!r}|{extra_tag}")
     ran: list[str] = []
     timings: dict[str, float] = {}
 
@@ -121,6 +134,9 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
         # the reference's merge_dict, merge_parsed_results.py:8-14)
         metrics_dir = store.metrics_dir("triples")
 
+        def extract_with_config(batch):
+            return extract_triples(batch, cfg)
+
         def link_and_meter(batch):
             import pyarrow.compute as _pc
 
@@ -140,8 +156,11 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
             emit_partition_metrics(metrics_dir, rec)
             return out
 
-        return src.map_batches(extract_triples, batch_format="pyarrow") \
-                  .map_batches(link_and_meter, batch_format="pyarrow")
+        ds = src.map_batches(extract_with_config, batch_format="pyarrow") \
+                .map_batches(link_and_meter, batch_format="pyarrow")
+        for hook in extra_stages:
+            ds = hook(ds)
+        return ds
 
     transcripts_cols = ["conv_id", "turn_idx", "text"]
     if checkpoints == "all":

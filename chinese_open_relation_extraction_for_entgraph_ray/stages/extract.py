@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..functions.cascade import process_sentence
+from ..functions.cascade import DEFAULT_CONFIG, ExtractionConfig, process_sentence
 from ..functions.lexicon import pos_map_for_words
 
 TRIPLES_SCHEMA = pa.schema([
@@ -37,30 +37,34 @@ TRIPLES_SCHEMA = pa.schema([
 # corpora repeat sentences heavily (tool outputs, greetings, boilerplate), and
 # the cascade is a pure function of the parse, so identical sentences are
 # extracted once per worker.  Bounded so the worker heap stays flat at 100 TB.
-_EXTRACT_MEMO: dict[str, list] = {}
+_EXTRACT_MEMO: dict[tuple, dict[str, list]] = {}
 _EXTRACT_MEMO_MAX = 0 if __import__('os').environ.get('GRAFT_NO_MEMO') else 200_000
 
 
-def _cascade_rows(words, heads, deprels) -> list:
-    """Cached pure-cascade result: list of per-triple row tuples."""
+def _cascade_rows(words, heads, deprels,
+                  config: ExtractionConfig = DEFAULT_CONFIG) -> list:
+    """Cached pure-cascade result: list of per-triple row tuples.  The memo
+    is partitioned by config (a different flag set is a different function)."""
+    memo = _EXTRACT_MEMO.setdefault(config, {})
     key = "\x00".join(words) + "|" + ",".join(map(str, heads)) \
         + "|" + ",".join(deprels)
-    rows = _EXTRACT_MEMO.get(key)
+    rows = memo.get(key)
     if rows is None:
         ddp = {"word": words, "head": heads, "deprel": deprels}
-        streams = process_sentence(ddp, pos_map_for_words(words))
+        streams = process_sentence(ddp, pos_map_for_words(words), config=config)
         rows = [
             (kind, names[0], names[1], names[2], idxs[0], idxs[1], idxs[2],
              bool(names[1] and names[1].startswith("否·")))
             for kind, rels in streams.items()
             for (names, _, idxs) in rels
         ]
-        if len(_EXTRACT_MEMO) < _EXTRACT_MEMO_MAX:
-            _EXTRACT_MEMO[key] = rows
+        if len(memo) < _EXTRACT_MEMO_MAX:
+            memo[key] = rows
     return rows
 
 
-def extract_triples(batch: pa.Table) -> pa.Table:
+def extract_triples(batch: pa.Table,
+                    config: ExtractionConfig = DEFAULT_CONFIG) -> pa.Table:
     conv_ids = batch.column("conv_id").to_pylist()
     turn_idxs = batch.column("turn_idx").to_pylist()
     sent_idxs = batch.column("sent_idx").to_pylist()
@@ -71,7 +75,8 @@ def extract_triples(batch: pa.Table) -> pa.Table:
     cols: dict[str, list] = {name: [] for name in TRIPLES_SCHEMA.names}
     for cid, tid, sid, words, heads, deprels in zip(
             conv_ids, turn_idxs, sent_idxs, words_col, heads_col, deprels_col):
-        for kind, s, p, o, si, vi, oi, neg in _cascade_rows(words, heads, deprels):
+        for kind, s, p, o, si, vi, oi, neg in _cascade_rows(
+                words, heads, deprels, config):
             cols["conv_id"].append(cid)
             cols["turn_idx"].append(tid)
             cols["sent_idx"].append(sid)

@@ -320,3 +320,54 @@ def test_copular_conversion():
            "deprel": ["SBV", "HED", "VOB"]}
     res = process_sentence(ddp, _pos(ddp), convert_copular=True)
     assert ("郝平", "是·校长", None) in svos(res, "fine")
+
+
+def test_extraction_config_rule_switch():
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.cascade import (
+        ExtractionConfig,
+    )
+
+    ddp = {"word": ["中国", "与", "印度", "接壤"], "head": [4, 4, 2, 0],
+           "deprel": ["SBV", "ADV", "POB", "HED"]}
+    on = process_sentence(ddp, pos_map_for_words(ddp["word"]))
+    off = process_sentence(ddp, pos_map_for_words(ddp["word"]),
+                           config=ExtractionConfig(amend_pob=False))
+    assert ("中国", "与·X·接壤", "印度") in svos(on, "amend_fine")
+    assert ("中国", "与·X·接壤", "印度") not in svos(off, "amend_fine")
+
+
+def test_extraction_config_svo_cap():
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.cascade import (
+        ExtractionConfig,
+    )
+
+    res = process_sentence(G01, pos_map_for_words(G01["word"]),
+                           config=ExtractionConfig(svo_cap=0))
+    assert res["fine"] == []
+
+
+def test_extraction_config_partitions_stage_memo():
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.cascade import (
+        ExtractionConfig,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.extract import (
+        extract_triples,
+    )
+
+    batch = pa.Table.from_arrays(
+        [pa.array(["c"], pa.string()), pa.array([0], pa.int32()),
+         pa.array([0], pa.int32()),
+         pa.array([["中国", "与", "印度", "接壤"]], pa.list_(pa.string())),
+         pa.array([[4, 4, 2, 0]], pa.list_(pa.int32())),
+         pa.array([["SBV", "ADV", "POB", "HED"]], pa.list_(pa.string()))],
+        names=["conv_id", "turn_idx", "sent_idx", "words", "heads", "deprels"])
+    default = extract_triples(batch)
+    off = extract_triples(batch, ExtractionConfig(amend_pob=False))
+    kinds_default = set(default.column("rel_kind").to_pylist())
+    assert "amend_fine" in kinds_default
+    assert "amend_fine" not in set(off.column("rel_kind").to_pylist())
+    # and the default memo was not poisoned by the off-config call
+    again = extract_triples(batch)
+    assert again.equals(default)
