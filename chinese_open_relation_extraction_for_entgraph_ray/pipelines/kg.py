@@ -46,7 +46,7 @@ def _read(path_or_dir, columns=None):
 def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
              parse_concurrency: int = PARSE_CONCURRENCY,
              config_tag: str = "v1", checkpoints: str = "all",
-             config=None, extra_stages=()) -> dict:
+             config=None, extra_stages=(), parse_num_gpus: float = 0.0) -> dict:
     """Run (or resume) the full pipeline; returns {stage: Dataset} handles of
     the materialized outputs plus run metadata under "_meta".
 
@@ -124,9 +124,13 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
                   .map_batches(drop_hash, batch_format="pyarrow")
 
     def _parses(src):
+        # a model-backed parser actor sets fractional num_gpus here (ST3,
+        # SURVEY.md §2.4); the template parser is CPU-only by default
+        kwargs = {"num_gpus": parse_num_gpus} if parse_num_gpus else {}
         return _dedup_sort(src).map_batches(
             TemplateParserActor, batch_format="pyarrow",
-            batch_size=PARSE_BATCH_SIZE, concurrency=parse_concurrency)
+            batch_size=PARSE_BATCH_SIZE, concurrency=parse_concurrency,
+            **kwargs)
 
     def _triples(src):
         # per-partition extraction-count metrics to the checkpoint store

@@ -41,26 +41,36 @@ _EXTRACT_MEMO: dict[tuple, dict[str, list]] = {}
 _EXTRACT_MEMO_MAX = 0 if __import__('os').environ.get('GRAFT_NO_MEMO') else 200_000
 
 
-def _cascade_rows(words, heads, deprels,
-                  config: ExtractionConfig = DEFAULT_CONFIG) -> list:
-    """Cached pure-cascade result: list of per-triple row tuples.  The memo
-    is partitioned by config (a different flag set is a different function)."""
+def _cascade_columns(words, heads, deprels,
+                     config: ExtractionConfig = DEFAULT_CONFIG) -> tuple:
+    """Cached pure-cascade result in COLUMNAR form:
+    (kinds, subjs, preds, objs, subj_idxs, pred_idxs, obj_idxs, negated, n).
+    Columnar so the replay path extends whole columns per sentence instead of
+    appending per row.  The memo is partitioned by config (a different flag
+    set is a different function)."""
     memo = _EXTRACT_MEMO.setdefault(config, {})
     key = "\x00".join(words) + "|" + ",".join(map(str, heads)) \
         + "|" + ",".join(deprels)
-    rows = memo.get(key)
-    if rows is None:
+    cols = memo.get(key)
+    if cols is None:
         ddp = {"word": words, "head": heads, "deprel": deprels}
         streams = process_sentence(ddp, pos_map_for_words(words), config=config)
-        rows = [
-            (kind, names[0], names[1], names[2], idxs[0], idxs[1], idxs[2],
-             bool(names[1] and names[1].startswith("否·")))
-            for kind, rels in streams.items()
-            for (names, _, idxs) in rels
-        ]
+        kinds, subjs, preds, objs = [], [], [], []
+        sis, vis, ois, negs = [], [], [], []
+        for kind, rels in streams.items():
+            for (names, _, idxs) in rels:
+                kinds.append(kind)
+                subjs.append(names[0])
+                preds.append(names[1])
+                objs.append(names[2])
+                sis.append(idxs[0])
+                vis.append(idxs[1])
+                ois.append(idxs[2])
+                negs.append(bool(names[1] and names[1].startswith("否·")))
+        cols = (kinds, subjs, preds, objs, sis, vis, ois, negs, len(kinds))
         if len(memo) < _EXTRACT_MEMO_MAX:
-            memo[key] = rows
-    return rows
+            memo[key] = cols
+    return cols
 
 
 def extract_triples(batch: pa.Table,
@@ -72,22 +82,30 @@ def extract_triples(batch: pa.Table,
     heads_col = batch.column("heads").to_pylist()
     deprels_col = batch.column("deprels").to_pylist()
 
-    cols: dict[str, list] = {name: [] for name in TRIPLES_SCHEMA.names}
+    out_conv: list = []
+    out_turn: list = []
+    out_sent: list = []
+    out = ([], [], [], [], [], [], [], [])   # kinds..negs, column-parallel
     for cid, tid, sid, words, heads, deprels in zip(
             conv_ids, turn_idxs, sent_idxs, words_col, heads_col, deprels_col):
-        for kind, s, p, o, si, vi, oi, neg in _cascade_rows(
-                words, heads, deprels, config):
-            cols["conv_id"].append(cid)
-            cols["turn_idx"].append(tid)
-            cols["sent_idx"].append(sid)
-            cols["rel_kind"].append(kind)
-            cols["subj"].append(s)
-            cols["pred"].append(p)
-            cols["obj"].append(o)
-            cols["subj_idx"].append(si)
-            cols["pred_idx"].append(vi)
-            cols["obj_idx"].append(oi)
-            cols["negated"].append(neg)
-    return pa.Table.from_arrays(
-        [pa.array(cols[f.name], f.type) for f in TRIPLES_SCHEMA],
-        schema=TRIPLES_SCHEMA)
+        cols = _cascade_columns(words, heads, deprels, config)
+        n = cols[8]
+        if not n:
+            continue
+        out_conv.extend([cid] * n)
+        out_turn.extend([tid] * n)
+        out_sent.extend([sid] * n)
+        for acc, col in zip(out, cols):
+            acc.extend(col)
+    arrays = [pa.array(out_conv, pa.string()),
+              pa.array(out_turn, pa.int32()),
+              pa.array(out_sent, pa.int32()),
+              pa.array(out[0], pa.string()),     # rel_kind
+              pa.array(out[1], pa.string()),     # subj
+              pa.array(out[2], pa.string()),     # pred
+              pa.array(out[3], pa.string()),     # obj
+              pa.array(out[4], pa.int32()),      # subj_idx
+              pa.array(out[5], pa.int32()),      # pred_idx
+              pa.array(out[6], pa.int32()),      # obj_idx
+              pa.array(out[7], pa.bool_())]      # negated
+    return pa.Table.from_arrays(arrays, schema=TRIPLES_SCHEMA)

@@ -1,0 +1,56 @@
+"""sorted_hash_aggregate conformance vs a single-process reference,
+including boundary-heavy block layouts."""
+
+import collections
+
+import pyarrow as pa
+import pytest
+
+from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+    sorted_hash_aggregate,
+)
+
+
+def _reference(rows, key_cols, agg_spec):
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[tuple(r[k] for k in key_cols)].append(r)
+    out = []
+    for key, members in groups.items():
+        rec = dict(zip(key_cols, key))
+        for col, fn in agg_spec:
+            vals = [m[col] for m in members]
+            rec[col] = sum(vals) if fn == "sum" else \
+                (min(vals) if fn == "min" else max(vals))
+        out.append(rec)
+    return sorted(out, key=lambda r: tuple(str(r[k]) for k in key_cols))
+
+
+@pytest.mark.parametrize("n_keys,n_rows,n_blocks", [
+    (7, 500, 10),       # few keys, many blocks: every key straddles
+    (400, 500, 4),      # mostly singleton keys
+    (1, 300, 8),        # single hot key across every block
+])
+def test_sorted_hash_aggregate_matches_reference(ray_session, n_keys, n_rows,
+                                                 n_blocks):
+    import ray.data as rd
+
+    rows = [{"k": f"key-{i % n_keys}", "aux": f"aux-{i % 3}",
+             "w": i % 11, "m": i}
+            for i in range(n_rows)]
+    ds = rd.from_items(rows).repartition(n_blocks).map_batches(
+        lambda b: b, batch_format="pyarrow")   # normalize to arrow blocks
+    spec = [("w", "sum"), ("m", "min")]
+    got = sorted(
+        sorted_hash_aggregate(ds, ["k", "aux"], spec).take_all(),
+        key=lambda r: (str(r["k"]), str(r["aux"])))
+    want = _reference(rows, ["k", "aux"], spec)
+    assert [dict(g) for g in got] == want
+
+
+def test_sorted_hash_aggregate_rejects_nonreaggregatable(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"k": "a", "w": 1}])
+    with pytest.raises(ValueError, match="non-reaggregatable"):
+        sorted_hash_aggregate(ds, ["k"], [("w", "mean")])
