@@ -108,3 +108,36 @@ def test_determinism_two_runs_identical(kg, ray_session):
         ["conv_id", "turn_idx", "sent_idx", "rel_kind", "pred", "subj", "obj"],
         na_position="first").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_per_turn_text_equality_through_pipeline(kg):
+    """North-rule invariant: per-turn text equality under stable turn
+    ordering — the sentences each turn contributes, re-assembled in sent_idx
+    order from the DISTRIBUTED pipeline output, equal the single-process
+    normalization of that turn's raw text (reference invariant
+    dudepparse.py:1901-1906 lifted to turn level)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.textnorm import (
+        split_text,
+    )
+
+    raw = pq.read_table(sorted(glob.glob(TDIR + "/*.parquet"))[0:999],
+                        columns=["conv_id", "turn_idx", "text"]).to_pandas()
+    got = kg["sentences"].to_pandas()
+    got_by_turn = {
+        key: list(grp.sort_values("sent_idx")["text"])
+        for key, grp in got.groupby(["conv_id", "turn_idx"])
+    }
+    checked = 0
+    for _, row in raw.iterrows():
+        expected = split_text(row["text"] or "")
+        key = (row["conv_id"], row["turn_idx"])
+        if expected:
+            assert got_by_turn.get(key) == expected, key
+            checked += 1
+        else:
+            assert key not in got_by_turn, key
+    assert checked > 50
