@@ -46,7 +46,8 @@ def _read(path_or_dir, columns=None):
 def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
              parse_concurrency: int = PARSE_CONCURRENCY,
              config_tag: str = "v1", checkpoints: str = "all",
-             config=None, extra_stages=(), parse_num_gpus: float = 0.0) -> dict:
+             config=None, extra_stages=(), parse_num_gpus: float = 0.0,
+             triples_shards: int = 0) -> dict:
     """Run (or resume) the full pipeline; returns {stage: Dataset} handles of
     the materialized outputs plus run metadata under "_meta".
 
@@ -65,7 +66,14 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
     changing flags invalidates downstream stages.
     ``extra_stages``: user stage hooks — callables ``Dataset -> Dataset``
     applied to the triples stream after entity linking (the §2.8
-    stage-registration point)."""
+    stage-registration point).
+
+    ``triples_shards`` (minimal mode only): >0 splits the transcripts files
+    into that many shard groups, each processed and committed independently
+    under ``triples/shard-<k>/`` with its own lineage manifest — a preempted
+    job resumes MID-STAGE, skipping finished shards (at 100 TB this is the
+    unit of recovery; 0 = single streaming execution, fastest when the job
+    is expected to finish in one go)."""
     import time as _time
 
     from ..functions.cascade import DEFAULT_CONFIG
@@ -132,11 +140,11 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
             batch_size=PARSE_BATCH_SIZE, concurrency=parse_concurrency,
             **kwargs)
 
-    def _triples(src):
+    def _triples(src, metrics_stage: str = "triples"):
         # per-partition extraction-count metrics to the checkpoint store
         # (north-rule lineage contract; merged key-additively at commit like
         # the reference's merge_dict, merge_parsed_results.py:8-14)
-        metrics_dir = store.metrics_dir("triples")
+        metrics_dir = store.metrics_dir(metrics_stage)
 
         def extract_with_config(batch):
             return extract_triples(batch, cfg)
@@ -176,13 +184,62 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
                    lambda: _parses(_read(store.stage_dir("sentences"))), fp)
         fp = stage("triples",
                    lambda: _triples(_read(store.stage_dir("parses"))), fp)
-    else:
+    elif not triples_shards:
         # fused: one streaming execution, no intermediate barriers
         fp = stage(
             "triples",
             lambda: _triples(_parses(_sentences(
                 _read(transcripts_dir, columns=transcripts_cols)))),
             f"{base_fp}:fused")
+    else:
+        # fused + sharded: independent shard commits -> mid-stage resume
+        fp_base = f"{base_fp}:fused:shards{triples_shards}"
+        fp = f"{fp_base}:triples"
+        if not (resume and store.is_complete("triples", fp)):
+            t0 = _time.perf_counter()
+            groups: list[list[str]] = [[] for _ in range(triples_shards)]
+            for i, f in enumerate(in_files):
+                groups[i % triples_shards].append(f)
+            # clear layouts from other configurations: top-level parquet from
+            # a fused run, shard dirs beyond the current shard count
+            import glob as _glob
+            import shutil as _shutil
+
+            sdir = store.stage_dir("triples")
+            for stale in _glob.glob(os.path.join(sdir, "*.parquet")):
+                os.remove(stale)
+            for d in _glob.glob(os.path.join(sdir, "shard-*")):
+                if int(os.path.basename(d).split("-")[1]) >= triples_shards:
+                    _shutil.rmtree(d, ignore_errors=True)
+            for k, files in enumerate(groups):
+                if not files:
+                    continue
+                shard_name = f"triples/shard-{k:04d}"
+                shard_fp = f"{fp_base}:{fingerprint_paths(files)}"
+                if resume and store.is_complete(shard_name, shard_fp):
+                    continue
+                store.reset_metrics(shard_name)   # only THIS shard's metrics
+                ds = _triples(_parses(_sentences(
+                    _read(files, columns=transcripts_cols))),
+                    metrics_stage=shard_name)
+                ds.write_parquet(store.stage_dir(shard_name), mode="overwrite")
+                store.commit_stage(shard_name, shard_fp)
+            timings["triples"] = round(_time.perf_counter() - t0, 3)
+            from ..state.lineage import merge_metric_records
+
+            merged = {}
+            for k in range(triples_shards):
+                rec = merge_metric_records(
+                    store.metrics_dir(f"triples/shard-{k:04d}"))
+                for mk, mv in rec.items():
+                    merged[mk] = merged.get(mk, 0) + mv
+            store.commit_stage("triples", fp,
+                               metrics={"wall_sec": timings["triples"],
+                                        "shards": triples_shards,
+                                        "extraction": merged})
+            ran.append("triples")
+        manifest = store.read_manifest("triples")
+        fp = f"{fp}@{manifest['completed_at']}"
 
     edges_fp = stage(
         "edges",

@@ -31,6 +31,10 @@ def main(argv=None) -> int:
                     help="recompute every stage even if checkpoints match")
     ap.add_argument("--parse-concurrency", type=int, default=None,
                     help="parser actor-pool size (default: CPUs/4)")
+    ap.add_argument("--triples-shards", type=int, default=0,
+                    help="minimal mode: split the extraction stage into N "
+                         "independently-committed shards (mid-stage resume "
+                         "granularity for long jobs)")
     args = ap.parse_args(argv)
 
     import ray
@@ -47,7 +51,8 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     res = build_kg(args.input, args.output, resume=not args.no_resume,
-                   checkpoints=args.checkpoints, parse_concurrency=conc)
+                   checkpoints=args.checkpoints, parse_concurrency=conc,
+                   triples_shards=args.triples_shards)
     n_triples = res["triples"].count()
     n_edges = res["edges"].count()
     n_entities = res["entities"].count()

@@ -81,7 +81,9 @@ class CheckpointStore:
         return os.path.join(self.root, stage)
 
     def metrics_dir(self, stage: str) -> str:
-        return os.path.join(self.root, f"{stage}_metrics")
+        # flattened to the store root: metric JSONs must never sit inside a
+        # stage dir, where read_parquet of that stage would pick them up
+        return os.path.join(self.root, f"{stage.replace('/', '_')}_metrics")
 
     def reset_metrics(self, stage: str) -> None:
         import shutil

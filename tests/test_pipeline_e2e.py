@@ -141,3 +141,31 @@ def test_per_turn_text_equality_through_pipeline(kg):
         else:
             assert key not in got_by_turn, key
     assert checked > 50
+
+
+def test_sharded_triples_mid_stage_resume(ray_session):
+    """triples_shards: identical output to the fused run, and a missing
+    shard is the only thing recomputed on resume."""
+    import json
+
+    sdir = "/tmp/entgraph_test/kg_sharded"
+    shutil.rmtree(sdir, ignore_errors=True)
+    r1 = build_kg(TDIR, sdir, checkpoints="minimal", triples_shards=3,
+                  parse_concurrency=2)
+    fused = build_kg(TDIR, ODIR, parse_concurrency=2)   # resume of module run
+    a = r1["triples"].to_pandas()
+    b = fused["triples"].to_pandas()
+    cols = list(a.columns)
+    assert a.sort_values(cols).reset_index(drop=True).equals(
+        b[cols].sort_values(cols).reset_index(drop=True))
+
+    # simulate preemption: drop stage commit + one shard
+    os.remove(os.path.join(sdir, "triples/_lineage.json"))
+    shutil.rmtree(os.path.join(sdir, "triples/shard-0001"))
+    r2 = build_kg(TDIR, sdir, checkpoints="minimal", triples_shards=3,
+                  parse_concurrency=2)
+    assert r2["triples"].count() == len(a)
+    m = json.load(open(os.path.join(sdir, "triples/_lineage.json")))
+    # merged metrics still cover every shard, not just the recomputed one
+    assert m["metrics"]["extraction"]["n_triples"] == len(a)
+    assert m["metrics"]["shards"] == 3
