@@ -576,6 +576,28 @@ def _q_multimodal_audio_features(sf_dir: str):
                          fn_constructor_kwargs={"mode": "fake"}))
 
 
+def _q_docs_curation_exact(sf_dir: str):
+    """Curation pipeline, SQL-expressible half: quality+lang filter ->
+    exact dedup survivors (pipelines/curate.py)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.pipelines.curate import (
+        curate_step1_exact,
+    )
+
+    return curate_step1_exact(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_docs_curated(sf_dir: str):
+    """Full curation incl. Jaccard near-dup removal (rows-only)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.pipelines.curate import (
+        curate_documents,
+    )
+
+    return curate_documents(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])) \
+        .select_columns(["doc_id"])
+
+
 def _q_docs_jaccard_near_dups(sf_dir: str):
     """n-gram-Jaccard-verified near-dup pairs over MinHash-LSH candidates."""
     from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
@@ -648,6 +670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": _q_simhash_signatures,
         "embedding_near_dups": _q_embedding_near_dups,
         "docs_jaccard_near_dups": _q_docs_jaccard_near_dups,
+        "docs_curation_exact": _q_docs_curation_exact,
+        "docs_curated": _q_docs_curated,
         # conversation-level coref delta (rows-only)
         "kg_coref_delta": _q_kg_coref_delta,
         # mention detection + link scoring (rows-only; gazetteer NER)
@@ -786,6 +810,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)""",
         "docs_deterministic_sample": """
             SELECT doc_id FROM documents WHERE substr(md5(text), 1, 1) = '0'""",
+        "docs_curation_exact": rf"""
+            WITH f AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text, '\S+')) AS n_tok,
+                     len(regexp_extract_all(text, '{stop_re}')) AS n_stop,
+                     {lang_counts}
+              FROM documents),
+            k AS (
+              SELECT doc_id, text FROM (
+                SELECT *,
+                       CASE WHEN c_zh > 0 THEN 'zh'
+                            WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                            WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                            WHEN c_fr >= c_es THEN 'fr'
+                            ELSE 'es' END AS lang
+                FROM f)
+              WHERE n_tok BETWEEN 3 AND 5000
+                AND n_stop * 1.0 / greatest(n_tok, 1) <= 0.8
+                AND lang IN ('en'))
+            SELECT md5(text) AS md5, min(doc_id) AS keep_doc_id,
+                   count(*) AS dup_count
+            FROM k GROUP BY md5(text)""",
         "embeddings_norms": """
             SELECT vec_id, label,
                    round(sqrt(list_sum(list_transform(embedding,
