@@ -345,6 +345,32 @@ def _q_events_sessions(sf_dir: str):
             .groupby("user_id").map_groups(sessions, batch_format="pandas"))
 
 
+def _q_events_purchase_attribution(sf_dir: str):
+    """As-of join (custom operator, stages/joins.py): each purchase event is
+    attributed to the user's most recent at-or-before view event."""
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        asof_join,
+    )
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id", "event_type"])
+    purchases = events.filter(expr="event_type == 'purchase'")
+    views = events.filter(expr="event_type == 'view'")
+    joined = asof_join(purchases, views, by="user_id", ts="ts",
+                       right_payload=["event_id"], suffix="_view")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("event_id").cast(pa.int64()),
+             batch.column("user_id").cast(pa.int64()),
+             batch.column("event_id_view").cast(pa.int64())],
+            names=["event_id", "user_id", "view_event_id"])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_part_brand_stats(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -651,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_user_topk": _q_events_user_topk,
         "events_sessions": _q_events_sessions,
+        "events_purchase_attribution": _q_events_purchase_attribution,
         "part_brand_stats": _q_part_brand_stats,
         # training-data text ops (SQL-oracled)
         "docs_lang_stats": _q_docs_lang_stats,
@@ -767,6 +794,11 @@ def oracle_sql() -> dict[str, str]:
                           (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap
                   FROM events)
             GROUP BY user_id""",
+        "events_purchase_attribution": """
+            SELECT l.event_id, l.user_id, r.event_id AS view_event_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "part_brand_stats": """
             SELECT p_brand, count(*) AS n_parts,
                    round(avg(p_retailprice), 2) AS avg_price,

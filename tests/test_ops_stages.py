@@ -223,3 +223,32 @@ def test_audio_real_decode_raises():
     batch = multimodal.synthesize_audio_payloads(docs_batch())
     with pytest.raises(NotImplementedError):
         multimodal.AudioFeatureExtractor(mode="real")(batch)
+
+
+def test_asof_join_semantics(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        asof_join,
+    )
+
+    left = rd.from_arrow(pa.table({
+        "lid": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array(["a", "a", "a", "b"], pa.string()),
+        "t": pa.array([10, 20, 5, 10], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "c"], pa.string()),
+        "t": pa.array([10, 15, 1], pa.int64()),
+        "val": pa.array([100, 150, 999], pa.int64()),
+    }))
+    out = asof_join(left, right, by="k", ts="t",
+                    right_payload=["val"]).to_pandas()
+    got = {int(r["lid"]): (None if pd.isna(r["val_right"])
+                           else int(r["val_right"]))
+           for _, r in out.iterrows()}
+    # lid=1 t=10: exact match allowed -> 100; lid=2 t=20 -> latest (t=15) 150
+    # lid=3 t=5: no right row at/before -> None; lid=4 key b: no right -> None
+    assert got == {1: 100, 2: 150, 3: None, 4: None}
+    assert len(out) == 4
