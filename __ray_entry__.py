@@ -371,6 +371,79 @@ def _q_events_purchase_attribution(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+PRICE_BANDS = [(900.0 + i * 10.0, 900.0 + (i + 1) * 10.0) for i in range(10)]
+
+
+def _q_part_price_band_join(sf_dir: str):
+    """Range join: parts against a small interval table of price bands —
+    broadcast the band boundaries, vectorized interval assignment per batch
+    (the small-side range-join pattern; an interval tree would replace the
+    linear scan for many bands)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        pc_round_away,
+    )
+
+    los = np.array([lo for lo, _ in PRICE_BANDS])
+
+    def assign_band(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("p_retailprice").to_pylist())
+        band = np.clip((np.searchsorted(los, price, side="right") - 1),
+                       0, len(PRICE_BANDS) - 1)
+        in_range = (price >= los[0]) & (price < PRICE_BANDS[-1][1])
+        tbl = pa.Table.from_arrays(
+            [pa.array(band.astype(np.int64()), pa.int64()),
+             batch.column("p_retailprice")],
+            names=["band_id", "p_retailprice"])
+        return tbl.filter(pa.array(in_range))
+
+    agg = (_read(sf_dir, "part", columns=["p_retailprice"])
+           .map_batches(assign_band, batch_format="pyarrow")
+           .groupby("band_id")
+           .aggregate(Count(alias_name="n_parts"),
+                      Sum("p_retailprice", alias_name="total_price")))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("total_price"), "total_price",
+            pc_round_away(batch.column("total_price"), 2))
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_events_sliding_window(sf_dir: str):
+    """Sliding-window aggregate: 1-hour windows sliding by 15 minutes —
+    each event fans out to its 4 containing windows in map_batches, then a
+    grouped count (window fan-out + exchange, the streaming-window shape)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    SLIDE, SLOTS = 900, 4          # 900 s slide, 4 slots = 3600 s window
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        epoch = np.asarray(batch.column("ts").cast(pa.int64()).to_pylist())
+        slot = epoch // (SLIDE * 1_000_000)
+        types = batch.column("event_type")
+        parts_t, parts_w = [], []
+        for s in range(SLOTS):
+            parts_t.append(types)
+            parts_w.append(pa.array((slot - s) * SLIDE, pa.int64()))
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([t.combine_chunks() if isinstance(t, pa.ChunkedArray)
+                               else t for t in parts_t]),
+             pa.concat_arrays(parts_w)],
+            names=["event_type", "window_start"])
+
+    return (_read(sf_dir, "events", columns=["event_type", "ts"])
+            .map_batches(fan_out, batch_format="pyarrow")
+            .groupby(["event_type", "window_start"])
+            .aggregate(Count(alias_name="n_events")))
+
+
 def _q_part_brand_stats(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -679,6 +752,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_purchase_attribution": _q_events_purchase_attribution,
         "part_brand_stats": _q_part_brand_stats,
+        "part_price_band_join": _q_part_price_band_join,
+        "events_sliding_window": _q_events_sliding_window,
         # training-data text ops (SQL-oracled)
         "docs_lang_stats": _q_docs_lang_stats,
         "docs_token_stats": _q_docs_token_stats,
@@ -804,6 +879,22 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(p_retailprice), 2) AS avg_price,
                    min(p_size) AS min_size, max(p_size) AS max_size
             FROM part GROUP BY p_brand""",
+        "part_price_band_join": """
+            WITH bands AS (
+              SELECT i AS band_id, 900.0 + i * 10.0 AS lo,
+                     900.0 + (i + 1) * 10.0 AS hi
+              FROM unnest(generate_series(0, 9)) AS t(i))
+            SELECT band_id, count(*) AS n_parts,
+                   round(sum(p_retailprice), 2) AS total_price
+            FROM part JOIN bands
+              ON p_retailprice >= lo AND p_retailprice < hi
+            GROUP BY band_id""",
+        "events_sliding_window": """
+            SELECT event_type,
+                   (epoch_us(ts) // 900000000 - s) * 900 AS window_start,
+                   count(*) AS n_events
+            FROM events, unnest(generate_series(0, 3)) AS t(s)
+            GROUP BY 1, 2""",
         "docs_lang_stats": """
             SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang""",
