@@ -464,6 +464,68 @@ def _q_part_brand_stats(sf_dir: str):
     return agg.map_batches(rnd, batch_format="pyarrow")
 
 
+def _q_supplier_region_stats(sf_dir: str):
+    """Two-hop broadcast join: supplier -> nation -> region, then grouped
+    account-balance stats per region."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    nations = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_regionkey"])
+    regions = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    region_of_nation = dict(zip(nations.column("n_nationkey").to_pylist(),
+                                nations.column("n_regionkey").to_pylist()))
+    region_name = dict(zip(regions.column("r_regionkey").to_pylist(),
+                           regions.column("r_name").to_pylist()))
+
+    def attach_region(batch: pa.Table) -> pa.Table:
+        keys = batch.column("s_nationkey").to_pylist()
+        names = [region_name.get(region_of_nation.get(k)) for k in keys]
+        return pa.Table.from_arrays(
+            [pa.array(names, pa.string()), batch.column("s_acctbal")],
+            names=["r_name", "s_acctbal"])
+
+    agg = (_read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+           .map_batches(attach_region, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(Count(alias_name="n_suppliers"),
+                      Sum("s_acctbal", alias_name="total_acctbal")))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("total_acctbal"), "total_acctbal",
+            pc_round_away(batch.column("total_acctbal"), 2))
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_orders_topk_per_customer(sf_dir: str):
+    """Grouped top-k (ROW_NUMBER analog): each customer's 2 highest-value
+    orders via groupby(key).map_groups over value-sorted groups."""
+    import pandas as pd
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+            np_round_away,
+        )
+
+        g = group.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(2)
+        out = g[["o_custkey", "o_orderkey"]].copy()
+        out["o_totalprice"] = np_round_away(
+            np.asarray(g["o_totalprice"], dtype=np.float64), 2)
+        out["rank"] = range(1, len(g) + 1)
+        return out
+
+    return (_read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderkey", "o_totalprice"])
+            .groupby("o_custkey")
+            .map_groups(topk, batch_format="pandas"))
+
+
 def _q_docs_lang_stats(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -747,6 +809,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_status": _q_orders_by_status,
         "customer_revenue_topk": _q_customer_revenue_topk,
         "nation_customer_counts": _q_nation_customer_counts,
+        "supplier_region_stats": _q_supplier_region_stats,
+        "orders_topk_per_customer": _q_orders_topk_per_customer,
         "events_hourly": _q_events_hourly,
         "events_user_topk": _q_events_user_topk,
         "events_sessions": _q_events_sessions,
@@ -849,6 +913,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name, count(*) AS n_customers
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name""",
+        "supplier_region_stats": """
+            SELECT r_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS total_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "orders_topk_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+                  FROM orders)
+            WHERE rank <= 2""",
         "events_hourly": """
             SELECT event_type,
                    (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
