@@ -85,6 +85,10 @@ class ExtractionConfig:
     # POS gate + caps
     ignore_postag: bool = False
     svo_cap: int = SVO_CAP
+    # half-coarse crossed streams (reference ADD_HALF_COARSE, disabled const
+    # at dudepparse.py:1722; produces the crossed_rels / amend_crossed_rels
+    # fields that the reference emits as empty lists)
+    add_half_coarse: bool = False
 
 
 DEFAULT_CONFIG = ExtractionConfig()
@@ -964,5 +968,20 @@ def process_sentence(ddp: dict, pos_map=None, counters=None,
 
     a_c = coarsify_rels(coarse_parse, a_c, subj_flag=True, obj_flag=True,
                         keep_same=True)
-    return {"fine": fine, "coarse": coarse, "amend_fine": a_f,
-            "amend_coarse": a_c, "possible": possible}
+    out = {"fine": fine, "coarse": coarse, "amend_fine": a_f,
+           "amend_coarse": a_c, "possible": possible}
+    if cfg.add_half_coarse:
+        # reference ADD_HALF_COARSE branch (dudepparse.py:1774-1783):
+        # half-coarse variants where only one argument is span-expanded,
+        # kept only when the expansion actually changed it
+        out["crossed"] = (
+            coarsify_rels(coarse_parse, fine, subj_flag=True, obj_flag=False,
+                          keep_same=False)
+            + coarsify_rels(coarse_parse, fine, subj_flag=False, obj_flag=True,
+                            keep_same=False))
+        out["amend_crossed"] = (
+            coarsify_rels(coarse_parse, a_f, subj_flag=True, obj_flag=False,
+                          keep_same=False)
+            + coarsify_rels(coarse_parse, a_f, subj_flag=False, obj_flag=True,
+                            keep_same=False))
+    return out

@@ -371,3 +371,25 @@ def test_extraction_config_partitions_stage_memo():
     # and the default memo was not poisoned by the off-config call
     again = extract_triples(batch)
     assert again.equals(default)
+
+
+def test_add_half_coarse_crossed_streams():
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.cascade import (
+        ExtractionConfig,
+    )
+
+    # 张三 急匆匆 地 赶往 机场: coarse subj == fine subj (single token), so only
+    # the obj expansion could differ; use an ATT-modified object so the
+    # crossed (half-coarse) stream has a changed argument to keep.
+    ddp = {"word": ["张三", "赶往", "北京", "机场"], "head": [2, 0, 4, 2],
+           "deprel": ["SBV", "HED", "ATT", "VOB"]}
+    off = process_sentence(ddp, pos_map_for_words(ddp["word"]))
+    assert "crossed" not in off and "amend_crossed" not in off
+
+    on = process_sentence(ddp, pos_map_for_words(ddp["word"]),
+                          config=ExtractionConfig(add_half_coarse=True))
+    assert "crossed" in on and "amend_crossed" in on
+    # the crossed stream carries the obj-expanded half-coarse triple, and
+    # keep_same=False drops any variant where expansion changed nothing
+    assert ("张三", "赶往", "北京机场") in svos(on, "crossed")
+    assert ("张三", "赶往", "机场") not in svos(on, "crossed")
