@@ -160,6 +160,29 @@ def _q_transcripts_mention_labels(sf_dir: str):
             .aggregate(Sum("n_mentions", alias_name="n_mentions")))
 
 
+def _q_transcripts_conversation_text(sf_dir: str):
+    """Ordered conversation assembly: groupby(conv_id) with turns re-sorted
+    by turn_idx inside the group (NEVER by block order) -> newline-joined
+    conversation text.  The north-rule stable-turn-ordering contract,
+    oracled by string_agg(... ORDER BY turn_idx)."""
+    import pandas as pd
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("turn_idx")
+        return pd.DataFrame({
+            "conv_id": [g["conv_id"].iloc[0]],
+            "n_turns": [len(g)],
+            "conversation": ["\n".join(g["text"])],
+        })
+
+    tdir = _transcripts_dir(sf_dir)
+    import ray.data as rd
+
+    return (rd.read_parquet(tdir, columns=["conv_id", "turn_idx", "text"])
+            .groupby("conv_id")
+            .map_groups(assemble, batch_format="pandas"))
+
+
 def _q_transcripts_turn_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Min
@@ -804,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_turn_stats": _q_transcripts_turn_stats,
         "transcripts_role_counts": _q_transcripts_role_counts,
         "transcripts_mention_labels": _q_transcripts_mention_labels,
+        "transcripts_conversation_text": _q_transcripts_conversation_text,
         # relational operator parity on the driver's tables (SQL-oracled)
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_status": _q_orders_by_status,
@@ -892,6 +916,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT role, count(*) AS n_turns
             FROM read_parquet('{tglob}') GROUP BY role""",
         "transcripts_mention_labels": _mention_labels_sql(tglob),
+        "transcripts_conversation_text": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS conversation
+            FROM read_parquet('{tglob}') GROUP BY conv_id""",
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

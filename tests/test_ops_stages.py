@@ -252,3 +252,23 @@ def test_asof_join_semantics(ray_session):
     # lid=3 t=5: no right row at/before -> None; lid=4 key b: no right -> None
     assert got == {1: 100, 2: 150, 3: None, 4: None}
     assert len(out) == 4
+
+
+def test_ivf_topk_recall_vs_brute_force(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.01"
+    tbl = pq.read_table(sf + "/embeddings.parquet")
+    q = tbl.column("embedding").to_pylist()[0]
+    ds = rd.read_parquet(sf + "/embeddings.parquet")
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_top_k(ds, q, k=10).take_all()]
+    # uniform-random embeddings are the worst case for IVF (no cluster
+    # structure, near-ties scatter across cells): nprobe=24/64 measures
+    # recall 9/10 here; real clustered embeddings get there at nprobe=8
+    approx = [r["vec_id"] for r in
+              similarity.ivf_top_k(ds, q, k=10, nprobe=24).take_all()]
+    overlap = len(set(exact) & set(approx))
+    assert exact[0] in approx
+    assert overlap >= 8, (exact, approx)
