@@ -47,7 +47,7 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
              parse_concurrency: int = PARSE_CONCURRENCY,
              config_tag: str = "v1", checkpoints: str = "all",
              config=None, extra_stages=(), parse_num_gpus: float = 0.0,
-             triples_shards: int = 0) -> dict:
+             triples_shards: int = 0, parser_cls=None) -> dict:
     """Run (or resume) the full pipeline; returns {stage: Dataset} handles of
     the materialized outputs plus run metadata under "_meta".
 
@@ -82,8 +82,9 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
     store = CheckpointStore(out_dir)
     in_files = parquet_files(transcripts_dir)
     extra_tag = ",".join(getattr(s, "__name__", repr(s)) for s in extra_stages)
-    base_fp = fingerprint_paths(in_files,
-                                extra=f"{config_tag}|{cfg!r}|{extra_tag}")
+    parser_tag = getattr(parser_cls, "__name__", "") if parser_cls else ""
+    base_fp = fingerprint_paths(
+        in_files, extra=f"{config_tag}|{cfg!r}|{extra_tag}|{parser_tag}")
     ran: list[str] = []
     timings: dict[str, float] = {}
 
@@ -131,12 +132,15 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
                   .sort("__th") \
                   .map_batches(drop_hash, batch_format="pyarrow")
 
+    parser = parser_cls or TemplateParserActor
+
     def _parses(src):
-        # a model-backed parser actor sets fractional num_gpus here (ST3,
-        # SURVEY.md §2.4); the template parser is CPU-only by default
+        # a model-backed parser actor (e.g. stages.parse.DDParserActor) sets
+        # fractional num_gpus here (ST3, SURVEY.md §2.4); the template
+        # parser is CPU-only by default
         kwargs = {"num_gpus": parse_num_gpus} if parse_num_gpus else {}
         return _dedup_sort(src).map_batches(
-            TemplateParserActor, batch_format="pyarrow",
+            parser, batch_format="pyarrow",
             batch_size=PARSE_BATCH_SIZE, concurrency=parse_concurrency,
             **kwargs)
 

@@ -29,6 +29,43 @@ PARSES_SCHEMA = pa.schema([
 ])
 
 
+class DDParserActor:
+    """Production parser actor: wraps Baidu DDParser with the same batch
+    contract as :class:`TemplateParserActor` (the reference's parser,
+    /root/reference/dudepparse.py:1851 ``DDParser(encoding_model=
+    'transformer')``).  Not importable in this container (no model weights /
+    paddle); the class documents the swap-in point — pass it as
+    ``build_kg(..., parser_cls=DDParserActor)`` on a cluster with the model
+    available, sizing ``parse_num_gpus`` fractionally per actor."""
+
+    def __init__(self):
+        try:
+            from ddparser import DDParser   # not installed here
+        except ImportError as e:            # pragma: no cover
+            raise NotImplementedError(
+                "DDParser is not available in this environment; use "
+                "TemplateParserActor, or install ddparser on the cluster"
+            ) from e
+        self._ddp = DDParser(encoding_model="transformer")   # pragma: no cover
+
+    def __call__(self, batch: pa.Table) -> pa.Table:         # pragma: no cover
+        texts = batch.column("text").to_pylist()
+        parses = self._ddp.parse(texts)
+        words_col = [p["word"] for p in parses]
+        heads_col = [p["head"] for p in parses]
+        deprels_col = [p["deprel"] for p in parses]
+        for text, words in zip(texts, words_col):
+            if "".join(words) != text:   # dudepparse.py:1901-1906
+                raise AssertionError(f"parse reconstruction mismatch: {text!r}")
+        return pa.Table.from_arrays(
+            [batch.column("conv_id"), batch.column("turn_idx"),
+             batch.column("sent_idx"), batch.column("text"),
+             pa.array(words_col, pa.list_(pa.string())),
+             pa.array(heads_col, pa.list_(pa.int32())),
+             pa.array(deprels_col, pa.list_(pa.string()))],
+            schema=PARSES_SCHEMA)
+
+
 class TemplateParserActor:
     """Deterministic rule/lexicon parser held warm per actor.
 
