@@ -44,7 +44,7 @@ def _read(path_or_dir, columns=None):
 
 
 def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
-             parse_concurrency: int = PARSE_CONCURRENCY,
+             parse_concurrency: int | None = None,
              config_tag: str = "v1", checkpoints: str = "all",
              config=None, extra_stages=(), parse_num_gpus: float = 0.0,
              triples_shards: int = 0, parser_cls=None) -> dict:
@@ -79,6 +79,18 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
     from ..functions.cascade import DEFAULT_CONFIG
 
     cfg = config or DEFAULT_CONFIG
+    if parse_concurrency is None:
+        # leave headroom for the task operators feeding/draining the pool —
+        # an actor pool sized to the whole cluster starves them (observed
+        # stall at num_cpus=4 with 4 actors)
+        try:
+            import ray
+
+            ncpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpus = 8
+        parse_concurrency = max(1, min(PARSE_CONCURRENCY, ncpus // 2,
+                                       ncpus - 2))
     store = CheckpointStore(out_dir)
     in_files = parquet_files(transcripts_dir)
     extra_tag = ",".join(getattr(s, "__name__", repr(s)) for s in extra_stages)

@@ -79,7 +79,67 @@ def coref_conversation(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=COREF_COLUMNS)
 
 
-def coref_delta_triples(parses_ds):
-    """parses Dataset -> coref delta-triples Dataset (shuffle key: conv_id)."""
-    return parses_ds.groupby("conv_id").map_groups(
-        coref_conversation, batch_format="pandas")
+def coref_delta_triples(parses_ds, scale: bool = True):
+    """parses Dataset -> coref delta-triples Dataset (shuffle key: conv_id).
+
+    ``scale=False``: plain ``groupby(conv_id).map_groups`` — simplest, but
+    Ray's per-group dispatch (~60µs/group) dominates once conversations
+    number in the millions.
+
+    ``scale=True`` (default): ONE sort by (conv_id, turn_idx, sent_idx),
+    then per-block processing that runs :func:`coref_conversation` inline
+    for every conversation fully inside the block; only each block's first
+    and last conversation (which may straddle a block boundary — at most 2
+    per block, independent of data size) are routed through a tiny keyed
+    second pass.  Same boundary-exact pattern as the MinHash pair generator
+    and the sorted-block aggregate."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if not scale:
+        return parses_ds.groupby("conv_id").map_groups(
+            coref_conversation, batch_format="pandas")
+
+    def _empty_out() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype=object)
+                             for c in COREF_COLUMNS})
+
+    def inner_scan(df: pd.DataFrame) -> pd.DataFrame:
+        """Run the per-conversation function inline for every conversation
+        fully inside this sorted block (first/last conv skipped — they may
+        straddle and are handled by the edge pass)."""
+        if df.empty:
+            return _empty_out()
+        convs = df["conv_id"].to_numpy()
+        first, last = convs[0], convs[-1]
+        inner = df[(convs != first) & (convs != last)]
+        res = [coref_conversation(grp)
+               for _, grp in inner.groupby("conv_id", sort=False)]
+        res = [r for r in res if len(r)]
+        return pd.concat(res, ignore_index=True) if res else _empty_out()
+
+    def edge_filter(batch: pa.Table) -> pa.Table:
+        """Arrow-native: keep only each block's first/last conversation rows
+        (at most 2 conversations per block, whatever the data size)."""
+        if batch.num_rows == 0:
+            return batch
+        convs = batch.column("conv_id")
+        import pyarrow.compute as pc
+
+        first, last = convs[0], convs[batch.num_rows - 1]
+        mask = pc.or_(pc.equal(convs, first), pc.equal(convs, last))
+        return batch.filter(mask)
+
+    sorted_parses = parses_ds.sort(["conv_id", "turn_idx", "sent_idx"]) \
+                             .materialize()
+    inner_ds = sorted_parses.map_batches(
+        inner_scan, batch_format="pandas", batch_size=None) \
+        .map_batches(lambda b: b.select(COREF_COLUMNS), batch_format="pyarrow")
+    edge_ds = (sorted_parses
+               .map_batches(edge_filter, batch_format="pyarrow",
+                            batch_size=None)
+               .groupby("conv_id")
+               .map_groups(coref_conversation, batch_format="pandas")
+               .map_batches(lambda b: b.select(COREF_COLUMNS),
+                            batch_format="pyarrow"))
+    return inner_ds.union(edge_ds)
