@@ -782,6 +782,31 @@ def _q_docs_curated(sf_dir: str):
         .select_columns(["doc_id"])
 
 
+def _q_docs_embed_similar(sf_dir: str):
+    """Batched model-inference pattern end-to-end: embed documents with the
+    hash encoder actor pool, then cosine top-5 most-similar docs to doc 0
+    (stages/embed.py + stages/similarity.py)."""
+    import pyarrow.parquet as pq
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.embed import (
+        TextEmbedder,
+        embed_documents,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
+        brute_force_top_k,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    embedded = embed_documents(docs, concurrency=2) \
+        .map_batches(lambda b: b.rename_columns(["vec_id", "embedding"]),
+                     batch_format="pyarrow")
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    idx = tbl.column("doc_id").to_pylist().index(0)
+    qvec = TextEmbedder().encode([tbl.column("text").to_pylist()[idx]])[0]
+    return brute_force_top_k(embedded, qvec, k=5)
+
+
 def _q_docs_jaccard_near_dups(sf_dir: str):
     """n-gram-Jaccard-verified near-dup pairs over MinHash-LSH candidates."""
     from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
@@ -861,6 +886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "docs_jaccard_near_dups": _q_docs_jaccard_near_dups,
         "docs_curation_exact": _q_docs_curation_exact,
+        "docs_embed_similar": _q_docs_embed_similar,
         "docs_curated": _q_docs_curated,
         # conversation-level coref delta (rows-only)
         "kg_coref_delta": _q_kg_coref_delta,

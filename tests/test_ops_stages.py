@@ -272,3 +272,31 @@ def test_ivf_topk_recall_vs_brute_force(ray_session):
     overlap = len(set(exact) & set(approx))
     assert exact[0] in approx
     assert overlap >= 8, (exact, approx)
+
+
+def test_text_embedder_deterministic_and_normalized():
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.embed import (
+        TextEmbedder,
+    )
+
+    enc = TextEmbedder()
+    e1 = enc.encode(["the quick brown fox", "completely different words"])
+    e2 = TextEmbedder().encode(["the quick brown fox",
+                                "completely different words"])
+    assert np.allclose(e1, e2)
+    assert np.allclose(np.linalg.norm(e1, axis=1), 1.0)
+    # identical texts -> identical vectors; different texts -> lower cosine
+    same = enc.encode(["the quick brown fox"] * 2)
+    assert np.allclose(same[0], same[1])
+    assert float(e1[0] @ e1[1]) < 0.99
+
+
+def test_text_embedder_real_mode_raises():
+    import pytest
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.embed import (
+        TextEmbedder,
+    )
+
+    with pytest.raises(NotImplementedError):
+        TextEmbedder(mode="real")
