@@ -236,6 +236,68 @@ def _q_lineitem_pricing(sf_dir: str):
     return agg.map_batches(round_cols, batch_format="pyarrow")
 
 
+def _q_lineitem_revenue_filter(sf_dir: str):
+    """TPC-H Q6 shape: selective filter + global sum.  The predicate is
+    passed to read_parquet as a pyarrow dataset filter, so row groups that
+    cannot match are pruned AT THE READ (prune-at-the-read contract)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    expr = (
+        (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24)
+    )
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=expr)
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.multiply(batch.column("l_extendedprice"),
+                         batch.column("l_discount"))],
+            names=["revenue"])
+
+    agg = ds.map_batches(revenue, batch_format="pyarrow") \
+            .aggregate(Sum("revenue", alias_name="revenue"))
+
+    import pandas as pd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    import numpy as np
+
+    return pd.DataFrame({"revenue": np_round_away(
+        np.array([agg["revenue"]], dtype=np.float64), 2)})
+
+
+def _q_events_value_quantiles(sf_dir: str):
+    """Per-type value quantiles (p50/p95/p99) — grouped order statistics via
+    map_groups; linear interpolation matches quantile_cont."""
+    import numpy as np
+    import pandas as pd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+
+    def quants(group: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(group["value"].to_numpy(dtype=np.float64))
+        qs = np_round_away(np.quantile(v, [0.5, 0.95, 0.99],
+                                       method="linear"), 6)
+        return pd.DataFrame({"event_type": [group["event_type"].iloc[0]],
+                             "p50": [qs[0]], "p95": [qs[1]], "p99": [qs[2]]})
+
+    return (_read(sf_dir, "events", columns=["event_type", "value"])
+            .groupby("event_type")
+            .map_groups(quants, batch_format="pandas"))
+
+
 def _q_orders_by_status(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -855,6 +917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_conversation_text": _q_transcripts_conversation_text,
         # relational operator parity on the driver's tables (SQL-oracled)
         "lineitem_pricing": _q_lineitem_pricing,
+        "lineitem_revenue_filter": _q_lineitem_revenue_filter,
+        "events_value_quantiles": _q_events_value_quantiles,
         "orders_by_status": _q_orders_by_status,
         "customer_revenue_topk": _q_customer_revenue_topk,
         "nation_customer_counts": _q_nation_customer_counts,
@@ -953,6 +1017,16 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_quantity), 4) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "lineitem_revenue_filter": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+        "events_value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type""",
         "orders_by_status": """
             SELECT o_orderstatus, count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS total_price
