@@ -393,3 +393,27 @@ def test_add_half_coarse_crossed_streams():
     # keep_same=False drops any variant where expansion changed nothing
     assert ("张三", "赶往", "北京机场") in svos(on, "crossed")
     assert ("张三", "赶往", "机场") not in svos(on, "crossed")
+
+
+# --- F / IC rules (extract.py:321-346) ---------------------------------------
+
+def test_f_rule_pair_and_mt_triple():
+    # bare F: (parent, F-node) pair (extract.py:330-331)
+    fine = extract_tuples({"word": ["去", "公园"], "head": [0, 1],
+                           "deprel": ["HED", "F"]}, coarse=False)
+    assert (([0, "去"], [1, "公园"]), "F") in fine
+    # MT token directly before the parent and headed by it -> 3-slot F
+    # (extract.py:326-329)
+    fine = extract_tuples({"word": ["在", "走", "屋里"], "head": [2, 0, 2],
+                           "deprel": ["MT", "HED", "F"]}, coarse=False)
+    assert (([0, "在"], [1, "走"], [2, "屋里"]), "F") in fine
+
+
+def test_ic_rule_phrase():
+    # IC node whose children are all MT/COO/IC -> Phrase; COO children emit
+    # their own Phrase (extract.py:334-346)
+    ddp = {"word": ["你好", "，", "再见", "走"], "head": [4, 1, 1, 0],
+           "deprel": ["IC", "MT", "COO", "HED"]}
+    fine = extract_tuples(ddp, coarse=False)
+    assert (([0, "你好"],), "Phrase") in fine
+    assert (([2, "再见"],), "Phrase") in fine
