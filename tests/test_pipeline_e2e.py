@@ -169,3 +169,29 @@ def test_sharded_triples_mid_stage_resume(ray_session):
     # merged metrics still cover every shard, not just the recomputed one
     assert m["metrics"]["extraction"]["n_triples"] == len(a)
     assert m["metrics"]["shards"] == 3
+
+
+def test_transient_task_failure_is_retried(ray_session):
+    """Lineage-based recovery: a map task that fails transiently (once per
+    worker process) is retried by Ray and the dataset still completes with
+    full results — the recovery story a preemptible cluster depends on.
+    Application exceptions need retry_exceptions in ray_remote_args; system
+    failures (worker death) are retried without opt-in."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    marker_dir = "/tmp/entgraph_test/flaky_markers"
+    shutil.rmtree(marker_dir, ignore_errors=True)
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def flaky(batch: pa.Table) -> pa.Table:
+        marker = os.path.join(marker_dir, f"pid-{os.getpid()}")
+        if not os.path.exists(marker):
+            with open(marker, "w") as fp:
+                fp.write("x")
+            raise IOError("injected transient failure")
+        return batch
+
+    ds = rd.range(10_000).map_batches(
+        flaky, batch_size=1000, retry_exceptions=[IOError], max_retries=3)
+    assert ds.count() == 10_000
