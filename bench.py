@@ -92,7 +92,10 @@ def main():
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     headline = _run_headline()
-    queries = _timed_queries()
+    if os.environ.get("GRAFT_SKIP_QUERIES"):
+        queries = {}
+    else:
+        queries = _timed_queries()
     queries["kg_pipeline"] = round(headline["sec"], 3)
 
     print(json.dumps({
@@ -113,7 +116,10 @@ def scaling():
     """Same pipeline at num_cpus=8 and 32 in fresh processes."""
     results = {}
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # per-query timings don't enter the efficiency ratio — skip them in
+        # the legs to shorten each run's exposure to VM timing noise
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SKIP_QUERIES="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
