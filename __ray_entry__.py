@@ -276,6 +276,21 @@ def _q_lineitem_revenue_filter(sf_dir: str):
         np.array([agg["revenue"]], dtype=np.float64), 2)})
 
 
+def _q_events_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct count (stages/sketch.py) — shuffle-
+    free sketch reduction; rows-only (estimator differs from DuckDB's own
+    HLL, exactness is the unit test's ±5% bound)."""
+    import pandas as pd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        approx_distinct,
+    )
+
+    est = approx_distinct(_read(sf_dir, "events", columns=["user_id"]),
+                          "user_id")
+    return pd.DataFrame({"approx_distinct_users": [round(float(est), 1)]})
+
+
 def _q_events_value_quantiles(sf_dir: str):
     """Per-type value quantiles (p50/p95/p99) — grouped order statistics via
     map_groups; linear interpolation matches quantile_cont."""
@@ -919,6 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "lineitem_revenue_filter": _q_lineitem_revenue_filter,
         "events_value_quantiles": _q_events_value_quantiles,
+        "events_approx_distinct_users": _q_events_approx_distinct_users,
         "orders_by_status": _q_orders_by_status,
         "customer_revenue_topk": _q_customer_revenue_topk,
         "nation_customer_counts": _q_nation_customer_counts,

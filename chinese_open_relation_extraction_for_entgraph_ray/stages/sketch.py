@@ -1,0 +1,88 @@
+"""Mergeable sketches: HyperLogLog approximate distinct count.
+
+The task brief lists "a novel sketch" among custom operators Ray Data lacks.
+HLL is the workhorse for 100-TB distinct counts: per-batch register arrays
+(4096 x uint8 at p=12, ~1.6% standard error) merge by elementwise max — an
+associative, commutative reduction, so the shape is map_batches (one register
+row per batch) -> two-level merge (coalesce -> merge per block -> final
+merge), never a shuffle of the raw values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+HLL_P = 12
+HLL_M = 1 << HLL_P        # 4096 registers
+_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def _hash64(value: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(value.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def hll_registers(values) -> np.ndarray:
+    """Register array for an iterable of strings."""
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    for v in values:
+        h = _hash64("" if v is None else str(v))
+        idx = h >> (64 - HLL_P)
+        rest = h & ((1 << (64 - HLL_P)) - 1)
+        # rank = leading zeros of the remaining 52 bits + 1
+        rank = (64 - HLL_P) - rest.bit_length() + 1
+        if rank > regs[idx]:
+            regs[idx] = rank
+    return regs
+
+
+def hll_merge(reg_rows: np.ndarray) -> np.ndarray:
+    """(k, M) register rows -> elementwise max."""
+    return reg_rows.max(axis=0).astype(np.uint8)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with small-range (linear counting) and
+    large-range corrections."""
+    regs = regs.astype(np.float64)
+    est = _ALPHA * HLL_M * HLL_M / np.sum(2.0 ** -regs)
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * HLL_M and zeros:
+        return HLL_M * np.log(HLL_M / zeros)      # linear counting
+    if est > (1 << 64) / 30.0:                     # pragma: no cover
+        return -(1 << 64) * np.log(1 - est / (1 << 64))
+    return est
+
+
+def approx_distinct(ds, column: str):
+    """Dataset -> approximate distinct count of ``column`` (float).
+
+    Shuffle-free: per-batch registers -> per-block merge -> final merge of
+    one 4 KB row per block."""
+
+    def batch_regs(batch: pa.Table) -> pa.Table:
+        regs = hll_registers(batch.column(column).to_pylist())
+        return pa.Table.from_arrays(
+            [pa.array([regs.tolist()], pa.list_(pa.uint8(), HLL_M))],
+            names=["regs"])
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        rows = np.asarray(batch.column("regs").to_pylist(), dtype=np.uint8)
+        return pa.Table.from_arrays(
+            [pa.array([hll_merge(rows).tolist()],
+                      pa.list_(pa.uint8(), HLL_M))],
+            names=["regs"])
+
+    merged = (ds.map_batches(batch_regs, batch_format="pyarrow",
+                             batch_size=65536)
+              .repartition(8)
+              .map_batches(merge_block, batch_format="pyarrow",
+                           batch_size=None)
+              .repartition(1)
+              .map_batches(merge_block, batch_format="pyarrow",
+                           batch_size=None))
+    final = np.asarray(merged.take_all()[0]["regs"], dtype=np.uint8)
+    return hll_estimate(final)

@@ -300,3 +300,39 @@ def test_text_embedder_real_mode_raises():
 
     with pytest.raises(NotImplementedError):
         TextEmbedder(mode="real")
+
+
+def test_hll_estimate_accuracy():
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    vals = [f"item-{i}" for i in range(50_000)]
+    est = hll_estimate(hll_registers(vals))
+    assert abs(est - 50_000) / 50_000 < 0.05
+    # merge of two halves == registers of the union (mergeability)
+    import numpy as np
+
+    a = hll_registers(vals[:30_000])
+    b = hll_registers(vals[20_000:])     # overlapping halves
+    merged = hll_merge(np.stack([a, b]))
+    assert np.array_equal(merged, hll_registers(vals))
+    # small range: linear counting stays near-exact
+    small = hll_estimate(hll_registers([f"x{i}" for i in range(100)]))
+    assert abs(small - 100) < 5
+
+
+def test_approx_distinct_dataset(ray_session):
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        approx_distinct,
+    )
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/events.parquet",
+                         columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    # 150 distinct users; small-range linear counting should be near-exact
+    assert abs(est - 150) < 8, est
