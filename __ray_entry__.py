@@ -3,21 +3,27 @@
 Ray is initialised by the driver BEFORE this module is imported; nothing here
 calls ray.init()/ray.shutdown().
 
-Query families (SURVEY.md §2 coverage):
-- kg_*               — the flagship KG-construction pipeline over the
-                       deterministic synthetic transcripts (non-SQL-expressible
-                       rule cascade -> rows-only checks, except the transcript-
-                       level relational queries which have SQL oracles).
-- lineitem/orders/…  — relational operator parity (groupby/agg, broadcast
-                       join, sort+limit, windowed sessionization) on the
-                       driver's TPC-H-ish tables, all SQL-oracled.
-- docs_*             — training-data text ops (token stats, quality, lang-ID,
-                       fingerprints, exact dedup, deterministic sampling), all
-                       SQL-oracled via matching RE2 regexes / md5.
-- minhash_* simhash_* embedding_* — near-dup suites (rows-only; sketch-based,
-                       not SQL-expressible).
-- similarity_topk    — brute-force cosine top-k with a DuckDB
-                       list_cosine_similarity oracle.
+Query families (SURVEY.md §2 + §8 coverage; 50 queries, 29 with exact DuckDB
+oracles, the rest rows-only where SQL can't express the op):
+- kg_*                — the flagship KG pipeline over the deterministic
+                        synthetic transcripts (rule cascade -> rows-only),
+                        plus stats/sample/reject side outputs.
+- transcripts_*       — transcript-table relational queries incl. ordered
+                        conversation assembly (string_agg ORDER BY oracle)
+                        and the mention-label histogram (shared RE2 regex).
+- lineitem/orders/…   — relational parity: groupby/agg, broadcast joins
+                        (1- and 2-hop), sort+limit, grouped top-k
+                        (ROW_NUMBER), sessionization, sliding windows,
+                        as-of join (native ASOF oracle), range-band join,
+                        quantiles (quantile_cont), filtered-read agg,
+                        HLL approx-distinct (rows-only).
+- docs_*              — training-data ops: token/quality/lang/fingerprint
+                        stats, exact dedup, deterministic sampling, curation
+                        pipeline, Jaccard near-dups, hash-embedding search.
+- minhash_*/simhash_*/embedding_* — near-dup sketch suites (rows-only).
+- similarity_topk[_ivf] — brute-force (list_cosine_similarity oracle) and
+                        IVF approximate top-k.
+- multimodal_*        — image/video/audio payload plumbing (stubbed decode).
 """
 
 from __future__ import annotations
