@@ -718,6 +718,26 @@ def _q_docs_deterministic_sample(sf_dir: str):
         .map_batches(sample, batch_format="pyarrow")
 
 
+def _q_docs_train_val_split(sf_dir: str):
+    """Deterministic content-hash train/val split (the standard leakage-free
+    split for training corpora): md5(text) first hex digit routes ~1/16 of
+    docs to val, rest to train."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def split(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        splits = ["val" if hashlib.md5((t or "").encode()).hexdigest()[0] == "f"
+                  else "train" for t in texts]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(splits, pa.string())],
+            names=["doc_id", "split"])
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(split, batch_format="pyarrow")
+
+
 def _q_embeddings_norms(sf_dir: str):
     from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
         embedding_norms,
@@ -961,6 +981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprints": _q_docs_fingerprints,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_deterministic_sample": _q_docs_deterministic_sample,
+        "docs_train_val_split": _q_docs_train_val_split,
         # embeddings (norms SQL-oracled; similarity SQL-oracled via
         # list_cosine_similarity)
         "embeddings_norms": _q_embeddings_norms,
@@ -1162,6 +1183,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)""",
         "docs_deterministic_sample": """
             SELECT doc_id FROM documents WHERE substr(md5(text), 1, 1) = '0'""",
+        "docs_train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(text), 1, 1) = 'f' THEN 'val'
+                        ELSE 'train' END AS split
+            FROM documents""",
         "docs_curation_exact": rf"""
             WITH f AS (
               SELECT doc_id, text,
