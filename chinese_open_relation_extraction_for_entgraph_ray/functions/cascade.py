@@ -35,6 +35,7 @@ from .lexicon import (
     ARG_LEN_THRESHOLD,
     COPULA_PREDS,
     FILTER_REL_CAP,
+    NCT_COPULA_PREDS,
     MODIF_NOUN_POS,
     NEG_ADV_WORDS,
     NEG_CMP_WORDS,
@@ -835,7 +836,9 @@ def convert_nct(rels: list, ddp: dict, *, copular=False, tense=False,
     if copular:
         out = []
         for rel in rels:
-            if rel[1] == "SVO" and rel[0][1] in COPULA_PREDS:
+            # check_nct's LOCAL cop_pred_set excludes 达/高达 (reference
+            # dudepparse.py:1556), unlike the amendment-stage COPULA_PREDS
+            if rel[1] == "SVO" and rel[0][1] in NCT_COPULA_PREDS:
                 out.append(((rel[0][0], f"{rel[0][1]}·{rel[0][2]}", None),
                             rel[1], rel[2]))
             else:

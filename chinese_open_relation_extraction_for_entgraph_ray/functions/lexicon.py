@@ -41,6 +41,10 @@ COPULA_PREDS = {
     "却是", "只是", "算是", "竟是", "便是", "无疑是", "乃是", "并且是", "达", "高达",
 }
 
+# check_nct's copular conversion uses its own LOCAL set WITHOUT 达/高达
+# (reference dudepparse.py:1556 vs the amendment-stage set at :435-436)
+NCT_COPULA_PREDS = COPULA_PREDS - {"达", "高达"}
+
 # CTB-ish POS acceptability lists (reference dudepparse.py:440-442)
 ACCEPTABLE_POS = ["FW", "NN", "NR", "NT", "PN", "VV"]
 NOUN_POS = ["FW", "NN", "NR", "NT", "PN"]

@@ -79,6 +79,9 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
     from ..functions.cascade import DEFAULT_CONFIG
 
     cfg = config or DEFAULT_CONFIG
+    if parse_concurrency is not None and parse_concurrency < 1:
+        raise ValueError(f"parse_concurrency must be >= 1 or None, "
+                         f"got {parse_concurrency!r}")
     if parse_concurrency is None:
         # leave headroom for the task operators feeding/draining the pool —
         # an actor pool sized to the whole cluster starves them (observed

@@ -29,21 +29,64 @@ import pyarrow as pa
 
 _KH, _KL, _KIND = "__gh_hi", "__gh_lo", "__gh_kind"
 
+# two independent hash seeds -> two independent 64-bit hashes = a 128-bit
+# combined key (collisions negligible at billions of groups).  polars'
+# Series.hash is full-buffer (embedded NUL-safe, unlike pandas' strlen-based
+# object hashing) and deterministic across worker processes.
+_HASH_SEED_HI = 0x51A3
+_HASH_SEED_LO = 0xC0DE
+
+
+def _joined_key_strings(batch: pa.Table, key_cols: list[str]) -> pa.Array:
+    """One string per row encoding the key tuple.  Each component carries a
+    validity marker byte ('v'/'n') BEFORE its value, so a null key value and
+    an empty string hash differently (groupby keeps them distinct)."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for c in key_cols:
+        col = batch.column(c)
+        s = pc.fill_null(col.cast(pa.string()), "")
+        marker = pc.if_else(pc.is_valid(col),
+                            pa.scalar("v"), pa.scalar("n"))
+        parts.append(marker)
+        parts.append(s)
+    if len(parts) == 2:
+        return pc.binary_join_element_wise(parts[0], parts[1], "\x00")
+    return pc.binary_join_element_wise(*parts, "\x00")
+
 
 def _add_key_hash(batch: pa.Table, key_cols: list[str]) -> pa.Table:
+    """Append the 128-bit key hash as two int64 columns — fully vectorized
+    (arrow cast/join + pandas' C siphash), no per-row Python in the hot
+    aggregate path."""
+    import numpy as np
+
     if batch.num_rows == 0:
         return batch.append_column(_KH, pa.array([], pa.int64())) \
                     .append_column(_KL, pa.array([], pa.int64()))
-    key_lists = [batch.column(c).to_pylist() for c in key_cols]
-    his, los = [], []
-    for vals in zip(*key_lists):
-        d = hashlib.blake2b(
-            "\x00".join("" if v is None else str(v) for v in vals).encode(),
-            digest_size=16).digest()
-        his.append(int.from_bytes(d[:8], "big") - (1 << 63))
-        los.append(int.from_bytes(d[8:], "big") - (1 << 63))
-    return batch.append_column(_KH, pa.array(his, pa.int64())) \
-                .append_column(_KL, pa.array(los, pa.int64()))
+    try:
+        joined = _joined_key_strings(batch, key_cols)
+    except pa.ArrowNotImplementedError:
+        # non-string-castable key type (e.g. nested) — per-row fallback
+        key_lists = [batch.column(c).to_pylist() for c in key_cols]
+        his, los = [], []
+        for vals in zip(*key_lists):
+            d = hashlib.blake2b(
+                "\x00".join(("v" + str(v)) if v is not None else "n"
+                            for v in vals).encode(),
+                digest_size=16).digest()
+            his.append(int.from_bytes(d[:8], "big") - (1 << 63))
+            los.append(int.from_bytes(d[8:], "big") - (1 << 63))
+        return batch.append_column(_KH, pa.array(his, pa.int64())) \
+                    .append_column(_KL, pa.array(los, pa.int64()))
+    import polars as pl
+
+    ser = pl.from_arrow(joined)
+    hi = ser.hash(seed=_HASH_SEED_HI).to_numpy()
+    lo = ser.hash(seed=_HASH_SEED_LO).to_numpy()
+    return batch.append_column(_KH, pa.array(hi.view(np.int64), pa.int64())) \
+                .append_column(_KL, pa.array(lo.view(np.int64), pa.int64()))
 
 
 def _pa_aggregate(batch: pa.Table, key_cols: list[str],

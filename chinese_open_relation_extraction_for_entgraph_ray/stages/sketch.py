@@ -84,5 +84,8 @@ def approx_distinct(ds, column: str):
               .repartition(1)
               .map_batches(merge_block, batch_format="pyarrow",
                            batch_size=None))
-    final = np.asarray(merged.take_all()[0]["regs"], dtype=np.uint8)
+    rows = merged.take_all()
+    if not rows:           # empty input -> no register rows -> 0 distinct
+        return 0.0
+    final = np.asarray(rows[0]["regs"], dtype=np.uint8)
     return hll_estimate(final)

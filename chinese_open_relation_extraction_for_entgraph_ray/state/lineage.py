@@ -34,15 +34,40 @@ def parquet_files(directory: str) -> list[str]:
                             recursive=True))
 
 
+# (task_id -> next call sequence) for deterministic metric-file naming; a
+# retried task re-runs with the SAME task id and a fresh counter, so its
+# files overwrite the originals instead of double-counting
+_EMIT_SEQ: dict = {}
+
+
+def _emit_name(metrics_dir: str) -> str:
+    try:
+        import ray
+
+        task_id = ray.get_runtime_context().get_task_id() or ""
+    except Exception:
+        task_id = ""
+    if not task_id:
+        import uuid
+
+        return os.path.join(metrics_dir, f"part-{uuid.uuid4().hex}.json")
+    if len(_EMIT_SEQ) > 4096:      # bound long-lived-worker state
+        _EMIT_SEQ.clear()
+    seq = _EMIT_SEQ.get(task_id, 0)
+    _EMIT_SEQ[task_id] = seq + 1
+    return os.path.join(metrics_dir, f"part-{task_id}-{seq:04d}.json")
+
+
 def emit_partition_metrics(metrics_dir: str, record: dict) -> None:
     """Append one partition's metrics record to the checkpoint store — called
     from INSIDE map tasks (each task writes its own file; on a cluster this
     directory lives on shared storage).  The north-rule per-partition
-    'extraction-count metrics' emission."""
-    import uuid
-
+    'extraction-count metrics' emission.  Files are named by (task id,
+    call sequence) so Ray task retries overwrite their own records rather
+    than appending duplicates (the reference's once-per-slice merge_dict
+    semantics, merge_parsed_results.py:8-14)."""
     os.makedirs(metrics_dir, exist_ok=True)
-    path = os.path.join(metrics_dir, f"part-{uuid.uuid4().hex}.json")
+    path = _emit_name(metrics_dir)
     tmp = path + ".tmp"
     with open(tmp, "w") as fp:
         json.dump(record, fp, ensure_ascii=False)

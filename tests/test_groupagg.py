@@ -48,6 +48,39 @@ def test_sorted_hash_aggregate_matches_reference(ray_session, n_keys, n_rows,
     assert [dict(g) for g in got] == want
 
 
+def test_key_hash_null_distinct_from_empty_string(ray_session):
+    """A null key value and '' must stay separate groups (ADVICE r1: the old
+    encoding mapped both to the same hash)."""
+    import ray.data as rd
+
+    tbl = pa.table({"k": pa.array([None, "", None, ""], pa.string()),
+                    "w": [1, 10, 2, 20]})
+    ds = rd.from_arrow(tbl)
+    got = sorted(sorted_hash_aggregate(ds, ["k"], [("w", "sum")]).take_all(),
+                 key=lambda r: (r["k"] is None, str(r["k"])))
+    assert [(r["k"], r["w"]) for r in got] == [("", 30), (None, 3)]
+
+
+def test_key_hash_vectorized_matches_rowwise_semantics():
+    """The vectorized hash must give one distinct (hi, lo) per distinct key
+    tuple and identical hashes for equal tuples across batches."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        _KH,
+        _KL,
+        _add_key_hash,
+    )
+
+    t1 = pa.table({"a": ["x", "y", None, "x"], "b": [1, 2, 3, 1]})
+    t2 = pa.table({"a": ["x", None], "b": [1, 3]})
+    h1 = _add_key_hash(t1, ["a", "b"])
+    h2 = _add_key_hash(t2, ["a", "b"])
+    key1 = list(zip(h1.column(_KH).to_pylist(), h1.column(_KL).to_pylist()))
+    key2 = list(zip(h2.column(_KH).to_pylist(), h2.column(_KL).to_pylist()))
+    assert key1[0] == key1[3] == key2[0]      # ("x", 1) everywhere
+    assert key1[2] == key2[1]                 # (None, 3)
+    assert len({key1[0], key1[1], key1[2]}) == 3
+
+
 def test_sorted_hash_aggregate_rejects_nonreaggregatable(ray_session):
     import ray.data as rd
 
