@@ -167,11 +167,18 @@ def _q_transcripts_mention_labels(sf_dir: str):
 
 
 def _q_transcripts_conversation_text(sf_dir: str):
-    """Ordered conversation assembly: groupby(conv_id) with turns re-sorted
-    by turn_idx inside the group (NEVER by block order) -> newline-joined
-    conversation text.  The north-rule stable-turn-ordering contract,
-    oracled by string_agg(... ORDER BY turn_idx)."""
+    """Ordered conversation assembly: turns re-sorted by turn_idx inside the
+    group (NEVER by block order) -> newline-joined conversation text.  The
+    north-rule stable-turn-ordering contract, oracled by
+    string_agg(... ORDER BY turn_idx).  Runs through the sorted-block
+    grouped-apply operator (stages/blockgroup.py) — one sort, no per-group
+    dispatch for the millions of conversations at scale."""
     import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
 
     def assemble(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("turn_idx")
@@ -184,9 +191,11 @@ def _q_transcripts_conversation_text(sf_dir: str):
     tdir = _transcripts_dir(sf_dir)
     import ray.data as rd
 
-    return (rd.read_parquet(tdir, columns=["conv_id", "turn_idx", "text"])
-            .groupby("conv_id")
-            .map_groups(assemble, batch_format="pandas"))
+    return sorted_map_groups(
+        rd.read_parquet(tdir, columns=["conv_id", "turn_idx", "text"]),
+        ["conv_id"], assemble,
+        schema=pa.schema([("conv_id", pa.string()), ("n_turns", pa.int64()),
+                          ("conversation", pa.string())]))
 
 
 def _q_transcripts_turn_stats(sf_dir: str):
@@ -307,6 +316,12 @@ def _q_events_value_quantiles(sf_dir: str):
         np_round_away,
     )
 
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+
     def quants(group: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(group["value"].to_numpy(dtype=np.float64))
         qs = np_round_away(np.quantile(v, [0.5, 0.95, 0.99],
@@ -314,9 +329,11 @@ def _q_events_value_quantiles(sf_dir: str):
         return pd.DataFrame({"event_type": [group["event_type"].iloc[0]],
                              "p50": [qs[0]], "p95": [qs[1]], "p99": [qs[2]]})
 
-    return (_read(sf_dir, "events", columns=["event_type", "value"])
-            .groupby("event_type")
-            .map_groups(quants, batch_format="pandas"))
+    return sorted_map_groups(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        ["event_type"], quants,
+        schema=pa.schema([("event_type", pa.string()), ("p50", pa.float64()),
+                          ("p95", pa.float64()), ("p99", pa.float64())]))
 
 
 def _q_orders_by_status(sf_dir: str):
@@ -435,9 +452,14 @@ def _q_events_user_topk(sf_dir: str):
 
 def _q_events_sessions(sf_dir: str):
     """Windowed op: per-user session count with a 30-minute inactivity gap
-    (groupby(key).map_groups over ts-sorted groups — the streaming-shaped
-    pattern; ordering contract stated in SURVEY.md §2.6)."""
+    over ts-sorted groups (ordering contract stated in SURVEY.md §2.6);
+    sorted-block grouped apply — no per-user dispatch at 10^8 users."""
     import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["ts", "event_id"])
@@ -447,8 +469,11 @@ def _q_events_sessions(sf_dir: str):
                              "n_sessions": [n_sessions],
                              "n_events": [len(g)]})
 
-    return (_read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
-            .groupby("user_id").map_groups(sessions, batch_format="pandas"))
+    return sorted_map_groups(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"]),
+        ["user_id"], sessions,
+        schema=pa.schema([("user_id", pa.int64()), ("n_sessions", pa.int64()),
+                          ("n_events", pa.int64())]))
 
 
 def _q_events_purchase_attribution(sf_dir: str):
@@ -608,8 +633,13 @@ def _q_supplier_region_stats(sf_dir: str):
 
 def _q_orders_topk_per_customer(sf_dir: str):
     """Grouped top-k (ROW_NUMBER analog): each customer's 2 highest-value
-    orders via groupby(key).map_groups over value-sorted groups."""
+    orders over value-sorted groups; sorted-block grouped apply."""
     import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
 
     def topk(group: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -626,10 +656,14 @@ def _q_orders_topk_per_customer(sf_dir: str):
         out["rank"] = range(1, len(g) + 1)
         return out
 
-    return (_read(sf_dir, "orders",
-                  columns=["o_custkey", "o_orderkey", "o_totalprice"])
-            .groupby("o_custkey")
-            .map_groups(topk, batch_format="pandas"))
+    return sorted_map_groups(
+        _read(sf_dir, "orders",
+              columns=["o_custkey", "o_orderkey", "o_totalprice"]),
+        ["o_custkey"], topk,
+        schema=pa.schema([("o_custkey", pa.int64()),
+                          ("o_orderkey", pa.int64()),
+                          ("o_totalprice", pa.float64()),
+                          ("rank", pa.int64())]))
 
 
 def _q_docs_lang_stats(sf_dir: str):

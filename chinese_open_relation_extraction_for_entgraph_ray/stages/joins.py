@@ -6,11 +6,11 @@ row's timestamp within the same ``by`` key (classic event-attribution /
 point-in-time-correctness join).
 
 Implementation: both sides are tagged and unioned into one schema, then ONE
-``groupby(by).map_groups`` sorts each key group by (ts, side) and
-forward-fills the right payload onto left rows — a merge-scan, not a nested
-loop.  Partitioning assumption: one ``by`` group fits in a worker (same
-assumption as any keyed map_groups; salt/split by time range if a single key
-is bigger than a worker's heap)."""
+sort by the key routes each key group through a merge-scan (pandas
+``merge_asof``) — executed block-wise via the sorted-block grouped apply
+(``stages/blockgroup.py``), so there is no per-key Python dispatch at 10^8+
+keys.  Partitioning assumption: one ``by`` group fits in a worker
+(salt/split by time range if a single key is bigger than a worker's heap)."""
 
 from __future__ import annotations
 
@@ -63,7 +63,12 @@ def asof_join(left_ds, right_ds, *, by: str, ts: str,
         return pd.merge_asof(lf, rt, on=ts, direction="backward",
                              allow_exact_matches=True)
 
+    from .blockgroup import sorted_map_groups
+
     tagged_left = left_ds.map_batches(tag_left, batch_format="pyarrow")
     tagged_right = right_ds.map_batches(tag_right, batch_format="pyarrow")
     unioned = tagged_left.union(tagged_right)
-    return unioned.groupby(by).map_groups(merge_scan, batch_format="pandas")
+    out_schema = pa.schema(
+        [(c, left_type[c]) for c in left_cols]
+        + [(oc, right_type[c]) for c, oc in zip(right_payload, payload_out)])
+    return sorted_map_groups(unioned, [by], merge_scan, schema=out_schema)
