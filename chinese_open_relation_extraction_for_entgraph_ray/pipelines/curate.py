@@ -7,11 +7,12 @@ flow a 100-TB training-data job runs, chaining the document operators:
     -> near-dup removal (MinHash-LSH candidates, Jaccard-verified,
        drop the higher doc_id of each duplicate pair)
 
-Shuffle shape: ONE md5 groupby + the MinHash sort; everything else is
-streaming map_batches.  The near-dup drop set is collected to the driver and
-broadcast — it is bounded by the number of verified duplicate pairs, which at
-any scale is a small fraction of the corpus (and the classic way this is done
-in production dedup pipelines).
+Shuffle shape: the md5 groupby, the MinHash sort, and the keyed sorted-block
+joins that replace every driver-side id-set broadcast: the exact-dedup
+survivor set (which is ~the whole corpus — O(corpus) driver state if
+collected) reaches the docs via a distributed semi-join, and the near-dup
+drop set via a distributed anti-join (``stages/joins.semi_join``).  Nothing
+corpus-proportional ever lands on the driver.
 """
 
 from __future__ import annotations
@@ -71,23 +72,21 @@ def curate_step1_exact(docs_ds, **filter_kwargs):
 
 def curate_documents(docs_ds, *, jaccard_threshold: float = 0.5,
                      **filter_kwargs):
-    """Full curation: returns the curated documents Dataset (doc_id, text)."""
-    import ray
+    """Full curation: returns the curated documents Dataset (doc_id, text).
 
-    survivors = curate_step1_exact(docs_ds, **filter_kwargs).materialize()
-    keep_ids = pa.array(
-        sorted(r["keep_doc_id"] for r in survivors.take_all()), pa.int64())
+    Survivor selection and near-dup removal are distributed keyed joins —
+    no ``take_all()`` over corpus-proportional data anywhere on the path."""
+    from ..stages.joins import semi_join
 
-    def only_survivors(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column("doc_id"),
-                                     value_set=keep_ids))
-
-    kept = docs_ds.map_batches(only_survivors, batch_format="pyarrow")
-    dup_pairs = jaccard_near_dups(kept, threshold=jaccard_threshold).take_all()
-    drop = pa.array(sorted({r["b"] for r in dup_pairs}), pa.int64())
-
-    def drop_near_dups(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.invert(pc.is_in(batch.column("doc_id"),
-                                               value_set=drop)))
-
-    return kept.map_batches(drop_near_dups, batch_format="pyarrow")
+    survivors = curate_step1_exact(docs_ds, **filter_kwargs) \
+        .map_batches(lambda b: b.select(["keep_doc_id"]),
+                     batch_format="pyarrow")
+    kept = semi_join(docs_ds, survivors,
+                     left_key="doc_id", right_key="keep_doc_id") \
+        .materialize()   # consumed twice: near-dup candidate gen + anti-join
+    drop_ids = (jaccard_near_dups(kept, threshold=jaccard_threshold)
+                .map_batches(lambda b: b.select(["b"]),
+                             batch_format="pyarrow")
+                .materialize())   # bounded by verified duplicate pairs
+    return semi_join(kept, drop_ids, left_key="doc_id", right_key="b",
+                     anti=True)

@@ -267,43 +267,36 @@ def minhash_candidate_pairs(docs_ds):
 
 
 def jaccard_near_dups(docs_ds, threshold: float = 0.5, k: int = 3):
-    """MinHash-LSH candidates verified by exact word-k-shingle Jaccard.
+    """MinHash-LSH candidates verified by exact word-k-shingle Jaccard —
+    fully distributed.
 
-    The candidate set is small by construction (LSH prunes the n^2 space),
-    so verification broadcasts only the candidate documents' texts: the
-    distributed side filters docs to candidate ids (predicate pushed into
-    map_batches), the collected slice is put in the object store once, and
-    each pair batch computes exact Jaccard against it."""
-    import ray
+    The candidate texts are attached to the pair rows via two keyed
+    sorted-block lookup joins (pair.a -> text, then pair.b -> text;
+    ``stages/joins.lookup_join``), so NOTHING corpus- or
+    candidate-proportional is ever collected to the driver — at 100 TB the
+    near-dup candidate set is a double-digit fraction of the corpus, which
+    ruled out the classic collect+broadcast shape."""
+    pairs = (minhash_candidate_pairs(docs_ds)
+             .map_batches(lambda b: b.select(["a", "b"]),
+                          batch_format="pyarrow")
+             .materialize())   # small vs corpus; avoids schema() re-execution
 
-    pairs = minhash_candidate_pairs(docs_ds).materialize()
-    cand_rows = pairs.take_all()
-    cand_ids = {r["a"] for r in cand_rows} | {r["b"] for r in cand_rows}
-    if not cand_ids:
-        return pairs.map_batches(
-            lambda b: pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64()),
-                 pa.array([], pa.float64())],
-                names=["a", "b", "jaccard"]),
-            batch_format="pyarrow")
+    from .joins import lookup_join
 
-    id_arr = pa.array(sorted(cand_ids), pa.int64())
-
-    def keep_candidates(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.filter(pc.is_in(batch.column("doc_id"), value_set=id_arr))
-
-    cand_docs = docs_ds.map_batches(keep_candidates,
-                                    batch_format="pyarrow").take_all()
-    text_ref = ray.put({r["doc_id"]: r["text"] for r in cand_docs})
+    docs = docs_ds.map_batches(lambda b: b.select(["doc_id", "text"]),
+                               batch_format="pyarrow")
+    with_a = lookup_join(pairs, docs, left_key="a", right_key="doc_id",
+                         payload=["text"], suffix="_a", how="inner")
+    with_ab = lookup_join(with_a, docs, left_key="b", right_key="doc_id",
+                          payload=["text"], suffix="_b", how="inner")
 
     def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(text_ref)
         out_a, out_b, out_j = [], [], []
-        for a, b in zip(batch.column("a").to_pylist(),
-                        batch.column("b").to_pylist()):
-            j = jaccard(texts.get(a, ""), texts.get(b, ""), k)
+        for a, b, ta, tb in zip(batch.column("a").to_pylist(),
+                                batch.column("b").to_pylist(),
+                                batch.column("text_a").to_pylist(),
+                                batch.column("text_b").to_pylist()):
+            j = jaccard(ta or "", tb or "", k)
             if j >= threshold:
                 out_a.append(a)
                 out_b.append(b)
@@ -313,4 +306,4 @@ def jaccard_near_dups(docs_ds, threshold: float = 0.5, k: int = 3):
              pa.array(out_j, pa.float64())],
             names=["a", "b", "jaccard"])
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return with_ab.map_batches(verify, batch_format="pyarrow")

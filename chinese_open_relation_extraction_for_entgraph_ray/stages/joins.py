@@ -16,6 +16,131 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+_JK, _JSIDE = "__jk", "__jside"
+
+
+def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
+                           right_key: str, payload: list[str],
+                           suffix: str, mode: str):
+    """Distributed equi-join via the sorted-block pattern (no driver-side
+    key sets, no broadcast): tag + union both sides, ONE sort by the join
+    key, then a vectorized pandas merge/isin per block; only each block's
+    first/last key (which may straddle a block boundary — at most 2 per
+    block, independent of data size) is routed through a tiny second pass
+    that sees each straddling key whole.
+
+    ``mode``: 'inner' / 'left' attach ``payload`` columns (as
+    ``<col><suffix>``) of the matching right row — right keys are assumed
+    UNIQUE (a lookup side), duplicates would multiply left rows exactly as
+    in SQL; 'semi' / 'anti' keep left rows with / without a right match and
+    attach nothing.  The exchange is the two-side sort — the same cost as a
+    hash join's shuffle, with no skew sensitivity beyond a single key
+    needing to fit in a worker."""
+    import pandas as pd
+
+    if mode not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unknown join mode {mode!r}")
+    ls = left_ds.schema()
+    rs = right_ds.schema()
+    if ls is None or rs is None:
+        raise ValueError(
+            "equijoin requires both sides to have a known schema (an empty "
+            "dataset from a row-based filter() loses its schema — produce "
+            "empties via map_batches/arrow instead)")
+    left_cols = list(ls.names)
+    left_type = dict(zip(ls.names, ls.types))
+    right_type = dict(zip(rs.names, rs.types))
+    payload_out = [f"{c}{suffix}" for c in payload]
+    key_type = left_type[left_key]
+    order = [_JK, _JSIDE] + left_cols + payload_out
+    with_payload = mode in ("inner", "left")
+    out_fields = [(c, left_type[c]) for c in left_cols]
+    if with_payload:
+        out_fields += [(oc, right_type[c])
+                       for c, oc in zip(payload, payload_out)]
+    out_schema = pa.schema(out_fields)
+    out_cols = [f[0] for f in out_fields]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in left_cols}
+        cols[_JK] = batch.column(left_key).cast(key_type)
+        cols[_JSIDE] = pa.array([1] * batch.num_rows, pa.int8())
+        for c, oc in zip(payload, payload_out):
+            cols[oc] = pa.nulls(batch.num_rows, right_type[c])
+        return pa.Table.from_arrays([cols[c] for c in order], names=order)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {_JK: batch.column(right_key).cast(key_type),
+                _JSIDE: pa.array([0] * n, pa.int8())}
+        for c in left_cols:
+            cols[c] = pa.nulls(n, left_type[c])
+        for c, oc in zip(payload, payload_out):
+            cols[oc] = batch.column(c)
+        return pa.Table.from_arrays([cols[c] for c in order], names=order)
+
+    def block_join(df: pd.DataFrame, skip_edges: bool = True) -> pa.Table:
+        if len(df):
+            if skip_edges:
+                jk = df[_JK].to_numpy()
+                df = df[~((jk == jk[0]) | (jk == jk[-1]))]
+        if not len(df):
+            return out_schema.empty_table()
+        lefts = df[df[_JSIDE] == 1]
+        rights = df[df[_JSIDE] == 0]
+        if mode in ("semi", "anti"):
+            m = lefts[_JK].isin(rights[_JK].unique())
+            out = lefts[m if mode == "semi" else ~m][left_cols]
+        else:
+            out = lefts[left_cols + [_JK]].merge(
+                rights[[_JK] + payload_out], on=_JK,
+                how="inner" if mode == "inner" else "left")[out_cols]
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
+
+    def edge_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        jk = batch.column(_JK)
+        return batch.filter(pc.or_(pc.equal(jk, jk[0]),
+                                   pc.equal(jk, jk[n - 1])))
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow"))
+    sorted_ds = tagged.sort([_JK, _JSIDE]).materialize()
+    inner = sorted_ds.map_batches(block_join, batch_format="pandas",
+                                  batch_size=None)
+    edges = (sorted_ds
+             .map_batches(edge_filter, batch_format="pyarrow",
+                          batch_size=None)
+             .repartition(1)
+             .map_batches(lambda df: block_join(df, skip_edges=False),
+                          batch_format="pandas", batch_size=None))
+    return inner.union(edges)
+
+
+def lookup_join(left_ds, right_ds, *, left_key: str, right_key: str,
+                payload: list[str], suffix: str = "_r", how: str = "inner"):
+    """Attach the (unique-keyed) right side's ``payload`` columns to every
+    left row by key equality — the distributed replacement for collecting a
+    lookup dict to the driver.  ``how``: 'inner' drops unmatched left rows,
+    'left' keeps them with null payload."""
+    return _sorted_block_equijoin(left_ds, right_ds, left_key=left_key,
+                                  right_key=right_key, payload=payload,
+                                  suffix=suffix, mode=how)
+
+
+def semi_join(left_ds, right_ds, *, left_key: str, right_key: str,
+              anti: bool = False):
+    """Keep left rows whose key does (semi) / does not (anti) appear in the
+    right side — the distributed replacement for take_all() + is_in."""
+    return _sorted_block_equijoin(left_ds, right_ds, left_key=left_key,
+                                  right_key=right_key, payload=[],
+                                  suffix="", mode="anti" if anti else "semi")
+
 
 def asof_join(left_ds, right_ds, *, by: str, ts: str,
               right_payload: list[str], suffix: str = "_right"):

@@ -1,0 +1,149 @@
+"""Distributed equi-join operators (lookup/semi/anti) and the join-based
+near-dup / curation paths: conformance vs single-process pandas references,
+and identity with the r1 collect+broadcast implementation on a fixture
+corpus (VERDICT r1 next-round item #1)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+    lookup_join,
+    semi_join,
+)
+
+
+def _fixture_corpus():
+    """Deterministic corpus with exact dups, near dups and unique docs."""
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm stone wall near the garden gate")
+    docs = []
+    for i in range(40):
+        words = base.split()
+        if i % 7 == 1:
+            words[3] = f"fox{i % 3}"          # near-dup cluster
+        elif i % 7 == 2:
+            words = words + [f"tail{i}"]      # near-dup (appended token)
+        elif i % 7 == 3:
+            words = [f"unique{i}-{j}" for j in range(20)]   # unrelated
+        docs.append({"doc_id": i, "text": " ".join(words)})
+    return docs
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_lookup_join_matches_pandas_merge(ray_session, how):
+    import ray.data as rd
+
+    left = [{"k": i % 13, "x": f"l{i}"} for i in range(300)]
+    right = [{"rk": k, "name": f"n{k}"} for k in range(0, 13, 2)]  # gaps
+    got = lookup_join(rd.from_items(left).repartition(7),
+                      rd.from_items(right),
+                      left_key="k", right_key="rk",
+                      payload=["name"], suffix="_r", how=how).take_all()
+    want = pd.DataFrame(left).merge(
+        pd.DataFrame(right).rename(columns={"rk": "k", "name": "name_r"}),
+        on="k", how=how)
+    got_t = sorted((r["k"], r["x"], r["name_r"]) for r in got)
+    want_t = sorted((r.k, r.x, None if pd.isna(r.name_r) else r.name_r)
+                    for r in want.itertuples(index=False))
+    assert got_t == want_t
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_semi_join_matches_isin(ray_session, anti):
+    import ray.data as rd
+
+    left = [{"k": i % 17, "x": i} for i in range(400)]
+    right = [{"rk": k} for k in [0, 3, 5, 11, 11, 16]]   # dup right keys ok
+    got = semi_join(rd.from_items(left).repartition(9),
+                    rd.from_items(right),
+                    left_key="k", right_key="rk", anti=anti).take_all()
+    ldf = pd.DataFrame(left)
+    m = ldf["k"].isin({0, 3, 5, 11, 16})
+    want = ldf[~m if anti else m]
+    assert sorted((r["k"], r["x"]) for r in got) == \
+        sorted((r.k, r.x) for r in want.itertuples(index=False))
+
+
+def test_jaccard_near_dups_matches_r1_collect_broadcast(ray_session):
+    """The distributed join-based verify must produce EXACTLY the pairs the
+    r1 collect+broadcast implementation produced (same candidates, same
+    jaccard values)."""
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        jaccard,
+        jaccard_near_dups,
+        minhash_candidate_pairs,
+    )
+
+    docs = _fixture_corpus()
+    ds = rd.from_items(docs).repartition(5)
+    got = sorted((r["a"], r["b"], r["jaccard"])
+                 for r in jaccard_near_dups(ds, threshold=0.5).take_all())
+
+    # r1 algorithm, single-process: collect candidate pairs, broadcast texts
+    pairs = minhash_candidate_pairs(ds).take_all()
+    texts = {d["doc_id"]: d["text"] for d in docs}
+    want = sorted(
+        (p["a"], p["b"], round(jaccard(texts[p["a"]], texts[p["b"]], 3), 4))
+        for p in pairs
+        if jaccard(texts[p["a"]], texts[p["b"]], 3) >= 0.5)
+    assert got == want
+    assert len(got) > 0          # the fixture must actually exercise verify
+
+
+def test_curate_documents_matches_r1_semantics(ray_session):
+    """Join-based curation == filter + exact dedup + near-dup drop computed
+    single-process on the same fixture."""
+    import hashlib
+
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.pipelines.curate import (
+        curate_documents,
+        quality_lang_filter,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        jaccard,
+        minhash_candidate_pairs,
+    )
+
+    docs = _fixture_corpus()
+    # inject exact duplicates
+    docs += [{"doc_id": 100 + i, "text": docs[i]["text"]} for i in range(4)]
+    ds = rd.from_items(docs).repartition(5)
+    got = sorted(r["doc_id"] for r in curate_documents(ds).take_all())
+
+    # single-process reference of the r1 pipeline semantics
+    tbl = pa.Table.from_pylist(docs)
+    filtered = quality_lang_filter(tbl).to_pylist()
+    by_md5: dict = {}
+    for d in filtered:
+        key = hashlib.md5(d["text"].encode()).hexdigest()
+        if key not in by_md5 or d["doc_id"] < by_md5[key]:
+            by_md5[key] = d["doc_id"]
+    keep = set(by_md5.values())
+    kept = [d for d in docs if d["doc_id"] in keep]
+    pairs = minhash_candidate_pairs(
+        rd.from_items(kept).repartition(3)).take_all()
+    texts = {d["doc_id"]: d["text"] for d in kept}
+    drop = {p["b"] for p in pairs
+            if jaccard(texts[p["a"]], texts[p["b"]], 3) >= 0.5}
+    want = sorted(keep - drop)
+    assert got == want
+
+
+def test_lookup_join_empty_right(ray_session):
+    import ray.data as rd
+
+    left = rd.from_items([{"k": 1, "x": "a"}, {"k": 2, "x": "b"}])
+    right = rd.from_arrow(pa.table(
+        {"rk": pa.array([], pa.int64()), "name": pa.array([], pa.string())}))
+    got = lookup_join(left, right, left_key="k", right_key="rk",
+                      payload=["name"], how="left").take_all()
+    assert sorted((r["k"], r["name_r"]) for r in got) == \
+        [(1, None), (2, None)]
+    got_inner = lookup_join(left, right, left_key="k", right_key="rk",
+                            payload=["name"], how="inner").take_all()
+    assert got_inner == []
