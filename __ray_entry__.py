@@ -853,6 +853,18 @@ def _q_kg_mention_labels(sf_dir: str):
         detect_mentions(_kg(sf_dir)["sentences"], concurrency=2))
 
 
+def _q_kg_mentions_corefed(sf_dir: str):
+    """M18: mention detection over coref-substituted sentences — re-run only
+    where the substitution changed the text, reuse otherwise (reference
+    main_ner.py:484-559); rows carry source='orig'|'coref'."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.mentions import (
+        mentions_with_coref,
+    )
+
+    kg = _kg(sf_dir)
+    return mentions_with_coref(kg["sentences"], kg["parses"], concurrency=2)
+
+
 def _q_multimodal_features(sf_dir: str):
     """Binary-payload plumbing: synth payloads -> actor-pool decode/feature
     stage (decode stubbed deterministically; see stages/multimodal.py)."""
@@ -1034,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mention detection + link scoring (rows-only; gazetteer NER)
         "kg_mentions": _q_kg_mentions,
         "kg_mention_labels": _q_kg_mention_labels,
+        "kg_mentions_corefed": _q_kg_mentions_corefed,
         # multimodal payload plumbing (rows-only, deterministic fake decode)
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_plan": _q_multimodal_frame_plan,

@@ -79,6 +79,55 @@ def coref_conversation(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=COREF_COLUMNS)
 
 
+SUBST_COLUMNS = ["conv_id", "turn_idx", "sent_idx", "text", "antecedent"]
+
+
+def conversation_substitutions(group: "pd.DataFrame") -> "pd.DataFrame":
+    """One conversation's parse rows -> the sentences whose text CHANGED
+    under pronoun substitution, with the substituted text (the reference
+    re-runs NER only on changed sentences and reuses otherwise,
+    main_ner.py:484-559, reuse test :530-534).  Antecedent tracking is
+    identical to :func:`coref_conversation` (updated AFTER each sentence)."""
+    g = group.sort_values(["turn_idx", "sent_idx"])
+    antecedent: str | None = None
+    out: list[dict] = []
+    for _, row in g.iterrows():
+        words = list(row["words"])
+        pron_idx = next((i for i, w in enumerate(words)
+                         if w in _PRONOUN_SET), None)
+        if pron_idx is not None and antecedent is not None:
+            corefed_text = row["text"].replace(words[pron_idx], antecedent, 1)
+            if corefed_text != row["text"]:
+                out.append({"conv_id": row["conv_id"],
+                            "turn_idx": row["turn_idx"],
+                            "sent_idx": row["sent_idx"],
+                            "text": corefed_text,
+                            "antecedent": antecedent})
+        for w in words:
+            if w in _PERSONS:
+                antecedent = w
+    if not out:
+        return pd.DataFrame({c: pd.Series([], dtype=object)
+                             for c in SUBST_COLUMNS})
+    return pd.DataFrame(out, columns=SUBST_COLUMNS)
+
+
+def corefed_sentence_rows(parses_ds):
+    """parses Dataset -> Dataset of coref-CHANGED sentences with substituted
+    text (conv_id, turn_idx, sent_idx, text, antecedent) — the M18 input.
+    Sorted-block grouped apply keyed by conv_id; no per-conversation
+    dispatch at scale."""
+    import pyarrow as pa
+
+    from .blockgroup import sorted_map_groups
+
+    schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                        ("sent_idx", pa.int32()), ("text", pa.string()),
+                        ("antecedent", pa.string())])
+    return sorted_map_groups(parses_ds, ["conv_id"],
+                             conversation_substitutions, schema=schema)
+
+
 def coref_delta_triples(parses_ds, scale: bool = True):
     """parses Dataset -> coref delta-triples Dataset (shuffle key: conv_id).
 

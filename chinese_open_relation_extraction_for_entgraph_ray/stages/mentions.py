@@ -80,6 +80,58 @@ def detect_mentions(sentences_ds, concurrency: int = 4):
                                     batch_size=4096, concurrency=concurrency)
 
 
+def _add_sent_key(batch: pa.Table) -> pa.Table:
+    """Composite (conv_id, turn_idx, sent_idx) key as one string column —
+    the join key for the reuse-vs-rerun split."""
+    import pyarrow.compute as pc
+
+    k = pc.binary_join_element_wise(
+        batch.column("conv_id").cast(pa.string()),
+        batch.column("turn_idx").cast(pa.string()),
+        batch.column("sent_idx").cast(pa.string()), "|")
+    return batch.append_column("__sk", k)
+
+
+def mentions_with_coref(sentences_ds, parses_ds, concurrency: int = 4):
+    """M18: mention detection over coref-substituted text (reference
+    main_ner.py:484-559).  NER re-runs ONLY over sentences the pronoun
+    substitution changed; unchanged sentences reuse the original-text
+    detection (the reference's reuse branch, :530-534).  Output =
+    MENTIONS_SCHEMA + ``source`` ('orig' reused / 'coref' re-run over
+    substituted text) — coref-recovered entities appear with
+    source='coref'.
+
+    Scale shape: one sorted-block grouped apply (conv_id) to find changed
+    sentences, one distributed anti-join to split reuse-vs-rerun, then the
+    same actor-pool detector over both branches; no driver-side key sets."""
+    from .coref import corefed_sentence_rows
+    from .joins import semi_join
+
+    corefed = corefed_sentence_rows(parses_ds).materialize()
+    changed_keys = corefed.map_batches(_add_sent_key, batch_format="pyarrow") \
+                          .map_batches(lambda b: b.select(["__sk"]),
+                                       batch_format="pyarrow")
+    reuse = (semi_join(
+        sentences_ds.map_batches(_add_sent_key, batch_format="pyarrow"),
+        changed_keys, left_key="__sk", right_key="__sk", anti=True)
+        .map_batches(lambda b: b.drop_columns(["__sk"]),
+                     batch_format="pyarrow"))
+
+    def tag(source: str):
+        def _t(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "source", pa.array([source] * batch.num_rows, pa.string()))
+        return _t
+
+    rerun_sents = corefed.map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "sent_idx", "text"]),
+        batch_format="pyarrow")
+    return detect_mentions(reuse, concurrency=concurrency) \
+        .map_batches(tag("orig"), batch_format="pyarrow") \
+        .union(detect_mentions(rerun_sents, concurrency=concurrency)
+               .map_batches(tag("coref"), batch_format="pyarrow"))
+
+
 def mention_label_histogram(mentions_ds):
     """NER label histogram (reference ner_token_bucket, main_ner.py:20-23,
     merged :137-152) as a grouped count."""

@@ -1,0 +1,87 @@
+"""M18: mention detection over coref-substituted sentences — the
+reuse-vs-rerun branch (reference main_ner.py:484-559, reuse test :530-534)."""
+
+import pandas as pd
+import pyarrow as pa
+
+PARSES = [
+    {"conv_id": "c1", "turn_idx": 0, "sent_idx": 0,
+     "text": "张伟访问数据。",
+     "words": ["张伟", "访问", "数据", "。"], "heads": [2, 0, 2, 2],
+     "deprels": ["SBV", "HED", "VOB", "MT"]},
+    {"conv_id": "c1", "turn_idx": 1, "sent_idx": 0,
+     "text": "他发布论文。",
+     "words": ["他", "发布", "论文", "。"], "heads": [2, 0, 2, 2],
+     "deprels": ["SBV", "HED", "VOB", "MT"]},
+    # second conversation: pronoun with NO antecedent -> no substitution
+    {"conv_id": "c2", "turn_idx": 0, "sent_idx": 0,
+     "text": "它运行成功。",
+     "words": ["它", "运行", "成功", "。"], "heads": [2, 0, 2, 2],
+     "deprels": ["SBV", "HED", "CMP", "MT"]},
+]
+
+
+def _sentences():
+    return [{"conv_id": p["conv_id"], "turn_idx": p["turn_idx"],
+             "sent_idx": p["sent_idx"], "text": p["text"]} for p in PARSES]
+
+
+def test_conversation_substitutions_changed_only():
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.coref import (
+        conversation_substitutions,
+    )
+
+    out = conversation_substitutions(pd.DataFrame(PARSES[:2]))
+    assert len(out) == 1                      # only the pronoun turn changed
+    assert out["text"].iloc[0] == "张伟发布论文。"
+    assert out["antecedent"].iloc[0] == "张伟"
+    # no antecedent yet -> nothing emitted
+    out2 = conversation_substitutions(pd.DataFrame([PARSES[2]]))
+    assert len(out2) == 0
+
+
+def test_mentions_with_coref_reuse_vs_rerun(ray_session):
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.mentions import (
+        detect_mentions,
+        mentions_with_coref,
+    )
+
+    sentences = rd.from_items(_sentences()).map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("turn_idx"),
+                               "turn_idx",
+                               b.column("turn_idx").cast(pa.int32()))
+        .set_column(b.schema.get_field_index("sent_idx"), "sent_idx",
+                    b.column("sent_idx").cast(pa.int32())),
+        batch_format="pyarrow")
+    parses = rd.from_items(PARSES)
+    got = mentions_with_coref(sentences, parses, concurrency=2).take_all()
+
+    by_key = {}
+    for r in got:
+        by_key.setdefault((r["conv_id"], r["turn_idx"], r["sent_idx"]),
+                          []).append(r)
+
+    # the changed sentence re-ran over substituted text: the coref-recovered
+    # entity 张伟 appears with source='coref' at the substituted span
+    changed = by_key[("c1", 1, 0)]
+    assert all(r["source"] == "coref" for r in changed)
+    assert any(r["surface"] == "张伟" and r["entity_id"] == "张伟"
+               for r in changed)
+
+    # the unchanged sentence's mentions are the REUSED original-text ones —
+    # identical rows to a plain detect_mentions run, tagged source='orig'
+    orig = detect_mentions(sentences, concurrency=1).take_all()
+    orig_unchanged = sorted(
+        tuple(r[c] for c in ("surface", "label", "span_start", "span_end"))
+        for r in orig if (r["conv_id"], r["turn_idx"]) == ("c1", 0))
+    reused = sorted(
+        tuple(r[c] for c in ("surface", "label", "span_start", "span_end"))
+        for r in by_key.get(("c1", 0, 0), []))
+    assert reused == orig_unchanged
+    assert all(r["source"] == "orig" for r in by_key.get(("c1", 0, 0), []))
+
+    # no sentence appears in both branches
+    for rows in by_key.values():
+        assert len({r["source"] for r in rows}) == 1
