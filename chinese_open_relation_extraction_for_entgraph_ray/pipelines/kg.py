@@ -43,11 +43,38 @@ def _read(path_or_dir, columns=None):
     return rd.read_parquet(path_or_dir, columns=columns)
 
 
+DEDUP_SORT_MIN_RATE = 0.3      # enable the sort when >=30% duplicate texts
+DEDUP_SORT_PROBE_ROWS = 50_000
+
+
+def sampled_duplicate_rate(transcripts_dir: str,
+                           sample_rows: int = DEDUP_SORT_PROBE_ROWS) -> float:
+    """Bounded probe for dedup_sort='auto': duplicate fraction of sentence
+    texts over the first ~sample_rows turns.  Biased toward the head of the
+    file list — acceptable for a rate estimate; pass dedup_sort=True/False
+    explicitly when the head is known to be unrepresentative."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(transcripts_dir,
+                         columns=["conv_id", "turn_idx", "text"]) \
+           .limit(sample_rows) \
+           .map_batches(explode_turns, batch_format="pyarrow")
+    n = 0
+    distinct: set = set()
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        texts = batch.column("text")
+        n += len(texts)
+        distinct.update(pc.unique(texts).to_pylist())
+    return 1.0 - len(distinct) / n if n else 0.0
+
+
 def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
              parse_concurrency: int | None = None,
              config_tag: str = "v1", checkpoints: str = "all",
              config=None, extra_stages=(), parse_num_gpus: float = 0.0,
-             triples_shards: int = 0, parser_cls=None) -> dict:
+             triples_shards: int = 0, parser_cls=None,
+             dedup_sort: bool | str = "auto") -> dict:
     """Run (or resume) the full pipeline; returns {stage: Dataset} handles of
     the materialized outputs plus run metadata under "_meta".
 
@@ -67,6 +94,15 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
     ``extra_stages``: user stage hooks — callables ``Dataset -> Dataset``
     applied to the triples stream after entity linking (the §2.8
     stage-registration point).
+
+    ``dedup_sort``: co-locate identical sentence texts before the parse
+    stage so per-worker parse/extract memos hit for every duplicate.  The
+    sort is a full exchange of the sentence stream — a measured win when
+    the corpus repeats heavily, a pure cost when it doesn't — so
+    ``"auto"`` (default) decides from a sampled duplicate-rate probe
+    (:func:`sampled_duplicate_rate` >= ``DEDUP_SORT_MIN_RATE``);
+    True/False force it.  Outputs are identical either way (the sort only
+    reorders rows).
 
     ``triples_shards`` (minimal mode only): >0 splits the transcripts files
     into that many shard groups, each processed and committed independently
@@ -99,7 +135,8 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
     extra_tag = ",".join(getattr(s, "__name__", repr(s)) for s in extra_stages)
     parser_tag = getattr(parser_cls, "__name__", "") if parser_cls else ""
     base_fp = fingerprint_paths(
-        in_files, extra=f"{config_tag}|{cfg!r}|{extra_tag}|{parser_tag}")
+        in_files,
+        extra=f"{config_tag}|{cfg!r}|{extra_tag}|{parser_tag}|ds={dedup_sort}")
     ran: list[str] = []
     timings: dict[str, float] = {}
 
@@ -149,12 +186,30 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
 
     parser = parser_cls or TemplateParserActor
 
+    if dedup_sort not in (True, False, "auto"):
+        raise ValueError(f"dedup_sort must be True/False/'auto', "
+                         f"got {dedup_sort!r}")
+    _dedup_decision: dict = {}
+
+    def _use_dedup_sort() -> bool:
+        """Evaluated lazily (probe reads only run when a parse stage
+        actually executes) and once per build."""
+        if dedup_sort != "auto":
+            return bool(dedup_sort)
+        if "on" not in _dedup_decision:
+            rate = sampled_duplicate_rate(transcripts_dir)
+            _dedup_decision["on"] = rate >= DEDUP_SORT_MIN_RATE
+            _dedup_decision["rate"] = round(rate, 4)
+        return _dedup_decision["on"]
+
     def _parses(src):
         # a model-backed parser actor (e.g. stages.parse.DDParserActor) sets
         # fractional num_gpus here (ST3, SURVEY.md §2.4); the template
         # parser is CPU-only by default
         kwargs = {"num_gpus": parse_num_gpus} if parse_num_gpus else {}
-        return _dedup_sort(src).map_batches(
+        if _use_dedup_sort():
+            src = _dedup_sort(src)
+        return src.map_batches(
             parser, batch_format="pyarrow",
             batch_size=PARSE_BATCH_SIZE, concurrency=parse_concurrency,
             **kwargs)
@@ -275,7 +330,9 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
         "edges": _read(store.stage_dir("edges")),
         "entities": _read(store.stage_dir("entities")),
         "_meta": {"ran_stages": ran, "out_dir": out_dir,
-                  "input_fingerprint": base_fp, "stage_wall_sec": timings},
+                  "input_fingerprint": base_fp, "stage_wall_sec": timings,
+                  "dedup_sort": dict(_dedup_decision) if _dedup_decision
+                  else {"on": dedup_sort if dedup_sort != "auto" else None}},
     }
     if checkpoints == "all":
         out["sentences"] = _read(store.stage_dir("sentences"))

@@ -195,3 +195,29 @@ def test_transient_task_failure_is_retried(ray_session):
     ds = rd.range(10_000).map_batches(
         flaky, batch_size=1000, retry_exceptions=[IOError], max_retries=3)
     assert ds.count() == 10_000
+
+
+def test_dedup_sort_gating_identical_outputs(kg, ray_session):
+    """dedup_sort=True/False produce identical triple sets, and the 'auto'
+    probe decision tracks the sampled duplicate rate against the
+    threshold (0.05 on this tiny fixture -> off; 0.43 at sf0.1 -> on)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.pipelines.kg import (
+        DEDUP_SORT_MIN_RATE,
+        sampled_duplicate_rate,
+    )
+
+    rate = sampled_duplicate_rate(TDIR)
+    res_on = build_kg(TDIR, ODIR + "_sort", parse_concurrency=2,
+                      dedup_sort=True)
+    res_off = build_kg(TDIR, ODIR + "_nosort", parse_concurrency=2,
+                       dedup_sort=False)
+    assert res_on["_meta"]["dedup_sort"]["on"] is True
+    assert res_off["_meta"]["dedup_sort"]["on"] is False
+    # the module fixture ran with 'auto': decision == probe vs threshold
+    auto = kg["_meta"]["dedup_sort"]
+    assert auto["on"] == (rate >= DEDUP_SORT_MIN_RATE)
+    assert abs(auto["rate"] - rate) < 0.05
+
+    a = sorted(map(str, (triple_key(r) for r in res_on["triples"].take_all())))
+    b = sorted(map(str, (triple_key(r) for r in res_off["triples"].take_all())))
+    assert a == b
