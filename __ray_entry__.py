@@ -853,6 +853,19 @@ def _q_kg_mention_labels(sf_dir: str):
         detect_mentions(_kg(sf_dir)["sentences"], concurrency=2))
 
 
+def _q_kg_filter_histograms(sf_dir: str):
+    """Sorted stop-word-filter / V_CMP-complement histograms (the
+    reference's fine/coarse_stop_word_count_bucket + vcmp_bucket,
+    merge_parsed_results.py:100-106,133-135) as a distributed grouped
+    count over the parses (G2/G4 closure; rows-only — rule-cascade
+    semantics aren't SQL-expressible)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.extract import (
+        filter_histograms,
+    )
+
+    return filter_histograms(_kg(sf_dir)["parses"])
+
+
 def _q_kg_mentions_corefed(sf_dir: str):
     """M18: mention detection over coref-substituted sentences — re-run only
     where the substitution changed the text, reuse otherwise (reference
@@ -1047,6 +1060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _q_kg_mentions,
         "kg_mention_labels": _q_kg_mention_labels,
         "kg_mentions_corefed": _q_kg_mentions_corefed,
+        "kg_filter_histograms": _q_kg_filter_histograms,
         # multimodal payload plumbing (rows-only, deterministic fake decode)
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_plan": _q_multimodal_frame_plan,

@@ -73,6 +73,71 @@ def _cascade_columns(words, heads, deprels,
     return cols
 
 
+# reference bucket names (merge_parsed_results.py:82-90) keyed by the
+# counter-prefix process_sentence emits
+_HIST_BUCKETS = {
+    "fine_stop::": "fine_stop_word_count_bucket",
+    "coarse_stop::": "coarse_stop_word_count_bucket",
+    "vcmp::": "vcmp_bucket",
+}
+
+_COUNTER_MEMO: dict = {}
+_COUNTER_MEMO_MAX = _EXTRACT_MEMO_MAX
+
+
+def _sentence_hist_counters(words, heads, deprels,
+                            config: ExtractionConfig) -> list[tuple]:
+    """[(bucket, token, n)] for one sentence — memoized per worker like the
+    triple cascade (same duplicate-heavy-corpus argument)."""
+    memo = _COUNTER_MEMO.setdefault(config, {})
+    key = "\x00".join(words) + "|" + ",".join(map(str, heads)) \
+        + "|" + ",".join(deprels)
+    rows = memo.get(key)
+    if rows is None:
+        counters: dict = {}
+        process_sentence({"word": words, "head": heads, "deprel": deprels},
+                         pos_map_for_words(words), counters, config=config)
+        rows = []
+        for ck, n in counters.items():
+            for prefix, bucket in _HIST_BUCKETS.items():
+                if ck.startswith(prefix):
+                    rows.append((bucket, ck[len(prefix):], n))
+                    break
+        if len(memo) < _COUNTER_MEMO_MAX:
+            memo[key] = rows
+    return rows
+
+
+def filter_histograms(parses_ds, config: ExtractionConfig = DEFAULT_CONFIG):
+    """The reference's sorted stop-word / V_CMP-complement histograms
+    (fine/coarse_stop_word_count_bucket + vcmp_bucket filled per slice,
+    dudepparse.py:296-309,1724-1725, merged and count-sorted in
+    merge_parsed_results.py:100-106,133-135) as a distributed view:
+    per-batch counter rows -> grouped sum -> count-desc sort per bucket.
+    Returns (bucket, token, n) rows."""
+    from ray.data.aggregate import Sum
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        agg: dict[tuple, int] = {}
+        for words, heads, deprels in zip(batch.column("words").to_pylist(),
+                                         batch.column("heads").to_pylist(),
+                                         batch.column("deprels").to_pylist()):
+            for bucket, token, n in _sentence_hist_counters(
+                    words, heads, deprels, config):
+                agg[(bucket, token)] = agg.get((bucket, token), 0) + n
+        keys = list(agg)
+        return pa.Table.from_arrays(
+            [pa.array([k[0] for k in keys], pa.string()),
+             pa.array([k[1] for k in keys], pa.string()),
+             pa.array([agg[k] for k in keys], pa.int64())],
+            names=["bucket", "token", "n"])
+
+    return (parses_ds.map_batches(batch_counts, batch_format="pyarrow")
+            .groupby(["bucket", "token"])
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["bucket", "n", "token"], descending=[False, True, False]))
+
+
 def extract_triples(batch: pa.Table,
                     config: ExtractionConfig = DEFAULT_CONFIG) -> pa.Table:
     conv_ids = batch.column("conv_id").to_pylist()

@@ -221,3 +221,42 @@ def test_dedup_sort_gating_identical_outputs(kg, ray_session):
     a = sorted(map(str, (triple_key(r) for r in res_on["triples"].take_all())))
     b = sorted(map(str, (triple_key(r) for r in res_off["triples"].take_all())))
     assert a == b
+
+
+def test_filter_histograms_match_recount(kg, ray_session):
+    """Distributed stop-word/vcmp histograms == a single-process recount
+    with process_sentence's own counters (the reference's merged, count-
+    sorted buckets, merge_parsed_results.py:100-106,133-135)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.cascade import (
+        process_sentence,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.lexicon import (
+        pos_map_for_words,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.extract import (
+        _HIST_BUCKETS,
+        filter_histograms,
+    )
+
+    got = filter_histograms(kg["parses"]).take_all()
+
+    counters = {}
+    for row in kg["parses"].take_all():
+        words = list(row["words"])
+        process_sentence(
+            {"word": words, "head": list(row["heads"]),
+             "deprel": list(row["deprels"])},
+            pos_map_for_words(words), counters)
+    want = {}
+    for ck, n in counters.items():
+        for prefix, bucket in _HIST_BUCKETS.items():
+            if ck.startswith(prefix):
+                want[(bucket, ck[len(prefix):])] = n
+    assert {(r["bucket"], r["token"]): r["n"] for r in got} == want
+    assert len(got) > 0
+    # count-desc order inside each bucket (the reference's sort_dict)
+    by_bucket = {}
+    for r in got:
+        by_bucket.setdefault(r["bucket"], []).append(r["n"])
+    for ns in by_bucket.values():
+        assert ns == sorted(ns, reverse=True)
