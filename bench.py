@@ -78,11 +78,32 @@ def _timed_queries() -> dict[str, float]:
     return out
 
 
+def _quiet_worker_logging():
+    """Runs on the driver and (via worker_process_setup_hook) in every
+    worker: drop the benign per-block 'Failed to hash the schemas (for
+    deduplication)' warning storm (triggered by pandas-metadata dicts on
+    parquet schemas inside Ray's schema-dedup fast path) so a REAL warning
+    stays visible in the bench tail.  A logging.Filter, not setLevel —
+    Ray Data re-runs its dictConfig per dataset, which RESETS child-logger
+    levels (logging.config._handle_existing_loggers) but leaves filters
+    in place."""
+    import logging
+
+    class _DropSchemaHashNoise(logging.Filter):
+        def filter(self, record):
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
+        _DropSchemaHashNoise())
+
+
 def main():
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             runtime_env={"worker_process_setup_hook": _quiet_worker_logging})
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -90,6 +111,7 @@ def main():
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+    _quiet_worker_logging()   # driver-side too (reduce ops log from here)
 
     headline = _run_headline()
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -18,9 +18,23 @@ from __future__ import annotations
 
 import hashlib
 import itertools
+import logging
 
 import numpy as np
 import pyarrow as pa
+
+logger = logging.getLogger(__name__)
+
+
+def _log_bucket_caps(truncated: list[int]) -> None:
+    """No-silent-caps contract: a pathological LSH bucket larger than
+    MAX_BUCKET is capped — say so, with the sizes, instead of silently
+    dropping pairs."""
+    if truncated:
+        logger.warning(
+            "MinHash-LSH capped %d bucket(s) at MAX_BUCKET=%d "
+            "(original sizes: %s) — pairs beyond the cap were dropped",
+            len(truncated), MAX_BUCKET, sorted(truncated, reverse=True)[:10])
 
 NUM_PERM = 64
 BANDS = 16          # 16 bands x 4 rows => catches ~0.6+ Jaccard
@@ -116,7 +130,10 @@ def bucket_candidate_pairs(group: "pd.DataFrame") -> "pd.DataFrame":   # noqa: F
     """One LSH bucket -> candidate (a, b) pairs, capped against blow-up."""
     import pandas as pd
 
-    ids = sorted(group["doc_id"].tolist())[:MAX_BUCKET]
+    all_ids = sorted(group["doc_id"].tolist())
+    if len(all_ids) > MAX_BUCKET:
+        _log_bucket_caps([len(all_ids)])
+    ids = all_ids[:MAX_BUCKET]
     pairs = [(a, b) for a, b in itertools.combinations(ids, 2)]
     if not pairs:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
@@ -204,6 +221,7 @@ def _block_pairs_and_edges(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         keys = list(zip(df["band"], df["band_hash"]))
         first_key, last_key = keys[0], keys[-1]
+        truncated: list[int] = []
         for key, g in df.groupby(["band", "band_hash"], sort=False):
             if key == first_key or key == last_key:
                 edge_band.extend(g["band"])
@@ -212,10 +230,14 @@ def _block_pairs_and_edges(batch: pa.Table) -> pa.Table:
                 continue
             if len(g) < 2:
                 continue
-            ids = sorted(g["doc_id"].tolist())[:MAX_BUCKET]
+            all_ids = sorted(g["doc_id"].tolist())
+            if len(all_ids) > MAX_BUCKET:
+                truncated.append(len(all_ids))
+            ids = all_ids[:MAX_BUCKET]
             for a, b in itertools.combinations(ids, 2):
                 out_a.append(a)
                 out_b.append(b)
+        _log_bucket_caps(truncated)
     n_pairs, n_edges = len(out_a), len(edge_doc)
     return pa.Table.from_arrays(
         [pa.array([1] * n_pairs + [0] * n_edges, pa.int8()),

@@ -147,3 +147,23 @@ def test_lookup_join_empty_right(ray_session):
     got_inner = lookup_join(left, right, left_key="k", right_key="rk",
                             payload=["name"], how="inner").take_all()
     assert got_inner == []
+
+
+def test_bucket_cap_logged(caplog):
+    """MAX_BUCKET truncation is no longer silent (no-silent-caps)."""
+    import logging
+
+    import pandas as pd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        MAX_BUCKET,
+        bucket_candidate_pairs,
+    )
+
+    big = pd.DataFrame({"band": 0, "band_hash": "h",
+                        "doc_id": list(range(MAX_BUCKET + 5))})
+    with caplog.at_level(logging.WARNING,
+                         logger="chinese_open_relation_extraction_for_entgraph_ray.stages.dedup"):
+        out = bucket_candidate_pairs(big)
+    assert len(out) == MAX_BUCKET * (MAX_BUCKET - 1) // 2
+    assert any("MAX_BUCKET" in r.message for r in caplog.records)

@@ -1,0 +1,97 @@
+"""JSON/JSONL ingestion adapters (S1-S3 parity with the reference's three
+corpus readers, preprocess_corpus.py:166-357), round-tripped through
+build_kg."""
+
+import json
+import os
+import shutil
+
+SENTS = ["张伟访问数据。", "李娜发布论文。", "它运行成功。"]
+
+
+def test_jsonl_content_dialect_roundtrip_build_kg(ray_session, tmp_path):
+    from chinese_open_relation_extraction_for_entgraph_ray.pipelines.kg import (
+        build_kg,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.sources.jsonl import (
+        read_transcripts_jsonl,
+    )
+
+    src = tmp_path / "corpus.jsonl"
+    with open(src, "w", encoding="utf8") as fp:
+        for i, s in enumerate(SENTS):
+            fp.write(json.dumps({"news_id": f"n{i}", "content": s * 2},
+                                ensure_ascii=False) + "\n")
+
+    ds = read_transcripts_jsonl(str(src), text_field="content",
+                                id_field="news_id")
+    rows = sorted(ds.take_all(), key=lambda r: r["conv_id"])
+    assert [r["conv_id"] for r in rows] == ["n0", "n1", "n2"]
+    assert rows[0]["turn_idx"] == 0 and rows[0]["role"] == "doc"
+    assert rows[0]["text"] == SENTS[0] * 2
+
+    # round-trip: adapter output -> parquet -> the full KG pipeline
+    tdir = str(tmp_path / "transcripts")
+    ds.write_parquet(tdir)
+    out = str(tmp_path / "kg")
+    res = build_kg(tdir, out, parse_concurrency=2, dedup_sort=False)
+    triples = res["triples"].take_all()
+    assert len(triples) > 0
+    assert {t["conv_id"] for t in triples} <= {"n0", "n1", "n2"}
+
+
+def test_jsonl_splitted_dialect(ray_session, tmp_path):
+    from chinese_open_relation_extraction_for_entgraph_ray.sources.jsonl import (
+        read_transcripts_jsonl,
+    )
+
+    src = tmp_path / "newsspike.jsonl"
+    with open(src, "w", encoding="utf8") as fp:
+        fp.write(json.dumps({"splitted_text": SENTS},
+                            ensure_ascii=False) + "\n")
+        fp.write(json.dumps({"splitted_text": SENTS[:1]},
+                            ensure_ascii=False) + "\n")
+
+    rows = read_transcripts_jsonl(
+        str(src), split_field="splitted_text").take_all()
+    assert len(rows) == 4          # 3 turns + 1 turn
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    assert sorted(len(v) for v in by_conv.values()) == [1, 3]
+    three = next(v for v in by_conv.values() if len(v) == 3)
+    assert sorted(r["turn_idx"] for r in three) == [0, 1, 2]
+    assert {r["text"] for r in three} == set(SENTS)
+
+
+def test_json_dir_dialect_pretty_printed(ray_session, tmp_path):
+    from chinese_open_relation_extraction_for_entgraph_ray.sources.jsonl import (
+        read_transcripts_json_dir,
+    )
+
+    d = tmp_path / "articles"
+    os.makedirs(d)
+    for i, s in enumerate(SENTS[:2]):
+        with open(d / f"art{i}.json", "w", encoding="utf8") as fp:
+            json.dump({"text": s, "meta": {"k": i}}, fp,
+                      ensure_ascii=False, indent=2)   # multi-line object
+
+    rows = sorted(read_transcripts_json_dir(str(d)).take_all(),
+                  key=lambda r: r["conv_id"])
+    assert [r["conv_id"] for r in rows] == ["art0.json", "art1.json"]
+    assert [r["text"] for r in rows] == SENTS[:2]
+
+
+def test_jsonl_duplicate_lines_collapse(ray_session, tmp_path):
+    """Without an id field, byte-identical entries share one conv_id
+    (documented dedup-at-ingest semantics)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.sources.jsonl import (
+        read_transcripts_jsonl,
+    )
+
+    src = tmp_path / "dups.jsonl"
+    line = json.dumps({"text": SENTS[0]}, ensure_ascii=False)
+    with open(src, "w", encoding="utf8") as fp:
+        fp.write(line + "\n" + line + "\n")
+    rows = read_transcripts_jsonl(str(src)).take_all()
+    assert len({r["conv_id"] for r in rows}) == 1
