@@ -806,6 +806,19 @@ def _q_minhash_pairs(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_simhash_near_dups(sf_dir: str):
+    """SimHash banded-LSH near-dup pairs, Hamming-verified
+    (stages/dedup.simhash_near_dups) — the SimHash path's pair generator,
+    not just signatures."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        simhash_near_dups,
+    )
+
+    return simhash_near_dups(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        max_hamming=3)
+
+
 def _q_simhash_signatures(sf_dir: str):
     import pyarrow as pa
 
@@ -981,12 +994,38 @@ def _q_docs_jaccard_near_dups(sf_dir: str):
 
 def _q_embedding_near_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs via multi-band hyperplane LSH + exact
-    within-bucket verification (stages/similarity.py)."""
+    within-bucket verification (stages/similarity.py).
+
+    The driver's embeddings table has NO pairs above cosine 0.8 (max
+    off-diagonal ~0.51 at sf0.01), so the query plants one deterministic
+    near-duplicate per vector (vec_id+10^6, small seeded perturbation,
+    cos>0.98) — the returned rows are the LSH's recovered planted pairs,
+    making the row count a live recall signal instead of a vacuous 0."""
+    import numpy as np
+    import pyarrow as pa
+
     from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
         embedding_near_dups,
     )
 
-    return embedding_near_dups(_read(sf_dir, "embeddings"), threshold=0.8)
+    def plant_near_dups(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        E = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        rng_cols = np.stack([np.random.RandomState(int(i) & 0x7FFFFFFF)
+                             .standard_normal(E.shape[1]) for i in ids])
+        noise = rng_cols / np.linalg.norm(rng_cols, axis=1, keepdims=True)
+        pert = E + 0.15 * np.linalg.norm(E, axis=1, keepdims=True) * noise
+        dim = E.shape[1]
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate([ids, ids + 1_000_000]), pa.int64()),
+             pa.array(list(np.concatenate([E, pert])),
+                      pa.list_(pa.float32(), dim))],
+            names=["vec_id", "embedding"])
+
+    aug = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(plant_near_dups, batch_format="pyarrow")
+    return embedding_near_dups(aug, threshold=0.8)
 
 
 def _q_similarity_topk_ivf(sf_dir: str):
@@ -1049,6 +1088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup sketches (rows-only)
         "minhash_candidate_pairs": _q_minhash_pairs,
         "simhash_signatures": _q_simhash_signatures,
+        "simhash_near_dups": _q_simhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         "docs_jaccard_near_dups": _q_docs_jaccard_near_dups,
         "docs_curation_exact": _q_docs_curation_exact,

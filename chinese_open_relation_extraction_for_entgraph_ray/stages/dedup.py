@@ -164,7 +164,10 @@ def simhash64(text: str) -> int:
 
 def add_simhash(batch: pa.Table) -> pa.Table:
     texts = batch.column("text").to_pylist()
-    sigs = [simhash64(t or "") for t in texts]
+    # two's-complement wrap: a signature with bit 63 set must still fit the
+    # int64 column; hamming64 masks back to 64 unsigned bits
+    sigs = [s - (1 << 64) if s >= (1 << 63) else s
+            for s in (simhash64(t or "") for t in texts)]
     bands = []
     for s in sigs:
         bands.append([(s >> (16 * b)) & 0xFFFF for b in range(4)])
@@ -286,6 +289,93 @@ def minhash_candidate_pairs(docs_ds):
     all_pairs = inner.map_batches(_sel_pairs, batch_format="pyarrow") \
                      .union(edge_pairs)
     return all_pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def simhash_near_dups(docs_ds, max_hamming: int = 3):
+    """SimHash near-dup pairs: 64-bit signatures, 4x16-bit banded LSH (a
+    pair within hamming distance 3 must agree exactly on >=1 of the 4
+    bands), verified by exact Hamming distance — the same sort-based
+    block pair generation as the MinHash path (one exchange, boundary
+    buckets through a tiny second pass), with signatures riding along so
+    verification needs no extra join.  Returns (a, b, hamming) rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Min
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        sigs = add_simhash(batch)
+        parts = []
+        for b in range(4):
+            parts.append(pa.Table.from_arrays(
+                [pa.array([b] * sigs.num_rows, pa.int32()),
+                 sigs.column(f"band{b}"),
+                 sigs.column("doc_id"), sigs.column("simhash")],
+                names=["band", "band_hash", "doc_id", "sig"]))
+        return pa.concat_tables(parts)
+
+    def block_pairs(df: pd.DataFrame, skip_edges: bool = True) -> pa.Table:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_h: list[int] = []
+        edge_rows = []
+        if len(df):
+            keys = list(zip(df["band"], df["band_hash"]))
+            first_key, last_key = keys[0], keys[-1]
+            truncated: list[int] = []
+            for key, g in df.groupby(["band", "band_hash"], sort=False):
+                if skip_edges and key in (first_key, last_key):
+                    edge_rows.append(g)
+                    continue
+                if len(g) < 2:
+                    continue
+                members = sorted(zip(g["doc_id"], g["sig"]))
+                if len(members) > MAX_BUCKET:
+                    truncated.append(len(members))
+                members = members[:MAX_BUCKET]
+                for (a, sa), (b, sb) in itertools.combinations(members, 2):
+                    h = hamming64(int(sa), int(sb))
+                    if h <= max_hamming:
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_h.append(h)
+            _log_bucket_caps(truncated)
+        n_pairs = len(out_a)
+        edges = pd.concat(edge_rows, ignore_index=True) if edge_rows else \
+            pd.DataFrame({c: [] for c in ["band", "band_hash", "doc_id",
+                                          "sig"]})
+        n_edges = len(edges)
+        return pa.Table.from_arrays(
+            [pa.array([1] * n_pairs + [0] * n_edges, pa.int8()),
+             pa.array(out_a + [0] * n_edges, pa.int64()),
+             pa.array(out_b + [0] * n_edges, pa.int64()),
+             pa.array(out_h + [0] * n_edges, pa.int32()),
+             pa.array([0] * n_pairs + list(edges["band"]), pa.int32()),
+             pa.array([0] * n_pairs + list(edges["band_hash"]), pa.int32()),
+             pa.array([0] * n_pairs + list(edges["doc_id"]), pa.int64()),
+             pa.array([0] * n_pairs + list(edges["sig"]), pa.int64())],
+            names=["kind", "a", "b", "hamming",
+                   "band", "band_hash", "doc_id", "sig"])
+
+    mixed = (docs_ds.map_batches(explode_bands, batch_format="pyarrow")
+             .sort(["band", "band_hash"])
+             .map_batches(block_pairs, batch_format="pandas",
+                          batch_size=None)
+             .materialize())   # small: pairs + boundary-bucket rows
+    inner = mixed.filter(expr="kind == 1") \
+                 .map_batches(lambda b: b.select(["a", "b", "hamming"]),
+                              batch_format="pyarrow")
+    edge_pairs = (mixed.filter(expr="kind == 0")
+                  .map_batches(lambda b: b.select(
+                      ["band", "band_hash", "doc_id", "sig"]),
+                      batch_format="pyarrow")
+                  .repartition(1)
+                  .map_batches(lambda df: block_pairs(df, skip_edges=False),
+                               batch_format="pandas", batch_size=None)
+                  .map_batches(lambda b: b.select(["a", "b", "hamming"]),
+                               batch_format="pyarrow"))
+    return inner.union(edge_pairs) \
+                .groupby(["a", "b"]) \
+                .aggregate(Min("hamming", alias_name="hamming"))
 
 
 def jaccard_near_dups(docs_ds, threshold: float = 0.5, k: int = 3):

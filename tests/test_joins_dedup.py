@@ -167,3 +167,31 @@ def test_bucket_cap_logged(caplog):
         out = bucket_candidate_pairs(big)
     assert len(out) == MAX_BUCKET * (MAX_BUCKET - 1) // 2
     assert any("MAX_BUCKET" in r.message for r in caplog.records)
+
+
+def test_simhash_near_dups_exhaustive_at_hamming3(ray_session):
+    """4x16-bit banded SimHash LSH is EXHAUSTIVE for hamming <= 3 (3 bit
+    flips touch at most 3 of the 4 bands — pigeonhole), so the distributed
+    pair generator must return exactly the brute-force pair set."""
+    import itertools
+
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        hamming64,
+        simhash64,
+        simhash_near_dups,
+    )
+
+    docs = _fixture_corpus()
+    ds = rd.from_items(docs).repartition(5)
+    got = sorted((r["a"], r["b"], r["hamming"])
+                 for r in simhash_near_dups(ds, max_hamming=3).take_all())
+
+    sigs = {d["doc_id"]: simhash64(d["text"]) for d in docs}
+    want = sorted(
+        (a, b, hamming64(sigs[a], sigs[b]))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if hamming64(sigs[a], sigs[b]) <= 3)
+    assert got == want
+    assert len(got) > 0
