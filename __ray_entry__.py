@@ -452,8 +452,12 @@ def _q_events_user_topk(sf_dir: str):
 
 def _q_events_sessions(sf_dir: str):
     """Windowed op: per-user session count with a 30-minute inactivity gap
-    over ts-sorted groups (ordering contract stated in SURVEY.md §2.6);
-    sorted-block grouped apply — no per-user dispatch at 10^8 users."""
+    over ts-sorted groups (ordering contract stated in SURVEY.md §2.6).
+    Fully-vectorized sorted-block path: one sort by user, then per block a
+    numpy session-start scan + ONE pandas grouped sum over all of the
+    block's users — O(rows), zero per-group Python, the shape that holds at
+    10^8 users."""
+    import numpy as np
     import pandas as pd
     import pyarrow as pa
 
@@ -461,17 +465,22 @@ def _q_events_sessions(sf_dir: str):
         sorted_map_groups,
     )
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        gaps = g["ts"].astype("int64").diff() / 1e6
-        n_sessions = int(1 + (gaps > 1800).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [n_sessions],
-                             "n_events": [len(g)]})
+    def sessions_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        start = np.empty(len(g), dtype=bool)
+        start[0] = True
+        start[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) / 1e6 > 1800)
+        agg = (pd.DataFrame({"user_id": u, "start": start})
+               .groupby("user_id", sort=False)
+               .agg(n_sessions=("start", "sum"), n_events=("start", "size"))
+               .reset_index())
+        return agg
 
     return sorted_map_groups(
         _read(sf_dir, "events", columns=["user_id", "ts", "event_id"]),
-        ["user_id"], sessions,
+        ["user_id"], block_fn=sessions_block,
         schema=pa.schema([("user_id", pa.int64()), ("n_sessions", pa.int64()),
                           ("n_events", pa.int64())]))
 
@@ -641,25 +650,28 @@ def _q_orders_topk_per_customer(sf_dir: str):
         sorted_map_groups,
     )
 
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
+    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
             np_round_away,
         )
 
-        g = group.sort_values(["o_totalprice", "o_orderkey"],
-                              ascending=[False, True]).head(2)
-        out = g[["o_custkey", "o_orderkey"]].copy()
-        out["o_totalprice"] = np_round_away(
-            np.asarray(g["o_totalprice"], dtype=np.float64), 2)
-        out["rank"] = range(1, len(g) + 1)
-        return out
+        # vectorized grouped top-k over the whole block: one sort, then
+        # pandas' C-level groupby head/cumcount — no per-customer Python
+        g = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                           ascending=[True, False, True], kind="mergesort")
+        grp = g.groupby("o_custkey", sort=False)
+        top = grp.head(2).copy()
+        top["rank"] = top.groupby("o_custkey", sort=False).cumcount() + 1
+        top["o_totalprice"] = np_round_away(
+            top["o_totalprice"].to_numpy(dtype=np.float64), 2)
+        return top[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
 
     return sorted_map_groups(
         _read(sf_dir, "orders",
               columns=["o_custkey", "o_orderkey", "o_totalprice"]),
-        ["o_custkey"], topk,
+        ["o_custkey"], block_fn=topk_block,
         schema=pa.schema([("o_custkey", pa.int64()),
                           ("o_orderkey", pa.int64()),
                           ("o_totalprice", pa.float64()),

@@ -32,15 +32,36 @@ def _to_arrow(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
                                 preserve_index=False)
 
 
-def sorted_map_groups(ds, keys: list[str], fn, *, schema: pa.Schema):
-    """Apply ``fn`` (pandas DataFrame of one key group -> pandas DataFrame)
-    per distinct ``keys`` tuple; returns a Dataset with ``schema``.
+def sorted_map_groups(ds, keys: list[str], fn=None, *, schema: pa.Schema,
+                      block_fn=None):
+    """Apply a per-group computation per distinct ``keys`` tuple; returns a
+    Dataset with ``schema``.
 
-    Equivalent to ``ds.groupby(keys).map_groups(fn, batch_format="pandas")``
-    with the output cast to ``schema`` — but block-wise: per-group Python
-    dispatch happens only for the <= 2 boundary-straddling groups per block.
-    ``fn`` must not depend on intra-group row order (sort inside ``fn`` if
-    order matters — the sort here orders by ``keys`` only)."""
+    Exactly one of:
+    - ``fn``: pandas DataFrame of ONE key group -> pandas DataFrame.
+      Easiest to write; pays a Python call per group (but only inline per
+      block — never a Ray dispatch per group).
+    - ``block_fn``: pandas DataFrame holding MANY WHOLE key groups ->
+      pandas DataFrame.  The fully-vectorized path: implement the per-group
+      logic with pandas/numpy grouped kernels over the whole block (O(rows),
+      not O(groups) Python calls) — the shape that holds at 10^9 groups.
+
+    Equivalent to ``ds.groupby(keys).map_groups(...)`` with the output cast
+    to ``schema`` — but block-wise after ONE sort by ``keys``; only each
+    block's first/last (possibly boundary-straddling) key groups take a
+    second pass.  Neither callable may depend on intra-group row order
+    (sort inside — the sort here orders by ``keys`` only)."""
+    if (fn is None) == (block_fn is None):
+        raise ValueError("pass exactly one of fn / block_fn")
+
+    def apply_groups(df: pd.DataFrame) -> pd.DataFrame | None:
+        """Per-group logic over a frame of whole groups, via whichever
+        callable was supplied."""
+        if block_fn is not None:
+            return block_fn(df)
+        parts = [fn(g) for _, g in df.groupby(keys, sort=False)]
+        parts = [p for p in parts if p is not None and len(p)]
+        return pd.concat(parts, ignore_index=True) if parts else None
 
     def inner_scan(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
@@ -54,11 +75,10 @@ def sorted_map_groups(ds, keys: list[str], fn, *, schema: pa.Schema):
         inner = df[~(is_first | is_last)]
         if len(inner) == 0:
             return schema.empty_table()
-        parts = [fn(g) for _, g in inner.groupby(keys, sort=False)]
-        parts = [p for p in parts if p is not None and len(p)]
-        if not parts:
+        out = apply_groups(inner)
+        if out is None or len(out) == 0:
             return schema.empty_table()
-        return _to_arrow(pd.concat(parts, ignore_index=True), schema)
+        return _to_arrow(out, schema)
 
     def edge_filter(batch: pa.Table) -> pa.Table:
         """Arrow-native: keep only each block's first/last key-group rows."""
@@ -77,7 +97,15 @@ def sorted_map_groups(ds, keys: list[str], fn, *, schema: pa.Schema):
         return batch.filter(pc.or_(is_first, is_last))
 
     def edge_apply(df: pd.DataFrame) -> pa.Table:
-        return _to_arrow(fn(df), schema)
+        """All boundary-straddling groups, gathered into ONE block (bounded:
+        <= 2 groups per upstream block) — every group here is whole, so the
+        same apply path runs unchanged."""
+        if len(df) == 0:
+            return schema.empty_table()
+        out = apply_groups(df)
+        if out is None or len(out) == 0:
+            return schema.empty_table()
+        return _to_arrow(out, schema)
 
     sorted_ds = ds.sort(keys).materialize()
     inner_ds = sorted_ds.map_batches(inner_scan, batch_format="pandas",
@@ -85,6 +113,7 @@ def sorted_map_groups(ds, keys: list[str], fn, *, schema: pa.Schema):
     edge_ds = (sorted_ds
                .map_batches(edge_filter, batch_format="pyarrow",
                             batch_size=None)
-               .groupby(keys)
-               .map_groups(edge_apply, batch_format="pandas"))
+               .repartition(1)
+               .map_batches(edge_apply, batch_format="pandas",
+                            batch_size=None))
     return inner_ds.union(edge_ds)

@@ -75,3 +75,44 @@ def test_sorted_map_groups_nullable_int_output(ray_session):
     got = {r["k"]: r["m"]
            for r in sorted_map_groups(ds, ["k"], fn, schema=schema).take_all()}
     assert got == {"u0": 7, "u1": None, "u2": 7}
+
+
+def test_sorted_map_groups_block_fn_matches_fn(ray_session):
+    """The vectorized block_fn path must agree with the per-group fn path."""
+    import numpy as np
+    import ray.data as rd
+
+    rows = [{"k": i % 41, "v": float((i * 7) % 23), "i": i}
+            for i in range(4000)]
+    ds = rd.from_items(rows).repartition(11)
+    schema = pa.schema([("k", pa.int64()), ("n", pa.int64()),
+                        ("vmax", pa.float64())])
+
+    def per_group(g):
+        return pd.DataFrame({"k": [g["k"].iloc[0]], "n": [len(g)],
+                             "vmax": [float(g["v"].max())]})
+
+    def per_block(df):
+        return (df.groupby("k", sort=False)
+                .agg(n=("v", "size"), vmax=("v", "max"))
+                .reset_index())
+
+    a = sorted(sorted_map_groups(ds, ["k"], per_group,
+                                 schema=schema).take_all(),
+               key=lambda r: r["k"])
+    b = sorted(sorted_map_groups(ds, ["k"], block_fn=per_block,
+                                 schema=schema).take_all(),
+               key=lambda r: r["k"])
+    assert [dict(r) for r in a] == [dict(r) for r in b]
+
+
+def test_sorted_map_groups_requires_exactly_one_callable(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"k": 1}])
+    schema = pa.schema([("k", pa.int64())])
+    with pytest.raises(ValueError, match="exactly one"):
+        sorted_map_groups(ds, ["k"], schema=schema)
+    with pytest.raises(ValueError, match="exactly one"):
+        sorted_map_groups(ds, ["k"], lambda g: g, schema=schema,
+                          block_fn=lambda df: df)
