@@ -180,20 +180,19 @@ def _q_transcripts_conversation_text(sf_dir: str):
         sorted_map_groups,
     )
 
-    def assemble(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("turn_idx")
-        return pd.DataFrame({
-            "conv_id": [g["conv_id"].iloc[0]],
-            "n_turns": [len(g)],
-            "conversation": ["\n".join(g["text"])],
-        })
+    def assemble_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        return (g.groupby("conv_id", sort=False)
+                .agg(n_turns=("text", "size"),
+                     conversation=("text", "\n".join))
+                .reset_index())
 
     tdir = _transcripts_dir(sf_dir)
     import ray.data as rd
 
     return sorted_map_groups(
         rd.read_parquet(tdir, columns=["conv_id", "turn_idx", "text"]),
-        ["conv_id"], assemble,
+        ["conv_id"], block_fn=assemble_block,
         schema=pa.schema([("conv_id", pa.string()), ("n_turns", pa.int64()),
                           ("conversation", pa.string())]))
 

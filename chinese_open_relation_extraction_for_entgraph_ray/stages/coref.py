@@ -128,6 +128,24 @@ def corefed_sentence_rows(parses_ds):
                              conversation_substitutions, schema=schema)
 
 
+COREF_SCHEMA = None     # built lazily (needs pyarrow)
+
+
+def _coref_schema():
+    import pyarrow as pa
+
+    global COREF_SCHEMA
+    if COREF_SCHEMA is None:
+        COREF_SCHEMA = pa.schema([
+            ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+            ("sent_idx", pa.int32()), ("rel_kind", pa.string()),
+            ("subj", pa.string()), ("pred", pa.string()),
+            ("obj", pa.string()), ("subj_idx", pa.int32()),
+            ("pred_idx", pa.int32()), ("obj_idx", pa.int32()),
+            ("antecedent", pa.string())])
+    return COREF_SCHEMA
+
+
 def coref_delta_triples(parses_ds, scale: bool = True):
     """parses Dataset -> coref delta-triples Dataset (shuffle key: conv_id).
 
@@ -135,60 +153,15 @@ def coref_delta_triples(parses_ds, scale: bool = True):
     Ray's per-group dispatch (~60µs/group) dominates once conversations
     number in the millions.
 
-    ``scale=True`` (default): ONE sort by (conv_id, turn_idx, sent_idx),
-    then per-block processing that runs :func:`coref_conversation` inline
-    for every conversation fully inside the block; only each block's first
-    and last conversation (which may straddle a block boundary — at most 2
-    per block, independent of data size) are routed through a tiny keyed
-    second pass.  Same boundary-exact pattern as the MinHash pair generator
-    and the sorted-block aggregate."""
-    import pandas as pd
-    import pyarrow as pa
-
+    ``scale=True`` (default): the sorted-block grouped apply
+    (``stages/blockgroup.sorted_map_groups``) — one sort by conv_id,
+    :func:`coref_conversation` runs inline per block, boundary-straddling
+    conversations through the tiny second pass."""
     if not scale:
         return parses_ds.groupby("conv_id").map_groups(
             coref_conversation, batch_format="pandas")
 
-    def _empty_out() -> pd.DataFrame:
-        return pd.DataFrame({c: pd.Series([], dtype=object)
-                             for c in COREF_COLUMNS})
+    from .blockgroup import sorted_map_groups
 
-    def inner_scan(df: pd.DataFrame) -> pd.DataFrame:
-        """Run the per-conversation function inline for every conversation
-        fully inside this sorted block (first/last conv skipped — they may
-        straddle and are handled by the edge pass)."""
-        if df.empty:
-            return _empty_out()
-        convs = df["conv_id"].to_numpy()
-        first, last = convs[0], convs[-1]
-        inner = df[(convs != first) & (convs != last)]
-        res = [coref_conversation(grp)
-               for _, grp in inner.groupby("conv_id", sort=False)]
-        res = [r for r in res if len(r)]
-        return pd.concat(res, ignore_index=True) if res else _empty_out()
-
-    def edge_filter(batch: pa.Table) -> pa.Table:
-        """Arrow-native: keep only each block's first/last conversation rows
-        (at most 2 conversations per block, whatever the data size)."""
-        if batch.num_rows == 0:
-            return batch
-        convs = batch.column("conv_id")
-        import pyarrow.compute as pc
-
-        first, last = convs[0], convs[batch.num_rows - 1]
-        mask = pc.or_(pc.equal(convs, first), pc.equal(convs, last))
-        return batch.filter(mask)
-
-    sorted_parses = parses_ds.sort(["conv_id", "turn_idx", "sent_idx"]) \
-                             .materialize()
-    inner_ds = sorted_parses.map_batches(
-        inner_scan, batch_format="pandas", batch_size=None) \
-        .map_batches(lambda b: b.select(COREF_COLUMNS), batch_format="pyarrow")
-    edge_ds = (sorted_parses
-               .map_batches(edge_filter, batch_format="pyarrow",
-                            batch_size=None)
-               .groupby("conv_id")
-               .map_groups(coref_conversation, batch_format="pandas")
-               .map_batches(lambda b: b.select(COREF_COLUMNS),
-                            batch_format="pyarrow"))
-    return inner_ds.union(edge_ds)
+    return sorted_map_groups(parses_ds, ["conv_id"], coref_conversation,
+                             schema=_coref_schema())

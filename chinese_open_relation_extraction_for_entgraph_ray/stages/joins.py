@@ -173,19 +173,22 @@ def asof_join(left_ds, right_ds, *, by: str, ts: str,
         order = left_cols + ["__side"] + payload_out
         return pa.Table.from_arrays([cols[c] for c in order], names=order)
 
-    def merge_scan(group):
+    def merge_block(df):
+        """Vectorized grouped as-of over a whole block of complete key
+        groups: ONE ``pd.merge_asof(..., by=key)`` call — no per-key
+        Python at 10^8+ keys."""
         import pandas as pd
 
-        lf = group[group["__side"] == 1][left_cols].sort_values(ts,
-                                                                kind="mergesort")
-        rt = group[group["__side"] == 0][[ts] + payload_out].sort_values(
+        lf = df[df["__side"] == 1][left_cols].sort_values(ts,
+                                                          kind="mergesort")
+        rt = df[df["__side"] == 0][[by, ts] + payload_out].sort_values(
             ts, kind="mergesort")
         if len(rt) == 0:
             out = lf.copy()
             for c in payload_out:
                 out[c] = None
             return out
-        return pd.merge_asof(lf, rt, on=ts, direction="backward",
+        return pd.merge_asof(lf, rt, on=ts, by=by, direction="backward",
                              allow_exact_matches=True)
 
     from .blockgroup import sorted_map_groups
@@ -196,4 +199,5 @@ def asof_join(left_ds, right_ds, *, by: str, ts: str,
     out_schema = pa.schema(
         [(c, left_type[c]) for c in left_cols]
         + [(oc, right_type[c]) for c, oc in zip(right_payload, payload_out)])
-    return sorted_map_groups(unioned, [by], merge_scan, schema=out_schema)
+    return sorted_map_groups(unioned, [by], block_fn=merge_block,
+                             schema=out_schema)

@@ -85,3 +85,26 @@ def test_mentions_with_coref_reuse_vs_rerun(ray_session):
     # no sentence appears in both branches
     for rows in by_key.values():
         assert len({r["source"] for r in rows}) == 1
+
+
+def test_coref_delta_scale_path_matches_map_groups(ray_session):
+    """sorted-block coref == plain map_groups coref on a multi-conversation
+    corpus with block boundaries."""
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.coref import (
+        coref_delta_triples,
+    )
+
+    parses = []
+    for c in range(12):
+        for p in PARSES[:2]:
+            q = dict(p)
+            q["conv_id"] = f"conv{c:02d}"
+            parses.append(q)
+    ds = rd.from_items(parses).repartition(5)
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["sent_idx"],  # noqa: E731
+                     r["rel_kind"], r["subj"], r["pred"], r["obj"])
+    a = sorted(map(key, coref_delta_triples(ds, scale=True).take_all()))
+    b = sorted(map(key, coref_delta_triples(ds, scale=False).take_all()))
+    assert a == b and len(a) > 0
