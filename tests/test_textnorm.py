@@ -52,3 +52,68 @@ def test_split_idempotent_on_clean_sentence():
     s = "张三急匆匆地赶往机场。"
     assert tn.split_text(s) == [s]
     assert tn.split_text(s)[0] == tn.normalize_line(s)
+
+
+class TestBertVocabDivergence:
+    """M4/ST1 fidelity documentation: normalize_line is a tokenizer-free
+    ANALOG of the reference's bert-base-chinese [UNK]-removal
+    (preprocess_corpus.py:26-63), not a replica.  These fixtures pin where
+    the two AGREE and document the known divergence classes on rare
+    characters, so the delta is explicit rather than silent."""
+
+    def test_agreement_common_text(self):
+        from chinese_open_relation_extraction_for_entgraph_ray.functions.textnorm import (
+            normalize_line,
+        )
+
+        # common CJK + ASCII + punctuation: both keep everything (modulo
+        # the shared lowercasing the BERT tokenizer also applies)
+        for s, want in [
+            ("张伟访问数据。", "张伟访问数据。"),
+            ("模型F1达到92%！", "模型f1达到92%！"),
+            ("他说：“好的”", "他说：“好的”"),
+        ]:
+            assert normalize_line(s) == want
+
+    def test_agreement_unk_like_symbols_dropped(self):
+        from chinese_open_relation_extraction_for_entgraph_ray.functions.textnorm import (
+            normalize_line,
+        )
+
+        # emoji / dingbats / box-drawing are [UNK] for bert-base-chinese
+        # and are dropped by the keep-set as well
+        assert normalize_line("部署完成🚀！") == "部署完成！"
+        assert normalize_line("│表格│边框│") == "表格边框"
+        assert normalize_line("测试❤结束") == "测试结束"
+
+    def test_divergence_rare_cjk_kept_here_unk_in_bert(self):
+        from chinese_open_relation_extraction_for_entgraph_ray.functions.textnorm import (
+            normalize_line,
+        )
+
+        # DOCUMENTED DIVERGENCE class 1: rare CJK ideographs inside the
+        # URO (e.g. 鼗 U+9F17, 龥 U+9FA5) are [UNK] for bert-base-chinese
+        # (vocab ~21k chars) but inside our keep-range [一-鿿], so the
+        # reference would DROP them and we KEEP them.
+        assert normalize_line("鼗鼓齐鸣") == "鼗鼓齐鸣"      # ref: "鼓齐鸣"
+        assert normalize_line("龥求帮助") == "龥求帮助"      # ref: "求帮助"
+
+    def test_divergence_cjk_ext_b_dropped_here_too(self):
+        from chinese_open_relation_extraction_for_entgraph_ray.functions.textnorm import (
+            normalize_line,
+        )
+
+        # CJK extension B+ (outside the BMP URO range) falls outside the
+        # keep-range too — both sides drop it (agreement on the far tail)
+        assert normalize_line("𠀀测试") == "测试"
+
+    def test_divergence_full_vs_halfwidth_digits(self):
+        from chinese_open_relation_extraction_for_entgraph_ray.functions.textnorm import (
+            normalize_line,
+        )
+
+        # DOCUMENTED DIVERGENCE class 2: fullwidth alphanumerics (ＡＢ１２)
+        # — bert-base-chinese maps them to themselves (kept), our keep-set
+        # drops them.  Rare in news corpora; the KG cascade is unaffected
+        # because the gazetteer/lexicon carries no fullwidth surfaces.
+        assert normalize_line("编号１２３") == "编号"
