@@ -1003,6 +1003,25 @@ def _q_docs_jaccard_near_dups(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.5)
 
 
+def _q_docs_dedup_clusters(sf_dir: str):
+    """Duplicate-CLUSTER resolution: Jaccard-verified near-dup pairs ->
+    connected components (min-label propagation + pointer jumping,
+    stages/cluster.py) -> one representative per component.  Chains
+    (a~b, b~c) collapse to one survivor — the closure pairwise dropping
+    gets wrong."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.cluster import (
+        dedup_cluster_representatives,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        jaccard_near_dups,
+    )
+
+    pairs = jaccard_near_dups(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.5)
+    return dedup_cluster_representatives(pairs)
+
+
 def _q_embedding_near_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs via multi-band hyperplane LSH + exact
     within-bucket verification (stages/similarity.py).
@@ -1102,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         "docs_jaccard_near_dups": _q_docs_jaccard_near_dups,
+        "docs_dedup_clusters": _q_docs_dedup_clusters,
         "docs_curation_exact": _q_docs_curation_exact,
         "docs_embed_similar": _q_docs_embed_similar,
         "docs_curated": _q_docs_curated,

@@ -1,0 +1,63 @@
+"""Connected components over pair streams vs a single-process union-find."""
+
+import pytest
+
+
+def _union_find(pairs):
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+CASES = [
+    # chain + star + two components + a reversed dup pair in one graph
+    # (chains are the adversarial case for pairwise dropping; the star and
+    # the reversed pair exercise fan-in and symmetric input)
+    [(1, 2), (2, 3), (3, 4)]
+    + [(10, i) for i in range(11, 16)]
+    + [(20, 21), (30, 31), (31, 30)]
+    + [(100 + i, 101 + i) for i in range(6)],
+]
+
+
+@pytest.mark.parametrize("pairs", CASES)
+def test_connected_components_match_union_find(ray_session, pairs):
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.cluster import (
+        connected_components,
+    )
+
+    ds = rd.from_items([{"a": a, "b": b} for a, b in pairs]).repartition(3)
+    got = {r["node"]: r["component"]
+           for r in connected_components(ds).take_all()}
+    want = _union_find(pairs)
+    assert got == want
+
+
+def test_dedup_cluster_representatives_chain(ray_session):
+    """The cluster closer keeps exactly one doc per component — including
+    on chains where pairwise b-dropping over-keeps."""
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.cluster import (
+        dedup_cluster_representatives,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (7, 8)]
+    ds = rd.from_items([{"a": a, "b": b} for a, b in pairs])
+    rows = dedup_cluster_representatives(ds).take_all()
+    keep = sorted(r["node"] for r in rows if r["keep"])
+    drop = sorted(r["node"] for r in rows if not r["keep"])
+    assert keep == [1, 7]
+    assert drop == [2, 3, 4, 8]
