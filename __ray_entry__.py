@@ -783,6 +783,64 @@ def _q_docs_train_val_split(sf_dir: str):
         .map_batches(split, batch_format="pyarrow")
 
 
+def _q_docs_top_tokens(sf_dir: str):
+    """Exact corpus-wide heavy hitters: top-20 whitespace tokens.  Per-batch
+    dict pre-aggregation (combiner) -> small grouped sum -> sort+limit;
+    the exchange carries one row per (batch, distinct token), never raw
+    tokens."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for tok in (text or "").split():
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.Table.from_arrays(
+            [pa.array(list(counts), pa.string()),
+             pa.array(list(counts.values()), pa.int64())],
+            names=["token", "n"])
+
+    return (_read(sf_dir, "documents", columns=["text"])
+            .map_batches(batch_counts, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "token"], descending=[True, False])
+            .limit(20))
+
+
+def _q_events_user_cumulative_value(sf_dir: str):
+    """Windowed running sum (SQL SUM OVER PARTITION BY ORDER BY): per-event
+    cumulative value within the user's (ts, event_id)-ordered stream —
+    the vectorized sorted-block path (one sort + grouped cumsum per block,
+    zero per-user Python)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+
+    def cumsum_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cum = g.groupby("user_id", sort=False)["value"].cumsum()
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "cum_value": np_round_away(cum.to_numpy(dtype=np.float64), 2),
+        })
+
+    return sorted_map_groups(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                         "value"]),
+        ["user_id"], block_fn=cumsum_block,
+        schema=pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                          ("cum_value", pa.float64())]))
+
+
 def _q_embeddings_norms(sf_dir: str):
     from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
         embedding_norms,
@@ -1110,6 +1168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_deterministic_sample": _q_docs_deterministic_sample,
         "docs_train_val_split": _q_docs_train_val_split,
+        "docs_top_tokens": _q_docs_top_tokens,
+        "events_user_cumulative_value": _q_events_user_cumulative_value,
         # embeddings (norms SQL-oracled; similarity SQL-oracled via
         # list_cosine_similarity)
         "embeddings_norms": _q_embeddings_norms,
@@ -1309,6 +1369,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, {lang_counts} FROM documents)""",
         "docs_fingerprints": """
             SELECT doc_id, md5(text) AS md5 FROM documents""",
+        "docs_top_tokens": r"""
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""",
+        "events_user_cumulative_value": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id), 2) AS cum_value
+            FROM events""",
         "docs_exact_dedup": """
             SELECT md5(text) AS md5, min(doc_id) AS keep_doc_id,
                    count(*) AS dup_count
