@@ -335,6 +335,24 @@ def _q_events_value_quantiles(sf_dir: str):
                           ("p95", pa.float64()), ("p99", pa.float64())]))
 
 
+def _q_events_value_quantiles_approx(sf_dir: str):
+    """Approximate global value quantiles from the mergeable histogram
+    sketch (stages/sketch.approx_quantiles) — shuffle-free, error bounded
+    by (max-min)/bins; rows-only (the estimator is not SQL; the error
+    bound is pinned by pytest against exact quantiles)."""
+    import pandas as pd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        approx_quantiles,
+    )
+
+    p50, p95, p99 = approx_quantiles(
+        _read(sf_dir, "events", columns=["value"]), "value",
+        [0.5, 0.95, 0.99])
+    return pd.DataFrame({"p50": [round(p50, 2)], "p95": [round(p95, 2)],
+                         "p99": [round(p99, 2)]})
+
+
 def _q_orders_by_status(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1147,6 +1165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_revenue_filter": _q_lineitem_revenue_filter,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_approx_distinct_users": _q_events_approx_distinct_users,
+        "events_value_quantiles_approx": _q_events_value_quantiles_approx,
         "orders_by_status": _q_orders_by_status,
         "customer_revenue_topk": _q_customer_revenue_topk,
         "nation_customer_counts": _q_nation_customer_counts,

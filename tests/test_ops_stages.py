@@ -336,3 +336,33 @@ def test_approx_distinct_dataset(ray_session):
     est = approx_distinct(ds, "user_id")
     # 150 distinct users; small-range linear counting should be near-exact
     assert abs(est - 150) < 8, est
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    """Histogram-sketch quantiles within the (max-min)/bins bound of exact
+    linear-interpolation quantiles, incl. skewed data; degenerate cases."""
+    import numpy as np
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        approx_quantiles,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([rng.exponential(50.0, 20_000),
+                           rng.normal(500.0, 10.0, 5_000)])
+    ds = rd.from_arrow(__import__("pyarrow").table({"value": vals})) \
+        .repartition(8)
+    qs = [0.1, 0.5, 0.95, 0.99]
+    got = approx_quantiles(ds, "value", qs, bins=4096)
+    want = np.quantile(vals, qs, method="linear")
+    tol = (vals.max() - vals.min()) / 4096 * 2
+    for g, w in zip(got, want):
+        assert abs(g - w) <= tol, (g, w, tol)
+
+    # degenerate: constant column and empty dataset
+    const = rd.from_items([{"value": 3.5}] * 100)
+    assert approx_quantiles(const, "value", [0.5]) == [3.5]
+    empty = rd.from_arrow(__import__("pyarrow").table(
+        {"value": __import__("pyarrow").array([], "float64")}))
+    assert np.isnan(approx_quantiles(empty, "value", [0.5])[0])
