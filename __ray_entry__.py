@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported; nothing here
 calls ray.init()/ray.shutdown().
 
-Query families (SURVEY.md §2 + §8 coverage; 50 queries, 29 with exact DuckDB
+Query families (SURVEY.md §2 + §8 coverage; 58 queries, 32 with exact DuckDB
 oracles, the rest rows-only where SQL can't express the op):
 - kg_*                — the flagship KG pipeline over the deterministic
                         synthetic transcripts (rule cascade -> rows-only),
