@@ -71,11 +71,19 @@ def curate_step1_exact(docs_ds, **filter_kwargs):
 
 
 def curate_documents(docs_ds, *, jaccard_threshold: float = 0.5,
-                     **filter_kwargs):
+                     cluster_dedup: bool = False, **filter_kwargs):
     """Full curation: returns the curated documents Dataset (doc_id, text).
 
     Survivor selection and near-dup removal are distributed keyed joins —
-    no ``take_all()`` over corpus-proportional data anywhere on the path."""
+    no ``take_all()`` over corpus-proportional data anywhere on the path.
+
+    ``cluster_dedup=False`` (default, the round-1 semantics): drop the
+    higher doc_id of each verified pair.  On duplicate CHAINS (a~b, b~c
+    where a~c was not verified) this over-keeps.
+    ``cluster_dedup=True``: close the pairs into connected components
+    (``stages/cluster.py``) and keep exactly one representative (the
+    minimum doc_id) per component — the correct cluster-level semantics,
+    at the cost of the iterative component rounds."""
     from ..stages.joins import semi_join
 
     survivors = curate_step1_exact(docs_ds, **filter_kwargs) \
@@ -84,9 +92,19 @@ def curate_documents(docs_ds, *, jaccard_threshold: float = 0.5,
     kept = semi_join(docs_ds, survivors,
                      left_key="doc_id", right_key="keep_doc_id") \
         .materialize()   # consumed twice: near-dup candidate gen + anti-join
-    drop_ids = (jaccard_near_dups(kept, threshold=jaccard_threshold)
-                .map_batches(lambda b: b.select(["b"]),
-                             batch_format="pyarrow")
-                .materialize())   # bounded by verified duplicate pairs
+    pairs = jaccard_near_dups(kept, threshold=jaccard_threshold)
+    if cluster_dedup:
+        from ..stages.cluster import dedup_cluster_representatives
+
+        drop_ids = (dedup_cluster_representatives(pairs)
+                    .filter(expr="keep == False")
+                    .map_batches(lambda b: b.select(["node"]),
+                                 batch_format="pyarrow")
+                    .materialize())
+        return semi_join(kept, drop_ids, left_key="doc_id",
+                         right_key="node", anti=True)
+    drop_ids = pairs.map_batches(lambda b: b.select(["b"]),
+                                 batch_format="pyarrow") \
+        .materialize()   # bounded by verified duplicate pairs
     return semi_join(kept, drop_ids, left_key="doc_id", right_key="b",
                      anti=True)

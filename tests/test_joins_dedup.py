@@ -195,3 +195,62 @@ def test_simhash_near_dups_exhaustive_at_hamming3(ray_session):
         if hamming64(sigs[a], sigs[b]) <= 3)
     assert got == want
     assert len(got) > 0
+
+
+def test_curate_documents_cluster_dedup(ray_session):
+    """cluster_dedup=True keeps exactly one representative per connected
+    near-dup component (union-find reference)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.pipelines.curate import (
+        curate_documents,
+        quality_lang_filter,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        jaccard,
+        minhash_candidate_pairs,
+    )
+
+    docs = _fixture_corpus()
+    ds = rd.from_items(docs).repartition(5)
+    got = sorted(r["doc_id"] for r in
+                 curate_documents(ds, cluster_dedup=True).take_all())
+
+    # single-process reference: survivors -> verified pairs -> union-find ->
+    # keep each component's min
+    tbl = pa.Table.from_pylist(docs)
+    filtered = quality_lang_filter(tbl).to_pylist()
+    by_md5: dict = {}
+    for d in filtered:
+        key = hashlib.md5(d["text"].encode()).hexdigest()
+        if key not in by_md5 or d["doc_id"] < by_md5[key]:
+            by_md5[key] = d["doc_id"]
+    keep = set(by_md5.values())
+    kept = [d for d in docs if d["doc_id"] in keep]
+    pairs = [(p["a"], p["b"]) for p in minhash_candidate_pairs(
+        rd.from_items(kept).repartition(3)).take_all()]
+    texts = {d["doc_id"]: d["text"] for d in kept}
+    verified = [(a, b) for a, b in pairs
+                if jaccard(texts[a], texts[b], 3) >= 0.5]
+    comp = _union_find_curate(verified)
+    drop = {n for n, c in comp.items() if n != c}
+    assert got == sorted(keep - drop)
+    assert len(verified) > 0
+
+
+def _union_find_curate(pairs):
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
