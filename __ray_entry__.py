@@ -953,6 +953,17 @@ def _q_kg_mention_labels(sf_dir: str):
         detect_mentions(_kg(sf_dir)["sentences"], concurrency=2))
 
 
+def _q_kg_coref_chain_buckets(sf_dir: str):
+    """Coref chain-count histogram per conversation incl. the 0 bucket
+    (the reference's coref_chain_bucket, main_ner.py:332,380-381; G4
+    closure; rows-only)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.coref import (
+        coref_chain_buckets,
+    )
+
+    return coref_chain_buckets(_kg(sf_dir)["parses"])
+
+
 def _q_kg_filter_histograms(sf_dir: str):
     """Sorted stop-word-filter / V_CMP-complement histograms (the
     reference's fine/coarse_stop_word_count_bucket + vcmp_bucket,
@@ -1206,6 +1217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curated": _q_docs_curated,
         # conversation-level coref delta (rows-only)
         "kg_coref_delta": _q_kg_coref_delta,
+        "kg_coref_chain_buckets": _q_kg_coref_chain_buckets,
         # mention detection + link scoring (rows-only; gazetteer NER)
         "kg_mentions": _q_kg_mentions,
         "kg_mention_labels": _q_kg_mention_labels,

@@ -146,6 +146,38 @@ def _coref_schema():
     return COREF_SCHEMA
 
 
+def coref_chain_buckets(parses_ds) -> "pd.DataFrame":
+    """The reference's ``coref_chain_bucket`` histogram (number of resolved
+    coref chains per document -> document count, seeded with the 0 bucket
+    and key-sorted; main_ner.py:332,380-381) — here: pronoun substitutions
+    per conversation.  Distributed: substitution rows -> per-conv count ->
+    bucket count; the 0 bucket is total conversations minus represented
+    ones (one exact distinct-key aggregate).  Returns a small DataFrame
+    (n_chains, n_conversations) — bounded by the max chains in any single
+    conversation."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from .groupagg import sorted_hash_aggregate
+
+    corefed = corefed_sentence_rows(parses_ds)
+    per_conv = corefed.groupby("conv_id").aggregate(
+        Count(alias_name="n_chains"))
+    bucket_rows = per_conv.groupby("n_chains").aggregate(
+        Count(alias_name="n_conversations")).take_all()
+    total_convs = sorted_hash_aggregate(
+        parses_ds.map_batches(lambda t: t.select(["conv_id"]),
+                              batch_format="pyarrow"),
+        ["conv_id"], []).count()
+    buckets = {int(r["n_chains"]): int(r["n_conversations"])
+               for r in bucket_rows}
+    buckets[0] = total_convs - sum(buckets.values())
+    keys = sorted(buckets)
+    return pd.DataFrame({"n_chains": keys,
+                         "n_conversations": [buckets[k] for k in keys]})
+
+
 def coref_delta_triples(parses_ds, scale: bool = True):
     """parses Dataset -> coref delta-triples Dataset (shuffle key: conv_id).
 

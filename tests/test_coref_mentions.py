@@ -108,3 +108,38 @@ def test_coref_delta_scale_path_matches_map_groups(ray_session):
     a = sorted(map(key, coref_delta_triples(ds, scale=True).take_all()))
     b = sorted(map(key, coref_delta_triples(ds, scale=False).take_all()))
     assert a == b and len(a) > 0
+
+
+def test_coref_chain_buckets_recount(ray_session):
+    """Distributed chain-bucket histogram == pandas recount, 0 bucket
+    included (reference coref_chain_bucket semantics)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.coref import (
+        conversation_substitutions,
+        coref_chain_buckets,
+    )
+
+    parses = []
+    for c in range(9):
+        reps = (c % 3) + 1          # convs with 1, 2 or 3 pronoun turns
+        for r in range(reps):
+            p0 = dict(PARSES[0]); p0["conv_id"] = f"cv{c}"; p0["turn_idx"] = 2 * r
+            p1 = dict(PARSES[1]); p1["conv_id"] = f"cv{c}"; p1["turn_idx"] = 2 * r + 1
+            parses.extend([p0, p1])
+    # one conversation with no substitutions at all (0 bucket)
+    p = dict(PARSES[2]); p["conv_id"] = "cv_none"
+    parses.append(p)
+
+    got = coref_chain_buckets(rd.from_items(parses).repartition(4))
+
+    df = pd.DataFrame(parses)
+    counts = {}
+    for conv, grp in df.groupby("conv_id"):
+        counts[conv] = len(conversation_substitutions(grp))
+    want = pd.Series(list(counts.values())).value_counts().to_dict()
+    want.setdefault(0, 0)
+    got_map = dict(zip(got["n_chains"], got["n_conversations"]))
+    assert got_map == {int(k): int(v) for k, v in want.items()}
+    assert list(got["n_chains"]) == sorted(got["n_chains"])

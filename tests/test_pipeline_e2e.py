@@ -260,3 +260,43 @@ def test_filter_histograms_match_recount(kg, ray_session):
         by_bucket.setdefault(r["bucket"], []).append(r["n"])
     for ns in by_bucket.values():
         assert ns == sorted(ns, reverse=True)
+
+
+def test_partition_metrics_retry_overwrites(tmp_path, monkeypatch):
+    """Metric files are named by (task id, call seq): a retried task (same
+    task id, fresh process counter) OVERWRITES its records instead of
+    appending duplicates (ADVICE r1)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.state import lineage
+
+    class _Ctx:
+        def __init__(self, tid):
+            self._tid = tid
+
+        def get_task_id(self):
+            return self._tid
+
+    class _FakeRay:
+        def __init__(self, tid):
+            self._tid = tid
+
+        def get_runtime_context(self):
+            return _Ctx(self._tid)
+
+    mdir = str(tmp_path / "metrics")
+    monkeypatch.setattr(lineage, "ray", _FakeRay("task-A"), raising=False)
+    # emit_partition_metrics imports ray inside _emit_name; patch there
+    import sys
+    monkeypatch.setitem(sys.modules, "ray", _FakeRay("task-A"))
+
+    lineage._EMIT_SEQ.clear()
+    lineage.emit_partition_metrics(mdir, {"n": 1})
+    lineage.emit_partition_metrics(mdir, {"n": 2})
+    assert lineage.merge_metric_records(mdir)["n"] == 3
+
+    # simulate the retry: same task id, counter reset (fresh worker)
+    lineage._EMIT_SEQ.clear()
+    lineage.emit_partition_metrics(mdir, {"n": 10})
+    lineage.emit_partition_metrics(mdir, {"n": 20})
+    merged = lineage.merge_metric_records(mdir)
+    assert merged["n"] == 30          # overwritten, not 33
+    assert merged["n_partitions"] == 2
