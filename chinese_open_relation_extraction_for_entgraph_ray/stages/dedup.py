@@ -107,22 +107,37 @@ def minhash_signature(text: str) -> np.ndarray:
     return permed.min(axis=0)
 
 
+# per-slot mixing constants for the vectorized band hash (an int64-wrapping
+# polynomial over the band's signature slots — deterministic, and a
+# collision only costs one false-positive candidate pair, later verified)
+_BAND_SLOT_MIX = _rng.randint(1, _MERSENNE, size=ROWS_PER_BAND,
+                              dtype=np.int64) | 1
+
+
 def add_minhash_bands(batch: pa.Table) -> pa.Table:
-    """docs -> exploded (band, band_hash, doc_id) rows for the LSH groupby."""
-    doc_ids = batch.column("doc_id").to_pylist()
+    """docs -> exploded (band, band_hash, doc_id) rows for the LSH groupby.
+
+    Band hashes are computed for the WHOLE batch with one numpy pass per
+    band (wrapping int64 polynomial over the band's signature slots) —
+    no per-row digest calls; band_hash is int64, so the downstream bucket
+    sort exchanges fixed-width keys instead of strings."""
+    doc_ids = batch.column("doc_id").to_numpy()
     texts = batch.column("text").to_pylist()
-    out_band, out_hash, out_doc = [], [], []
-    for did, text in zip(doc_ids, texts):
-        sig = minhash_signature(text or "")
+    n = len(texts)
+    sigs = np.empty((n, NUM_PERM), dtype=np.int64)
+    for i, t in enumerate(texts):
+        sigs[i] = minhash_signature(t or "")
+    with np.errstate(over="ignore"):
+        band_cols = []
         for b in range(BANDS):
-            chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
-            h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-            out_band.append(b)
-            out_hash.append(h)
-            out_doc.append(did)
+            chunk = sigs[:, b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+            band_cols.append(
+                (chunk * _BAND_SLOT_MIX[None, :]).sum(axis=1,
+                                                      dtype=np.int64))
     return pa.Table.from_arrays(
-        [pa.array(out_band, pa.int32()), pa.array(out_hash, pa.string()),
-         pa.array(out_doc, pa.int64())],
+        [pa.array(np.repeat(np.arange(BANDS, dtype=np.int32), n)),
+         pa.array(np.concatenate(band_cols)),
+         pa.array(np.tile(doc_ids, BANDS))],
         names=["band", "band_hash", "doc_id"])
 
 
@@ -188,66 +203,82 @@ def hamming64(a: int, b: int) -> int:
 
 def exact_dedup(docs_ds):
     """Keep the min-doc_id representative per identical text.  Key = md5 so
-    the exchange is uniform regardless of text length."""
-    from ray.data.aggregate import Count, Min
+    the exchange is uniform regardless of text length.  Aggregated via the
+    sorted-block hash aggregate — the builtin groupby reduce pays ~ms per
+    group, and here groups ~= distinct documents."""
+    from .groupagg import sorted_hash_aggregate
 
-    def add_md5(batch: pa.Table) -> pa.Table:
+    def add_cols(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        n = batch.num_rows
         return pa.Table.from_arrays(
-            [batch.column("doc_id"), pa.array(md5s, pa.string())],
-            names=["doc_id", "md5"])
+            [pa.array(md5s, pa.string()),
+             batch.column("doc_id").cast(pa.int64()),
+             pa.array(np.ones(n, dtype=np.int64))],
+            names=["md5", "keep_doc_id", "dup_count"])
 
-    return (docs_ds.map_batches(add_md5, batch_format="pyarrow")
-            .groupby("md5")
-            .aggregate(Min("doc_id", alias_name="keep_doc_id"),
-                       Count(alias_name="dup_count")))
+    return sorted_hash_aggregate(
+        docs_ds.map_batches(add_cols, batch_format="pyarrow"),
+        ["md5"], [("keep_doc_id", "min"), ("dup_count", "sum")])
 
 
 def _block_pairs_and_edges(batch: pa.Table) -> pa.Table:
-    """Pair generation over one bucket-sorted block.
+    """Pair generation over one bucket-sorted block — vectorized.
 
     Buckets fully inside the block emit their pairs here (kind=1 rows with
     a/b set).  The block's first and last buckets may straddle a block
     boundary, so their member rows pass through unsolved (kind=0) to a tiny
     second pass that sees each straddling bucket whole.  Double-generated
     pairs are collapsed by the final groupby(a, b).
-    """
-    import pandas as pd
 
+    LSH buckets are overwhelmingly singletons, so bucket boundaries come
+    from a numpy run-length scan over the sorted (band, band_hash) stream;
+    Python touches ONLY multi-member buckets (a per-group pandas iteration
+    here measured ~50 µs x millions of singleton buckets — the dominant
+    cost of the whole pair-generation stage before this rewrite)."""
     out_a: list[int] = []
     out_b: list[int] = []
-    edge_band: list[int] = []
-    edge_hash: list[str] = []
-    edge_doc: list[int] = []
+    n_edges = 0
+    edge_tbl = None
     if batch.num_rows:
-        df = batch.to_pandas()
-        keys = list(zip(df["band"], df["band_hash"]))
-        first_key, last_key = keys[0], keys[-1]
+        band = batch.column("band").to_numpy()
+        bh = batch.column("band_hash").to_numpy()
+        doc = batch.column("doc_id").to_numpy()
+        n = len(band)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(band[1:], band[:-1], out=change[1:])
+        change[1:] |= bh[1:] != bh[:-1]
+        group_id = np.cumsum(change) - 1
+        last_gid = group_id[-1]
+        counts = np.bincount(group_id)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        edge_mask = (group_id == 0) | (group_id == last_gid)
+        edge_tbl = batch.filter(pa.array(edge_mask))
+        n_edges = edge_tbl.num_rows
         truncated: list[int] = []
-        for key, g in df.groupby(["band", "band_hash"], sort=False):
-            if key == first_key or key == last_key:
-                edge_band.extend(g["band"])
-                edge_hash.extend(g["band_hash"])
-                edge_doc.extend(g["doc_id"])
+        for g in np.nonzero(counts >= 2)[0]:
+            if g == 0 or g == last_gid:
                 continue
-            if len(g) < 2:
-                continue
-            all_ids = sorted(g["doc_id"].tolist())
-            if len(all_ids) > MAX_BUCKET:
-                truncated.append(len(all_ids))
-            ids = all_ids[:MAX_BUCKET]
+            members = doc[starts[g]:starts[g] + counts[g]]
+            if len(members) > MAX_BUCKET:
+                truncated.append(len(members))
+            ids = np.sort(members)[:MAX_BUCKET].tolist()
             for a, b in itertools.combinations(ids, 2):
                 out_a.append(a)
                 out_b.append(b)
         _log_bucket_caps(truncated)
-    n_pairs, n_edges = len(out_a), len(edge_doc)
+    n_pairs = len(out_a)
+    edge_band = edge_tbl.column("band").to_pylist() if n_edges else []
+    edge_hash = edge_tbl.column("band_hash").to_pylist() if n_edges else []
+    edge_doc = edge_tbl.column("doc_id").to_pylist() if n_edges else []
     return pa.Table.from_arrays(
         [pa.array([1] * n_pairs + [0] * n_edges, pa.int8()),
          pa.array(out_a + [0] * n_edges, pa.int64()),
          pa.array(out_b + [0] * n_edges, pa.int64()),
          pa.array([0] * n_pairs + edge_band, pa.int32()),
-         pa.array([""] * n_pairs + edge_hash, pa.string()),
+         pa.array([0] * n_pairs + edge_hash, pa.int64()),
          pa.array([0] * n_pairs + edge_doc, pa.int64())],
         names=["kind", "a", "b", "band", "band_hash", "doc_id"])
 
@@ -261,10 +292,6 @@ def minhash_candidate_pairs(docs_ds):
     per-group second pass — this avoids a per-group Python call for every
     one of the (mostly singleton) LSH buckets.
     """
-    import pyarrow.compute as pc
-
-    from ray.data.aggregate import Count
-
     mixed = (docs_ds.map_batches(add_minhash_bands, batch_format="pyarrow")
              .sort(["band", "band_hash"])
              .map_batches(_block_pairs_and_edges, batch_format="pyarrow",
@@ -288,7 +315,19 @@ def minhash_candidate_pairs(docs_ds):
                   .map_batches(_to_arrow, batch_format="pyarrow"))
     all_pairs = inner.map_batches(_sel_pairs, batch_format="pyarrow") \
                      .union(edge_pairs)
-    return all_pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+
+    # final pair dedupe via the sorted-block hash aggregate — Ray's builtin
+    # groupby().aggregate() pays ~ms per group in the reduce, which at 1e5+
+    # distinct pairs dominated the whole pair-generation stage
+    from .groupagg import sorted_hash_aggregate
+
+    def add_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_bands", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    return sorted_hash_aggregate(
+        all_pairs.map_batches(add_one, batch_format="pyarrow"),
+        ["a", "b"], [("n_bands", "sum")])
 
 
 def simhash_near_dups(docs_ds, max_hamming: int = 3):
@@ -299,8 +338,6 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
     buckets through a tiny second pass), with signatures riding along so
     verification needs no extra join.  Returns (a, b, hamming) rows."""
     import pandas as pd
-
-    from ray.data.aggregate import Min
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         sigs = add_simhash(batch)
@@ -373,12 +410,14 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
                                batch_format="pandas", batch_size=None)
                   .map_batches(lambda b: b.select(["a", "b", "hamming"]),
                                batch_format="pyarrow"))
-    return inner.union(edge_pairs) \
-                .groupby(["a", "b"]) \
-                .aggregate(Min("hamming", alias_name="hamming"))
+    from .groupagg import sorted_hash_aggregate
+
+    return sorted_hash_aggregate(inner.union(edge_pairs), ["a", "b"],
+                                 [("hamming", "min")])
 
 
-def jaccard_near_dups(docs_ds, threshold: float = 0.5, k: int = 3):
+def jaccard_near_dups(docs_ds, threshold: float = 0.5, k: int = 3,
+                      prefilter_candidates: bool = False):
     """MinHash-LSH candidates verified by exact word-k-shingle Jaccard —
     fully distributed.
 
@@ -387,16 +426,32 @@ def jaccard_near_dups(docs_ds, threshold: float = 0.5, k: int = 3):
     ``stages/joins.lookup_join``), so NOTHING corpus- or
     candidate-proportional is ever collected to the driver — at 100 TB the
     near-dup candidate set is a double-digit fraction of the corpus, which
-    ruled out the classic collect+broadcast shape."""
+    ruled out the classic collect+broadcast shape.
+
+    ``prefilter_candidates=True`` first semi-joins the corpus down to the
+    candidate doc ids so the full corpus is exchanged ONCE instead of
+    twice — the knob for when corpus bytes >> candidate set.  Measured at
+    500k docs / 126k pairs on this single node the direct two-lookup plan
+    wins (13.4 s vs 40.1 s — per-op fixed costs dominate), so the default
+    is off; flip it when the corpus-sort volume is the bottleneck."""
     pairs = (minhash_candidate_pairs(docs_ds)
              .map_batches(lambda b: b.select(["a", "b"]),
                           batch_format="pyarrow")
              .materialize())   # small vs corpus; avoids schema() re-execution
 
-    from .joins import lookup_join
+    from .joins import lookup_join, semi_join
 
     docs = docs_ds.map_batches(lambda b: b.select(["doc_id", "text"]),
                                batch_format="pyarrow")
+    if prefilter_candidates:
+        cand_ids = pairs.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pa.concat_arrays([b.column("a").combine_chunks(),
+                                   b.column("b").combine_chunks()])],
+                names=["id"]),
+            batch_format="pyarrow")
+        docs = semi_join(docs, cand_ids, left_key="doc_id",
+                         right_key="id").materialize()
     with_a = lookup_join(pairs, docs, left_key="a", right_key="doc_id",
                          payload=["text"], suffix="_a", how="inner")
     with_ab = lookup_join(with_a, docs, left_key="b", right_key="doc_id",
