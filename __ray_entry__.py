@@ -198,15 +198,30 @@ def _q_transcripts_conversation_text(sf_dir: str):
 
 
 def _q_transcripts_turn_stats(sf_dir: str):
+    """Per-conversation turn stats — sorted-block hash aggregate (conv_id
+    cardinality ~= corpus size; the builtin groupby reduce pays ~ms per
+    group)."""
+    import numpy as np
+    import pyarrow as pa
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Min
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        sorted_hash_aggregate,
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ti = batch.column("turn_idx")
+        return pa.Table.from_arrays(
+            [batch.column("conv_id"),
+             pa.array(np.ones(batch.num_rows, dtype=np.int64)), ti, ti],
+            names=["conv_id", "n_turns", "first_turn", "last_turn"])
 
     tdir = _transcripts_dir(sf_dir)
-    return (rd.read_parquet(tdir, columns=["conv_id", "turn_idx"])
-            .groupby("conv_id")
-            .aggregate(Count(alias_name="n_turns"),
-                       Min("turn_idx", alias_name="first_turn"),
-                       Max("turn_idx", alias_name="last_turn")))
+    return sorted_hash_aggregate(
+        rd.read_parquet(tdir, columns=["conv_id", "turn_idx"])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["conv_id"],
+        [("n_turns", "sum"), ("first_turn", "min"), ("last_turn", "max")])
 
 
 def _q_transcripts_role_counts(sf_dir: str):
@@ -379,14 +394,20 @@ def _q_customer_revenue_topk(sf_dir: str):
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        sorted_hash_aggregate,
+    )
+
     names_tbl = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                               columns=["c_custkey", "c_name"])
     name_of = dict(zip(names_tbl.column("c_custkey").to_pylist(),
                        names_tbl.column("c_name").to_pylist()))
 
-    agg = (_read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-           .groupby("o_custkey")
-           .aggregate(Sum("o_totalprice", alias_name="revenue")))
+    agg = sorted_hash_aggregate(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(lambda b: b.rename_columns(["o_custkey", "revenue"]),
+                     batch_format="pyarrow"),
+        ["o_custkey"], [("revenue", "sum")])
     top = agg.sort(["revenue", "o_custkey"], descending=[True, False]).limit(10)
 
     def attach(batch: pa.Table) -> pa.Table:
@@ -424,21 +445,29 @@ def _q_nation_customer_counts(sf_dir: str):
 
 
 def _q_events_hourly(sf_dir: str):
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        sorted_hash_aggregate,
+    )
 
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
-    def add_hour(batch: pa.Table) -> pa.Table:
+    def prep(batch: pa.Table) -> pa.Table:
         epoch_us = batch.column("ts").cast(pa.int64())
         hour = pc.multiply(pc.divide(epoch_us, 3_600_000_000), 3600)
-        return batch.append_column("hour_epoch", hour)
+        return pa.Table.from_arrays(
+            [batch.column("event_type"), hour,
+             pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+             batch.column("value")],
+            names=["event_type", "hour_epoch", "n_events", "total_value"])
 
-    agg = (ds.map_batches(add_hour, batch_format="pyarrow")
-           .groupby(["event_type", "hour_epoch"])
-           .aggregate(Count(alias_name="n_events"),
-                      Sum("value", alias_name="total_value")))
+    agg = sorted_hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hour_epoch"],
+        [("n_events", "sum"), ("total_value", "sum")])
 
     def rnd(batch: pa.Table) -> pa.Table:
         return batch.set_column(
@@ -449,14 +478,23 @@ def _q_events_hourly(sf_dir: str):
 
 
 def _q_events_user_topk(sf_dir: str):
+    import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
 
-    agg = (_read(sf_dir, "events", columns=["user_id", "value"])
-           .groupby("user_id")
-           .aggregate(Sum("value", alias_name="total_value"),
-                      Count(alias_name="n_events")))
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        sorted_hash_aggregate,
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("user_id"), batch.column("value"),
+             pa.array(np.ones(batch.num_rows, dtype=np.int64))],
+            names=["user_id", "total_value", "n_events"])
+
+    agg = sorted_hash_aggregate(
+        _read(sf_dir, "events", columns=["user_id", "value"])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], [("total_value", "sum"), ("n_events", "sum")])
     top = agg.sort(["total_value", "user_id"], descending=[True, False]).limit(10)
 
     def rnd(batch: pa.Table) -> pa.Table:
@@ -595,10 +633,19 @@ def _q_events_sliding_window(sf_dir: str):
              pa.concat_arrays(parts_w)],
             names=["event_type", "window_start"])
 
-    return (_read(sf_dir, "events", columns=["event_type", "ts"])
-            .map_batches(fan_out, batch_format="pyarrow")
-            .groupby(["event_type", "window_start"])
-            .aggregate(Count(alias_name="n_events")))
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        sorted_hash_aggregate,
+    )
+
+    def add_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_events", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    return sorted_hash_aggregate(
+        _read(sf_dir, "events", columns=["event_type", "ts"])
+        .map_batches(fan_out, batch_format="pyarrow")
+        .map_batches(add_one, batch_format="pyarrow"),
+        ["event_type", "window_start"], [("n_events", "sum")])
 
 
 def _q_part_brand_stats(sf_dir: str):
