@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.dedup import exact_dedup, jaccard_near_dups
-from ..stages.textstats import LANG_PATTERNS, STOPWORD_RE, TOKEN_RE
+from ..stages.textstats import STOPWORD_RE, TOKEN_RE
 
 
 def quality_lang_filter(batch: pa.Table, *, min_tokens: int = 3,
@@ -40,25 +40,12 @@ def quality_lang_filter(batch: pa.Table, *, min_tokens: int = 3,
                 pc.less_equal(n_tok, float(max_tokens))),
         pc.less_equal(stop_ratio, max_stop_ratio))
 
-    counts = {k: pc.count_substring_regex(text, p).to_pylist()
-              for k, p in LANG_PATTERNS.items()}
-    lang_keep = []
-    for i in range(batch.num_rows):
-        if counts["zh"][i] > 0:
-            lang = "zh"
-        elif counts["en"][i] >= counts["de"][i] and \
-                counts["en"][i] >= counts["fr"][i] and \
-                counts["en"][i] >= counts["es"][i]:
-            lang = "en"
-        elif counts["de"][i] >= counts["fr"][i] and \
-                counts["de"][i] >= counts["es"][i]:
-            lang = "de"
-        elif counts["fr"][i] >= counts["es"][i]:
-            lang = "fr"
-        else:
-            lang = "es"
-        lang_keep.append(lang in langs)
-    keep = pc.and_(keep, pa.array(lang_keep, pa.bool_()))
+    import numpy as np
+
+    from ..stages.textstats import lang_codes
+
+    lang_keep = np.isin(lang_codes(batch), list(langs))
+    keep = pc.and_(keep, pa.array(lang_keep))
     return batch.filter(keep)
 
 

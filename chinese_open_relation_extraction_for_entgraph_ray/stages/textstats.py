@@ -64,28 +64,32 @@ def quality_scores(batch: pa.Table) -> pa.Table:
         names=["doc_id", "n_tokens", "stop_ratio", "avg_token_len"])
 
 
-def detect_lang(batch: pa.Table) -> pa.Table:
-    """Heuristic language ID: CJK presence wins, else argmax of function-word
-    cue counts with a fixed en>de>fr>es tie-break (mirrored in SQL)."""
+def lang_codes(batch: pa.Table) -> "np.ndarray":
+    """Vectorized heuristic language ID: CJK presence wins, else argmax of
+    function-word cue counts with the fixed en>de>fr>es tie-break (mirrored
+    in SQL).  Returns one language code string per row — all numpy, no
+    per-row Python."""
+    import numpy as np
+
     text = batch.column("text")
-    counts = {k: pc.count_substring_regex(text, p).to_pylist()
-              for k, p in LANG_PATTERNS.items()}
-    langs = []
-    for i in range(batch.num_rows):
-        if counts["zh"][i] > 0:
-            langs.append("zh")
-        elif counts["en"][i] >= counts["de"][i] and \
-                counts["en"][i] >= counts["fr"][i] and \
-                counts["en"][i] >= counts["es"][i]:
-            langs.append("en")
-        elif counts["de"][i] >= counts["fr"][i] and counts["de"][i] >= counts["es"][i]:
-            langs.append("de")
-        elif counts["fr"][i] >= counts["es"][i]:
-            langs.append("fr")
-        else:
-            langs.append("es")
+    def _np(arr) -> np.ndarray:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return np.asarray(arr, dtype=np.int64)
+
+    c = {k: _np(pc.fill_null(pc.count_substring_regex(text, p), 0))
+         for k, p in LANG_PATTERNS.items()}
+    # stacking order encodes the tie-break: argmax picks the FIRST maximum
+    order = ["en", "de", "fr", "es"]
+    stack = np.stack([c[k] for k in order])          # (4, n)
+    langs = np.array(order, dtype=object)[stack.argmax(axis=0)]
+    langs[c["zh"] > 0] = "zh"
+    return langs
+
+
+def detect_lang(batch: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(
-        [batch.column("doc_id"), pa.array(langs, pa.string())],
+        [batch.column("doc_id"), pa.array(lang_codes(batch), pa.string())],
         names=["doc_id", "detected_lang"])
 
 
