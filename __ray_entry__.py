@@ -368,6 +368,30 @@ def _q_events_value_quantiles_approx(sf_dir: str):
                          "p99": [round(p99, 2)]})
 
 
+def _q_events_type_quantiles_approx(sf_dir: str):
+    """Per-type approximate quantiles from grouped mergeable histogram
+    sketches (stages/sketch.grouped_approx_quantiles) — keyed sketch
+    composition: per-batch (key, bucket) partials -> one sorted-block
+    aggregate -> per-key reconstruction; rows-only, error bound pinned by
+    pytest."""
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        grouped_approx_quantiles,
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        for c in ("q0.5", "q0.95"):
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(i, c, pc_round_away(batch.column(c), 2))
+        return batch
+
+    return grouped_approx_quantiles(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        "event_type", "value", [0.5, 0.95]) \
+        .map_batches(rnd, batch_format="pyarrow")
+
+
 def _q_orders_by_status(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1224,6 +1248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": _q_events_value_quantiles,
         "events_approx_distinct_users": _q_events_approx_distinct_users,
         "events_value_quantiles_approx": _q_events_value_quantiles_approx,
+        "events_type_quantiles_approx": _q_events_type_quantiles_approx,
         "orders_by_status": _q_orders_by_status,
         "customer_revenue_topk": _q_customer_revenue_topk,
         "nation_customer_counts": _q_nation_customer_counts,

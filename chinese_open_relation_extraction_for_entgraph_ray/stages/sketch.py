@@ -121,6 +121,75 @@ def approx_quantiles(ds, column: str, qs: list[float],
     return out
 
 
+def grouped_approx_quantiles(ds, key: str, column: str, qs: list[float],
+                             bins: int = 2048):
+    """Per-group approximate quantiles from mergeable histogram sketches —
+    the keyed composition of :func:`approx_quantiles`: per-batch
+    (key, bucket) count rows (pre-aggregated, so the exchange carries at
+    most batch_groups x occupied_buckets rows), ONE sorted-block hash
+    aggregate by (key, bucket), then per-key reconstruction via the
+    sorted-block grouped apply.  Error per group <= (global max-min)/bins.
+
+    Returns a Dataset with (key, q_0.5-style columns per quantile).
+    Bucket ranges are GLOBAL (one min/max pass) — groups confined to a
+    narrow value slice lose resolution; raise ``bins`` if group ranges
+    vary wildly."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Max, Min
+
+    from .blockgroup import sorted_map_groups
+    from .groupagg import sorted_hash_aggregate
+
+    stats = ds.aggregate(Min(column, alias_name="lo"),
+                         Max(column, alias_name="hi"),
+                         Count(alias_name="n"))
+    lo, hi, n = stats["lo"], stats["hi"], stats["n"]
+    qcols = [f"q{q}" for q in qs]
+    out_schema = pa.schema([(key, pa.string())]
+                           + [(c, pa.float64()) for c in qcols])
+    if n == 0:
+        return ds.map_batches(
+            lambda b: out_schema.empty_table(), batch_format="pyarrow")
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) / bins if hi > lo else 1.0
+
+    def batch_hist(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column(key).to_pylist(), dtype=object)
+        vals = np.asarray(batch.column(column).to_pylist(), dtype=np.float64)
+        b = np.clip(((vals - lo) / width).astype(np.int64), 0, bins - 1)
+        df = pd.DataFrame({key: keys, "bucket": b})
+        agg = df.groupby([key, "bucket"], sort=False).size().reset_index(
+            name="n")
+        return pa.Table.from_arrays(
+            [pa.array(agg[key].tolist(), pa.string()),
+             pa.array(agg["bucket"].to_numpy(), pa.int64()),
+             pa.array(agg["n"].to_numpy(), pa.int64())],
+            names=[key, "bucket", "n"])
+
+    merged = sorted_hash_aggregate(
+        ds.map_batches(batch_hist, batch_format="pyarrow"),
+        [key, "bucket"], [("n", "sum")])
+
+    def reconstruct(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket")
+        counts = g["n"].to_numpy(dtype=np.int64)
+        buckets = g["bucket"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        row = {key: [g[key].iloc[0]]}
+        for q, c in zip(qs, qcols):
+            target = q * (total - 1)
+            j = int(np.searchsorted(cum, target, side="right"))
+            j = min(j, len(counts) - 1)
+            prev = cum[j - 1] if j else 0
+            frac = ((target - prev) / counts[j]) if counts[j] else 0.0
+            row[c] = [lo + (buckets[j] + frac) * width]
+        return pd.DataFrame(row)
+
+    return sorted_map_groups(merged, [key], reconstruct, schema=out_schema)
+
+
 def approx_distinct(ds, column: str):
     """Dataset -> approximate distinct count of ``column`` (float).
 

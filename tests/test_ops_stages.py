@@ -366,3 +366,34 @@ def test_approx_quantiles_error_bound(ray_session):
     empty = rd.from_arrow(__import__("pyarrow").table(
         {"value": __import__("pyarrow").array([], "float64")}))
     assert np.isnan(approx_quantiles(empty, "value", [0.5])[0])
+
+
+def test_grouped_approx_quantiles_error_bound(ray_session):
+    """Per-group histogram-sketch quantiles within the global-range/bins
+    bound of exact per-group quantiles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        grouped_approx_quantiles,
+    )
+
+    rng = np.random.RandomState(11)
+    keys = np.repeat(["a", "b", "c"], [20_000, 8_000, 500])
+    vals = np.concatenate([rng.exponential(40.0, 20_000),
+                           rng.normal(300.0, 25.0, 8_000),
+                           rng.uniform(0.0, 900.0, 500)])
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(7)
+    got = {r["k"]: (r["q0.5"], r["q0.95"])
+           for r in grouped_approx_quantiles(ds, "k", "v",
+                                             [0.5, 0.95],
+                                             bins=4096).take_all()}
+    # sparse groups (one sample per several buckets) interpolate with up
+    # to a few bucket-widths of slack vs exact sample interpolation
+    tol = (vals.max() - vals.min()) / 4096 * 4
+    for k in ("a", "b", "c"):
+        m = keys == k
+        want = np.quantile(vals[m], [0.5, 0.95], method="linear")
+        assert abs(got[k][0] - want[0]) <= tol, (k, got[k][0], want[0])
+        assert abs(got[k][1] - want[1]) <= tol, (k, got[k][1], want[1])
