@@ -1024,6 +1024,34 @@ def _q_kg_mention_labels(sf_dir: str):
         detect_mentions(_kg(sf_dir)["sentences"], concurrency=2))
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """PageRank over the canonical subj->obj edge graph (stages/graph.py;
+    EntGraph-style downstream centrality over this engine's output).
+    Fixed 4 rounds for determinism; rows-only (iterative — not SQL)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        pagerank,
+    )
+
+    def non_null(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch.column("subj")),
+                    pc.is_valid(batch.column("obj")))
+        return batch.filter(m)
+
+    edges = _kg(sf_dir)["edges"].map_batches(non_null,
+                                             batch_format="pyarrow")
+    ranks = pagerank(edges, src="subj", dst="obj", iters=4, tol=None)
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("rank")
+        return batch.set_column(i, "rank",
+                                pc_round_away(batch.column("rank"), 8))
+
+    return ranks.map_batches(rnd, batch_format="pyarrow")
+
+
 def _q_kg_coref_chain_buckets(sf_dir: str):
     """Coref chain-count histogram per conversation incl. the 0 bucket
     (the reference's coref_chain_bucket, main_ner.py:332,380-381; G4
@@ -1290,6 +1318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conversation-level coref delta (rows-only)
         "kg_coref_delta": _q_kg_coref_delta,
         "kg_coref_chain_buckets": _q_kg_coref_chain_buckets,
+        "kg_pagerank": _q_kg_pagerank,
         # mention detection + link scoring (rows-only; gazetteer NER)
         "kg_mentions": _q_kg_mentions,
         "kg_mention_labels": _q_kg_mention_labels,
