@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported; nothing here
 calls ray.init()/ray.shutdown().
 
-Query families (SURVEY.md §2 + §8 coverage; 58 queries, 32 with exact DuckDB
+Query families (SURVEY.md §2 + §8 coverage; 63 queries, 34 with exact DuckDB
 oracles, the rest rows-only where SQL can't express the op):
 - kg_*                — the flagship KG pipeline over the deterministic
                         synthetic transcripts (rule cascade -> rows-only),
@@ -390,6 +390,74 @@ def _q_events_type_quantiles_approx(sf_dir: str):
         _read(sf_dir, "events", columns=["event_type", "value"]),
         "event_type", "value", [0.5, 0.95]) \
         .map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_events_type_distinct_users(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): two-level sorted-block aggregate —
+    distinct (type, user) pairs first, then a small per-type count.  The
+    exact companion to the HLL sketch; SQL-oracled."""
+    import numpy as np
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        sorted_hash_aggregate,
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("event_type"), batch.column("user_id"),
+             pa.array(np.ones(batch.num_rows, dtype=np.int64))],
+            names=["event_type", "user_id", "n"])
+
+    distinct_pairs = sorted_hash_aggregate(
+        _read(sf_dir, "events", columns=["event_type", "user_id"])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "user_id"], [("n", "min")])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("event_type"),
+             pa.array(np.ones(batch.num_rows, dtype=np.int64))],
+            names=["event_type", "n_users"])
+
+    return sorted_hash_aggregate(
+        distinct_pairs.map_batches(ones, batch_format="pyarrow"),
+        ["event_type"], [("n_users", "sum")])
+
+
+def _q_docs_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the 5 content-hash-smallest docs
+    per language stratum (per-group top-n over md5 order — reproducible
+    splits per stratum, the leakage-free stratified analog of
+    docs_deterministic_sample).  SQL-oracled via ROW_NUMBER() over md5."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5((t or "").encode()).hexdigest()
+                for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), batch.column("lang"),
+             pa.array(md5s, pa.string())],
+            names=["doc_id", "lang", "md5"])
+
+    def topn_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["lang", "md5", "doc_id"], kind="mergesort")
+        top = g.groupby("lang", sort=False).head(5)
+        return top[["lang", "doc_id", "md5"]]
+
+    return sorted_map_groups(
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+        .map_batches(add_md5, batch_format="pyarrow"),
+        ["lang"], block_fn=topn_block,
+        schema=pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                          ("md5", pa.string())]))
 
 
 def _q_orders_by_status(sf_dir: str):
@@ -1277,6 +1345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_distinct_users": _q_events_approx_distinct_users,
         "events_value_quantiles_approx": _q_events_value_quantiles_approx,
         "events_type_quantiles_approx": _q_events_type_quantiles_approx,
+        "events_type_distinct_users": _q_events_type_distinct_users,
+        "docs_stratified_sample": _q_docs_stratified_sample,
         "orders_by_status": _q_orders_by_status,
         "customer_revenue_topk": _q_customer_revenue_topk,
         "nation_customer_counts": _q_nation_customer_counts,
@@ -1517,6 +1587,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)""",
         "docs_deterministic_sample": """
             SELECT doc_id FROM documents WHERE substr(md5(text), 1, 1) = '0'""",
+        "events_type_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type""",
+        "docs_stratified_sample": """
+            SELECT lang, doc_id, md5
+            FROM (SELECT lang, doc_id, md5(text) AS md5,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY md5(text), doc_id) AS rn
+                  FROM documents)
+            WHERE rn <= 5""",
         "docs_train_val_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(text), 1, 1) = 'f' THEN 'val'
