@@ -35,7 +35,9 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
     in SQL; 'semi' / 'anti' keep left rows with / without a right match and
     attach nothing.  The exchange is the two-side sort — the same cost as a
     hash join's shuffle, with no skew sensitivity beyond a single key
-    needing to fit in a worker."""
+    needing to fit in a worker.  Null join keys follow SQL semantics: a
+    null never matches anything (dropped by inner/semi, kept with null
+    payload by left, kept by anti)."""
     import pandas as pd
 
     if mode not in ("inner", "left", "semi", "anti"):

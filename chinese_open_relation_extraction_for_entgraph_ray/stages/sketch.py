@@ -133,7 +133,10 @@ def grouped_approx_quantiles(ds, key: str, column: str, qs: list[float],
     Returns a Dataset with (key, q_0.5-style columns per quantile).
     Bucket ranges are GLOBAL (one min/max pass) — groups confined to a
     narrow value slice lose resolution; raise ``bins`` if group ranges
-    vary wildly."""
+    vary wildly.  Reconstruction runs per key (the grouped-apply fn
+    path): suited to the usual low-cardinality quantile keys
+    (types/languages/cohorts); for 1e6+ keys move the reconstruction into
+    a block_fn (grouped cumsum) like the other vectorized queries."""
     import pandas as pd
 
     from ray.data.aggregate import Count, Max, Min
