@@ -351,21 +351,35 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
         return pa.concat_tables(parts)
 
     def block_pairs(df: pd.DataFrame, skip_edges: bool = True) -> pa.Table:
+        """RLE over the sorted bucket stream; Python touches only
+        multi-member buckets (same no-Python-on-singletons shape as the
+        MinHash pair generator)."""
         out_a: list[int] = []
         out_b: list[int] = []
         out_h: list[int] = []
-        edge_rows = []
+        edges = None
         if len(df):
-            keys = list(zip(df["band"], df["band_hash"]))
-            first_key, last_key = keys[0], keys[-1]
+            band = df["band"].to_numpy()
+            bh = df["band_hash"].to_numpy()
+            doc = df["doc_id"].to_numpy()
+            sig = df["sig"].to_numpy()
+            n = len(df)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            np.not_equal(band[1:], band[:-1], out=change[1:])
+            change[1:] |= bh[1:] != bh[:-1]
+            group_id = np.cumsum(change) - 1
+            last_gid = group_id[-1]
+            counts = np.bincount(group_id)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            if skip_edges:
+                edges = df[(group_id == 0) | (group_id == last_gid)]
             truncated: list[int] = []
-            for key, g in df.groupby(["band", "band_hash"], sort=False):
-                if skip_edges and key in (first_key, last_key):
-                    edge_rows.append(g)
+            for g in np.nonzero(counts >= 2)[0]:
+                if skip_edges and (g == 0 or g == last_gid):
                     continue
-                if len(g) < 2:
-                    continue
-                members = sorted(zip(g["doc_id"], g["sig"]))
+                sl = slice(starts[g], starts[g] + counts[g])
+                members = sorted(zip(doc[sl].tolist(), sig[sl].tolist()))
                 if len(members) > MAX_BUCKET:
                     truncated.append(len(members))
                 members = members[:MAX_BUCKET]
@@ -377,9 +391,9 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
                         out_h.append(h)
             _log_bucket_caps(truncated)
         n_pairs = len(out_a)
-        edges = pd.concat(edge_rows, ignore_index=True) if edge_rows else \
-            pd.DataFrame({c: [] for c in ["band", "band_hash", "doc_id",
-                                          "sig"]})
+        if edges is None:
+            edges = pd.DataFrame({c: [] for c in ["band", "band_hash",
+                                                  "doc_id", "sig"]})
         n_edges = len(edges)
         return pa.Table.from_arrays(
             [pa.array([1] * n_pairs + [0] * n_edges, pa.int8()),
