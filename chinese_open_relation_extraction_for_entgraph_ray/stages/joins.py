@@ -53,6 +53,11 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
     left_type = dict(zip(ls.names, ls.types))
     right_type = dict(zip(rs.names, rs.types))
     payload_out = [f"{c}{suffix}" for c in payload]
+    clash = set(payload_out) & set(left_cols)
+    if clash:
+        raise ValueError(
+            f"payload output column(s) {sorted(clash)} collide with left "
+            f"columns — pass a different suffix")
     key_type = left_type[left_key]
     order = [_JK, _JSIDE] + left_cols + payload_out
     with_payload = mode in ("inner", "left")
