@@ -158,7 +158,10 @@ def grouped_approx_quantiles(ds, key: str, column: str, qs: list[float],
     width = (hi - lo) / bins if hi > lo else 1.0
 
     def batch_hist(batch: pa.Table) -> pa.Table:
-        keys = np.asarray(batch.column(key).to_pylist(), dtype=object)
+        # key column travels as string (the output schema's key type —
+        # non-string keys are stringified, like a GROUP BY over a cast)
+        keys = np.asarray(
+            batch.column(key).cast(pa.string()).to_pylist(), dtype=object)
         vals = np.asarray(batch.column(column).to_pylist(), dtype=np.float64)
         b = np.clip(((vals - lo) / width).astype(np.int64), 0, bins - 1)
         df = pd.DataFrame({key: keys, "bucket": b})
