@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported; nothing here
 calls ray.init()/ray.shutdown().
 
-Query families (SURVEY.md §2 + §8 coverage; 63 queries, 34 with exact DuckDB
+Query families (SURVEY.md §2 + §8 coverage; 64 queries, 35 with exact DuckDB
 oracles, the rest rows-only where SQL can't express the op):
 - kg_*                — the flagship KG pipeline over the deterministic
                         synthetic transcripts (rule cascade -> rows-only),
@@ -423,6 +423,38 @@ def _q_events_type_distinct_users(sf_dir: str):
     return sorted_hash_aggregate(
         distinct_pairs.map_batches(ones, batch_format="pyarrow"),
         ["event_type"], [("n_users", "sum")])
+
+
+def _q_orders_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample (exponential-clock style): priority =
+    content-hash uniform / weight, keep the 50 SMALLEST — higher-weight
+    rows race to smaller clocks, so selection probability grows with
+    weight, reproducibly across runs AND engines (one md5 + one IEEE
+    division; division is correctly rounded, so the Ray and DuckDB
+    priorities are bit-identical — no pow/ln, whose last-ulp differences
+    could flip ranks).  The training-data-mixing primitive (sample docs
+    proportional to a quality weight).  SQL-oracled with the identical
+    formula."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def priority(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_pylist()
+        u = np.array([int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16)
+                      for k in keys], dtype=np.float64)
+        w = np.asarray(batch.column("o_totalprice").to_pylist(),
+                       dtype=np.float64)
+        return pa.Table.from_arrays(
+            [batch.column("o_orderkey"), pa.array(u / w)],
+            names=["o_orderkey", "priority"])
+
+    return (_read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+            .map_batches(priority, batch_format="pyarrow")
+            .sort(["priority", "o_orderkey"], descending=[False, False])
+            .limit(50)
+            .select_columns(["o_orderkey"]))
 
 
 def _q_docs_stratified_sample(sf_dir: str):
@@ -1347,6 +1379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_quantiles_approx": _q_events_type_quantiles_approx,
         "events_type_distinct_users": _q_events_type_distinct_users,
         "docs_stratified_sample": _q_docs_stratified_sample,
+        "orders_weighted_sample": _q_orders_weighted_sample,
         "orders_by_status": _q_orders_by_status,
         "customer_revenue_topk": _q_customer_revenue_topk,
         "nation_customer_counts": _q_nation_customer_counts,
@@ -1590,6 +1623,14 @@ def oracle_sql() -> dict[str, str]:
         "events_type_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type""",
+        "orders_weighted_sample": """
+            SELECT o_orderkey
+            FROM (SELECT o_orderkey,
+                         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                         1, 12))::UBIGINT::DOUBLE
+                             / o_totalprice AS priority
+                  FROM orders)
+            ORDER BY priority ASC, o_orderkey ASC LIMIT 50""",
         "docs_stratified_sample": """
             SELECT lang, doc_id, md5
             FROM (SELECT lang, doc_id, md5(text) AS md5,
