@@ -254,3 +254,30 @@ def _union_find_curate(pairs):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("seed", [0, 7, 23])
+def test_semi_anti_partition_left(ray_session, seed):
+    """semi(left, right) and anti(left, right) PARTITION left: disjoint,
+    union == left — for arbitrary key overlap and duplicate left keys."""
+    import numpy as np
+    import ray.data as rd
+
+    rng = np.random.RandomState(seed)
+    left = [{"k": int(k), "row_id": i}
+            for i, k in enumerate(rng.randint(0, 50, size=400))]
+    right = [{"rk": int(k)} for k in rng.randint(25, 75, size=60)]
+    lds = rd.from_items(left).repartition(5)
+    rds = rd.from_items(right).repartition(3)
+    semi = {r["row_id"] for r in semi_join(lds, rds, left_key="k",
+                                           right_key="rk").take_all()}
+    anti = {r["row_id"] for r in semi_join(lds, rds, left_key="k",
+                                           right_key="rk",
+                                           anti=True).take_all()}
+    assert semi.isdisjoint(anti)
+    assert semi | anti == {r["row_id"] for r in left}
+    # and inner+left lookup counts are consistent with the partition
+    inner_n = lookup_join(lds, rds.groupby("rk").count(),
+                          left_key="k", right_key="rk",
+                          payload=["count()"], how="inner").count()
+    assert inner_n == len(semi)
