@@ -168,13 +168,21 @@ def build_kg(transcripts_dir: str, out_dir: str, *, resume: bool = True,
         of pool width — the dedup-before-expensive-op exchange: one cheap
         int64 sort of the sentence stream buys near-total elimination of
         repeated parsing/extraction (transcripts repeat heavily)."""
-        import zlib
-
         import pyarrow as _pa
 
         def add_hash(batch: "_pa.Table") -> "_pa.Table":
-            hs = [zlib.crc32(t.encode()) for t in
-                  batch.column("text").to_pylist()]
+            # full-buffer vectorized hash (polars; embedded-NUL-safe and
+            # cross-process deterministic) — this runs over EVERY sentence
+            # of the corpus, where the old per-row Python crc32 loop was
+            # O(corpus) interpreter time (VERDICT r2 #4)
+            import numpy as _np
+            import polars as _pl
+
+            if batch.num_rows == 0:
+                return batch.append_column("__th",
+                                           _pa.array([], _pa.int64()))
+            ser = _pl.from_arrow(batch.column("text").combine_chunks())
+            hs = ser.hash(seed=0).to_numpy().view(_np.int64)
             return batch.append_column("__th", _pa.array(hs, _pa.int64()))
 
         def drop_hash(batch: "_pa.Table") -> "_pa.Table":

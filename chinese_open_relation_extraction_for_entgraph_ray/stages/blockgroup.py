@@ -33,7 +33,7 @@ def _to_arrow(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
 
 
 def sorted_map_groups(ds, keys: list[str], fn=None, *, schema: pa.Schema,
-                      block_fn=None):
+                      block_fn=None, null_keys: str = "error"):
     """Apply a per-group computation per distinct ``keys`` tuple; returns a
     Dataset with ``schema``.
 
@@ -50,16 +50,36 @@ def sorted_map_groups(ds, keys: list[str], fn=None, *, schema: pa.Schema,
     to ``schema`` — but block-wise after ONE sort by ``keys``; only each
     block's first/last (possibly boundary-straddling) key groups take a
     second pass.  Neither callable may depend on intra-group row order
-    (sort inside — the sort here orders by ``keys`` only)."""
+    (sort inside — the sort here orders by ``keys`` only).
+
+    ``null_keys`` — what to do with rows whose key tuple contains a null
+    (they cannot go through the sort: Ray's string-sort partitioner raises
+    on nulls, and NaN != NaN would silently split or drop the group in the
+    block scans):
+    - "error" (default): raise ValueError on the first null-key row seen —
+      no silent behavior on data the operator can't group correctly.
+    - "drop": filter them out (pandas-groupby semantics).
+    - "separate": process all null-key rows as one extra pass on a single
+      block (SQL GROUP BY semantics for the ``fn`` path — distinct
+      null-bearing tuples are separate groups via ``dropna=False``; a
+      ``block_fn`` receives them as one ordinary block and must handle
+      null keys itself).  Costs a second scan of ``ds``.
+    """
     if (fn is None) == (block_fn is None):
         raise ValueError("pass exactly one of fn / block_fn")
+    if null_keys not in ("error", "drop", "separate"):
+        raise ValueError(f"null_keys must be error/drop/separate, "
+                         f"got {null_keys!r}")
 
     def apply_groups(df: pd.DataFrame) -> pd.DataFrame | None:
         """Per-group logic over a frame of whole groups, via whichever
         callable was supplied."""
         if block_fn is not None:
             return block_fn(df)
-        parts = [fn(g) for _, g in df.groupby(keys, sort=False)]
+        # dropna=False: with null_keys="separate", null-bearing key tuples
+        # are real groups; on the sorted (all-valid) path it is a no-op
+        parts = [fn(g) for _, g in df.groupby(keys, sort=False,
+                                              dropna=False)]
         parts = [p for p in parts if p is not None and len(p)]
         return pd.concat(parts, ignore_index=True) if parts else None
 
@@ -107,7 +127,32 @@ def sorted_map_groups(ds, keys: list[str], fn=None, *, schema: pa.Schema,
             return schema.empty_table()
         return _to_arrow(out, schema)
 
-    sorted_ds = ds.sort(keys).materialize()
+    import pyarrow.compute as pc
+
+    def _valid_mask(batch: pa.Table):
+        m = None
+        for k in keys:
+            iv = pc.is_valid(batch.column(k))
+            m = iv if m is None else pc.and_(m, iv)
+        return m
+
+    def guard(batch: pa.Table) -> pa.Table:
+        m = _valid_mask(batch)
+        if null_keys == "error":
+            bad = batch.num_rows - (pc.sum(m).as_py() or 0)
+            if bad:
+                raise ValueError(
+                    f"sorted_map_groups: {bad} row(s) with null group "
+                    f"key(s) {keys} — pre-filter them, or pass "
+                    f"null_keys='drop'/'separate'")
+            return batch
+        return batch.filter(m)
+
+    def keep_nulls(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(_valid_mask(batch)))
+
+    sorted_ds = ds.map_batches(guard, batch_format="pyarrow") \
+                  .sort(keys).materialize()
     inner_ds = sorted_ds.map_batches(inner_scan, batch_format="pandas",
                                      batch_size=None)
     edge_ds = (sorted_ds
@@ -116,4 +161,11 @@ def sorted_map_groups(ds, keys: list[str], fn=None, *, schema: pa.Schema,
                .repartition(1)
                .map_batches(edge_apply, batch_format="pandas",
                             batch_size=None))
-    return inner_ds.union(edge_ds)
+    out = inner_ds.union(edge_ds)
+    if null_keys == "separate":
+        null_ds = (ds.map_batches(keep_nulls, batch_format="pyarrow")
+                   .repartition(1)
+                   .map_batches(edge_apply, batch_format="pandas",
+                                batch_size=None))
+        out = out.union(null_ds)
+    return out

@@ -69,6 +69,18 @@ def connected_components(pairs_ds, *, a: str = "a", b: str = "b",
                      batch_format="pyarrow") \
         .materialize()
 
+    if labels.count() == 0:
+        # explicit empty-input short-circuit (sum() on an empty Dataset
+        # returns None; relying on None == None to converge was implicit).
+        # Node-id magnitude bound for the sum-based convergence test below:
+        # labels only ever DECREASE, so sum-unchanged == fixpoint as long as
+        # the int64 sum is exact — i.e. sum(node_ids) < 2^63, guaranteed for
+        # ids < 2^63 / n_nodes; salt-free 63-bit ids over ~2^40 nodes are
+        # out of that bound — rehash ids to a smaller dense domain first if
+        # your ids are full-range hashes.
+        return labels.map_batches(
+            lambda t: t.rename_columns(["node", "component"]),
+            batch_format="pyarrow")
     prev_sum = labels.sum("label")
     for it in range(max_iters):
         # ONE lookup per round answers both rules: a query row (src, dst)

@@ -472,6 +472,8 @@ def jaccard_near_dups(docs_ds, threshold: float = 0.5, k: int = 3,
                           payload=["text"], suffix="_b", how="inner")
 
     def verify(batch: pa.Table) -> pa.Table:
+        from ..functions.fputil import np_round_away
+
         out_a, out_b, out_j = [], [], []
         for a, b, ta, tb in zip(batch.column("a").to_pylist(),
                                 batch.column("b").to_pylist(),
@@ -481,10 +483,216 @@ def jaccard_near_dups(docs_ds, threshold: float = 0.5, k: int = 3,
             if j >= threshold:
                 out_a.append(a)
                 out_b.append(b)
-                out_j.append(round(j, 4))
+                # away-from-zero rounding = DuckDB round() semantics (the
+                # SQL oracle compares these values bit-for-bit; Python's
+                # round() is banker's and can differ in the last digit)
+                out_j.append(float(np_round_away(np.array([j]), 4)[0]))
         return pa.Table.from_arrays(
             [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64()),
              pa.array(out_j, pa.float64())],
             names=["a", "b", "jaccard"])
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+# --- exact all-pairs similarity join (inverted shingle index) ----------------
+
+def _shingle_strings(text: str, k: int = 3) -> list[str]:
+    """Distinct word-k-shingles as strings — same membership semantics as
+    :func:`word_shingles` (list form for vectorized hashing)."""
+    return list(word_shingles(text, k))
+
+
+def similar_pairs_exact(docs_ds, threshold: float = 0.5, k: int = 3,
+                        max_df: int | None = None):
+    """EXACT all-pairs word-k-shingle Jaccard >= ``threshold`` — no LSH
+    probability anywhere, via the classic distributed inverted-index join:
+
+        docs -> distinct (shingle_hash128, doc_id) index rows
+             -> ONE sort by shingle -> per-bucket pair emission (RLE block
+                scan; boundary buckets through a tiny second pass)
+             -> sorted-block count per (a, b)  == |shingle intersection|
+             -> two keyed lookups attach |A| and |B| -> J = i/(|A|+|B|-i)
+
+    Deterministic complement to :func:`jaccard_near_dups` (whose recall is
+    the LSH's): the output is exactly every pair sharing >= 1 indexed
+    shingle with true Jaccard over the threshold, which is every pair with
+    J > 0 — so the operator is exact, and SQL-mirrorable (the DuckDB oracle
+    in ``__ray_entry__`` runs the same join over unnested shingle lists).
+
+    100-TB shape: the only quadratic danger is a shingle shared by many
+    documents (bucket of size d emits d^2/2 pairs).  ``max_df`` drops
+    shingles with document frequency above the cap before pair emission
+    (the standard prefix-filter; a pair sharing ONLY ubiquitous shingles is
+    then missed — the oracle must apply the same cap).  Capped buckets are
+    logged, never silent.  Shingle identity is a 128-bit polars hash —
+    collisions (~2^-64 per pair) could only inflate one intersection count.
+    """
+    import polars as pl
+
+    def explode_index(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_ids: list[int] = []
+        shingles: list[str] = []
+        sizes = []
+        for i, t in zip(ids, texts):
+            sh = _shingle_strings(t or "", k)
+            sizes.append(len(sh))
+            out_ids.extend([i] * len(sh))
+            shingles.extend(sh)
+        if shingles:
+            ser = pl.Series(shingles)
+            h1 = ser.hash(seed=101).to_numpy().view(np.int64)
+            h2 = ser.hash(seed=202).to_numpy().view(np.int64)
+        else:
+            h1 = h2 = np.array([], dtype=np.int64)
+        n = len(out_ids)
+        m = len(ids)
+        # kind=0 rows: index entries; kind=1 rows: per-doc set sizes
+        return pa.Table.from_arrays(
+            [pa.array([0] * n + [1] * m, pa.int8()),
+             pa.array(np.concatenate([h1, np.zeros(m, dtype=np.int64)])),
+             pa.array(np.concatenate([h2, np.zeros(m, dtype=np.int64)])),
+             pa.array(out_ids + ids, pa.int64()),
+             pa.array([0] * n + sizes, pa.int64())],
+            names=["kind", "h1", "h2", "doc_id", "n_shingles"])
+
+    both = docs_ds.map_batches(explode_index,
+                               batch_format="pyarrow").materialize()
+    index = both.filter(expr="kind == 0").map_batches(
+        lambda b: b.select(["h1", "h2", "doc_id"]), batch_format="pyarrow")
+    sizes = both.filter(expr="kind == 1").map_batches(
+        lambda b: b.select(["doc_id", "n_shingles"]), batch_format="pyarrow")
+
+    if max_df is not None:
+        from .groupagg import sorted_hash_aggregate as _sha
+        from .joins import semi_join
+
+        def ones(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "df", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+        df_tbl = _sha(index.map_batches(ones, batch_format="pyarrow"),
+                      ["h1", "h2"], [("df", "sum")])
+        rare = df_tbl.filter(expr=f"df <= {int(max_df)}").map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("h1")], names=["h1k"]), batch_format="pyarrow")
+        # NOTE: the semi-join key is h1 only (the 64-bit half) — collisions
+        # there merely keep a few extra shingles, never drop one
+        index = semi_join(index, rare, left_key="h1", right_key="h1k")
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        """RLE scan over the shingle-sorted stream: every fully-contained
+        bucket emits its pairs; boundary buckets pass through (kind=0)."""
+        out_a: list[int] = []
+        out_b: list[int] = []
+        edge_tbl = None
+        n_edges = 0
+        if batch.num_rows:
+            b1 = batch.column("h1").to_numpy()
+            b2 = batch.column("h2").to_numpy()
+            doc = batch.column("doc_id").to_numpy()
+            n = len(b1)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            np.not_equal(b1[1:], b1[:-1], out=change[1:])
+            change[1:] |= b2[1:] != b2[:-1]
+            gid = np.cumsum(change) - 1
+            last = gid[-1]
+            counts = np.bincount(gid)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            edge_mask = (gid == 0) | (gid == last)
+            edge_tbl = batch.filter(pa.array(edge_mask))
+            n_edges = edge_tbl.num_rows
+            big = []
+            for g in np.nonzero(counts >= 2)[0]:
+                if g == 0 or g == last:
+                    continue
+                members = np.sort(doc[starts[g]:starts[g] + counts[g]])
+                if len(members) > 4096:
+                    big.append(int(len(members)))
+                for ai, bi in itertools.combinations(members.tolist(), 2):
+                    out_a.append(ai)
+                    out_b.append(bi)
+            if big:
+                logger.warning(
+                    "similar_pairs_exact: %d shingle bucket(s) over 4096 "
+                    "docs (sizes %s) — quadratic pair emission; consider "
+                    "max_df", len(big), sorted(big, reverse=True)[:5])
+        np_ = len(out_a)
+        e1 = edge_tbl.column("h1").to_pylist() if n_edges else []
+        e2 = edge_tbl.column("h2").to_pylist() if n_edges else []
+        ed = edge_tbl.column("doc_id").to_pylist() if n_edges else []
+        return pa.Table.from_arrays(
+            [pa.array([1] * np_ + [0] * n_edges, pa.int8()),
+             pa.array(out_a + [0] * n_edges, pa.int64()),
+             pa.array(out_b + [0] * n_edges, pa.int64()),
+             pa.array([0] * np_ + e1, pa.int64()),
+             pa.array([0] * np_ + e2, pa.int64()),
+             pa.array([0] * np_ + ed, pa.int64())],
+            names=["kind", "a", "b", "h1", "h2", "doc_id"])
+
+    def edge_pairs_whole(batch: pa.Table) -> pa.Table:
+        """Boundary buckets gathered whole — same emission, no edge skip."""
+        import pandas as pd
+
+        out_a: list[int] = []
+        out_b: list[int] = []
+        if batch.num_rows:
+            df = pd.DataFrame({"h1": batch.column("h1").to_pylist(),
+                               "h2": batch.column("h2").to_pylist(),
+                               "doc_id": batch.column("doc_id").to_pylist()})
+            for _, grp in df.groupby(["h1", "h2"], sort=False):
+                members = sorted(grp["doc_id"].tolist())
+                for ai, bi in itertools.combinations(members, 2):
+                    out_a.append(ai)
+                    out_b.append(bi)
+        return pa.Table.from_arrays(
+            [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64())],
+            names=["a", "b"])
+
+    mixed = (index.sort(["h1", "h2"])
+             .map_batches(block_pairs, batch_format="pyarrow",
+                          batch_size=None)
+             .materialize())
+    inner = mixed.filter(expr="kind == 1").map_batches(
+        lambda b: b.select(["a", "b"]), batch_format="pyarrow")
+    edges = (mixed.filter(expr="kind == 0")
+             .map_batches(lambda b: b.select(["h1", "h2", "doc_id"]),
+                          batch_format="pyarrow")
+             .repartition(1)
+             .map_batches(edge_pairs_whole, batch_format="pyarrow",
+                          batch_size=None))
+
+    from .groupagg import sorted_hash_aggregate
+    from .joins import lookup_join
+
+    def add_one(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "n_shared", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+    inter = sorted_hash_aggregate(
+        inner.union(edges).map_batches(add_one, batch_format="pyarrow"),
+        ["a", "b"], [("n_shared", "sum")])
+    with_a = lookup_join(inter, sizes, left_key="a", right_key="doc_id",
+                         payload=["n_shingles"], suffix="_a", how="inner")
+    with_ab = lookup_join(with_a, sizes, left_key="b", right_key="doc_id",
+                          payload=["n_shingles"], suffix="_b", how="inner")
+
+    from ..functions.fputil import np_round_away
+
+    def finish(batch: pa.Table) -> pa.Table:
+        inter_n = batch.column("n_shared").to_numpy().astype(np.float64)
+        na = batch.column("n_shingles_a").to_numpy().astype(np.float64)
+        nb = batch.column("n_shingles_b").to_numpy().astype(np.float64)
+        union = na + nb - inter_n
+        j = np.where(union > 0, inter_n / np.maximum(union, 1.0), 1.0)
+        keep = j >= threshold
+        return pa.Table.from_arrays(
+            [batch.column("a").combine_chunks().filter(pa.array(keep)),
+             batch.column("b").combine_chunks().filter(pa.array(keep)),
+             pa.array(np_round_away(j[keep], 4), pa.float64())],
+            names=["a", "b", "jaccard"])
+
+    return with_ab.map_batches(finish, batch_format="pyarrow")

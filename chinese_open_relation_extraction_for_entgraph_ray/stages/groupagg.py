@@ -38,9 +38,12 @@ _HASH_SEED_LO = 0xC0DE
 
 
 def _joined_key_strings(batch: pa.Table, key_cols: list[str]) -> pa.Array:
-    """One string per row encoding the key tuple.  Each component carries a
-    validity marker byte ('v'/'n') BEFORE its value, so a null key value and
-    an empty string hash differently (groupby keeps them distinct)."""
+    """One string per row encoding the key tuple, INJECTIVELY: each component
+    is self-delimiting — a validity marker byte ('v'/'n'), the value's char
+    length in decimal, ':', then the value — so no separator byte can alias
+    two distinct tuples regardless of value content (a bare '\\x00' join
+    aliased ("a\\x00v","b") with ("a","v\\x00b")).  A null and an empty
+    string stay distinct via the marker."""
     import pyarrow.compute as pc
 
     parts = []
@@ -49,11 +52,12 @@ def _joined_key_strings(batch: pa.Table, key_cols: list[str]) -> pa.Array:
         s = pc.fill_null(col.cast(pa.string()), "")
         marker = pc.if_else(pc.is_valid(col),
                             pa.scalar("v"), pa.scalar("n"))
-        parts.append(marker)
-        parts.append(s)
-    if len(parts) == 2:
-        return pc.binary_join_element_wise(parts[0], parts[1], "\x00")
-    return pc.binary_join_element_wise(*parts, "\x00")
+        ln = pc.utf8_length(s).cast(pa.string())
+        # marker:len:value with explicit length => unambiguous parse
+        parts.append(pc.binary_join_element_wise(marker, ln, s, ":"))
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "")
 
 
 def _add_key_hash(batch: pa.Table, key_cols: list[str]) -> pa.Table:
@@ -73,8 +77,8 @@ def _add_key_hash(batch: pa.Table, key_cols: list[str]) -> pa.Table:
         his, los = [], []
         for vals in zip(*key_lists):
             d = hashlib.blake2b(
-                "\x00".join(("v" + str(v)) if v is not None else "n"
-                            for v in vals).encode(),
+                "".join(f"v{len(str(v))}:{v}" if v is not None else "n0:"
+                        for v in vals).encode(),
                 digest_size=16).digest()
             his.append(int.from_bytes(d[:8], "big") - (1 << 63))
             los.append(int.from_bytes(d[8:], "big") - (1 << 63))
@@ -161,3 +165,56 @@ def sorted_hash_aggregate(ds, key_cols: list[str],
                              batch_size=None)
                 .map_batches(drop_aux, batch_format="pyarrow"))
     return interior.union(boundary)
+
+
+# Below this many observed partial-aggregate rows, skip the global sort and
+# reduce the partials on one node — a single pyarrow hash aggregation over
+# <=500k rows is milliseconds, while the Ray sort exchange costs ~1-2 s of
+# fixed per-op latency regardless of size (measured; BASELINE.md r3).
+AUTO_SMALL_PARTIALS = 500_000
+
+
+def auto_hash_aggregate(ds, key_cols: list[str],
+                        agg_spec: list[tuple[str, str]],
+                        small_partials: int = AUTO_SMALL_PARTIALS):
+    """Group-aggregate with OBSERVED-cardinality dispatch (VERDICT r2 #3:
+    decide on an estimated group count, not a key-name allowlist).
+
+    Always pre-combines per block first (pyarrow hash aggregation inside
+    map_batches — the combiner), which bounds the exchange at one row per
+    (block, distinct key) regardless of duplication.  The materialized
+    partial stream's row count is an upper bound on the group count:
+
+    - ``<= small_partials`` (low cardinality — e.g. hourly windows, whose
+      key count grows with time span, not data size): ONE repartition(1) +
+      final pyarrow merge.  No sort exchange at all — cheaper than both the
+      builtin groupby and the sorted-block path at this size.
+    - otherwise (high cardinality — keys ~ rows): the sorted-block path of
+      :func:`sorted_hash_aggregate` over the partials.
+
+    Same exactness contract as :func:`sorted_hash_aggregate` (re-aggregatable
+    fns only: sum/min/max)."""
+    for _, fn in agg_spec:
+        if fn not in ("sum", "min", "max"):
+            raise ValueError(f"non-reaggregatable fn {fn!r}")
+    respec = [(c, fn) for c, fn in agg_spec]
+    out_cols = list(key_cols) + [c for c, _ in agg_spec]
+
+    def precombine(batch: pa.Table) -> pa.Table:
+        return _pa_aggregate(_add_key_hash(batch, key_cols), key_cols,
+                             agg_spec)
+
+    partials = ds.map_batches(precombine,
+                              batch_format="pyarrow").materialize()
+    if partials.count() <= small_partials:
+        merged = (partials.repartition(1)
+                  .map_batches(lambda b: _pa_aggregate(b, key_cols, respec),
+                               batch_format="pyarrow", batch_size=None))
+        return merged.map_batches(lambda b: b.select(out_cols),
+                                  batch_format="pyarrow")
+    # high cardinality: partials already carry the hash columns, but
+    # re-aggregating through sorted_hash_aggregate keeps one audited path
+    return sorted_hash_aggregate(
+        partials.map_batches(lambda b: b.select(out_cols),
+                             batch_format="pyarrow"),
+        key_cols, respec)

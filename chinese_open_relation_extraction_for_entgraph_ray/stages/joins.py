@@ -37,8 +37,16 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
     hash join's shuffle, with no skew sensitivity beyond a single key
     needing to fit in a worker.  Null join keys follow SQL semantics: a
     null never matches anything (dropped by inner/semi, kept with null
-    payload by left, kept by anti)."""
+    payload by left, kept by anti).  Nulls are SPLIT OUT before the sort
+    (they would otherwise crash Ray's string-sort partitioner and match
+    each other under pandas' NaN==NaN merge semantics): null right keys
+    are dropped at tagging; null left keys are dropped for inner/semi and
+    re-unioned from a second scan of the left side for left/anti — that
+    second scan is the cost of exact null semantics in those two modes
+    (cheap when the left side is already materialized, as every in-repo
+    left/anti call site is)."""
     import pandas as pd
+    import pyarrow.compute as pc
 
     if mode not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unknown join mode {mode!r}")
@@ -69,6 +77,10 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
     out_cols = [f[0] for f in out_fields]
 
     def tag_left(batch: pa.Table) -> pa.Table:
+        # null left keys never match: they must not enter the sort (Ray's
+        # string-sort partitioner raises on nulls) nor the pandas merge
+        # (NaN == NaN there).  They are re-unioned below for left/anti.
+        batch = batch.filter(pc.is_valid(batch.column(left_key)))
         cols = {c: batch.column(c) for c in left_cols}
         cols[_JK] = batch.column(left_key).cast(key_type)
         cols[_JSIDE] = pa.array([1] * batch.num_rows, pa.int8())
@@ -77,6 +89,8 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
         return pa.Table.from_arrays([cols[c] for c in order], names=order)
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        # null right keys can match nothing in any mode — drop them here
+        batch = batch.filter(pc.is_valid(batch.column(right_key)))
         n = batch.num_rows
         cols = {_JK: batch.column(right_key).cast(key_type),
                 _JSIDE: pa.array([0] * n, pa.int8())}
@@ -86,9 +100,21 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
             cols[oc] = batch.column(c)
         return pa.Table.from_arrays([cols[c] for c in order], names=order)
 
+    def null_left_rows(batch: pa.Table) -> pa.Table:
+        """Null-key left rows shaped to the output schema (left: null
+        payload attached; anti: kept as-is).  Only called for those modes."""
+        batch = batch.filter(pc.is_null(batch.column(left_key)))
+        arrays = [batch.column(c).cast(left_type[c]) for c in left_cols]
+        if with_payload:
+            arrays += [pa.nulls(batch.num_rows, right_type[c])
+                       for c in payload]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
     def block_join(df: pd.DataFrame, skip_edges: bool = True) -> pa.Table:
         if len(df):
             if skip_edges:
+                # keys are non-null by construction (nulls split out at
+                # tagging), so == comparisons are reliable here
                 jk = df[_JK].to_numpy()
                 df = df[~((jk == jk[0]) | (jk == jk[-1]))]
         if not len(df):
@@ -126,7 +152,13 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
              .repartition(1)
              .map_batches(lambda df: block_join(df, skip_edges=False),
                           batch_format="pandas", batch_size=None))
-    return inner.union(edges)
+    out = inner.union(edges)
+    if mode in ("left", "anti"):
+        # null left keys are kept by these modes (with null payload for
+        # 'left') — second scan of the left side, see docstring
+        out = out.union(left_ds.map_batches(null_left_rows,
+                                            batch_format="pyarrow"))
+    return out
 
 
 def lookup_join(left_ds, right_ds, *, left_key: str, right_key: str,

@@ -135,8 +135,6 @@ def embedding_near_dups(embeddings_ds, threshold: float = 0.8):
     are ~n/2^BITS_PER_TABLE per table — skew-capped by construction."""
     import pandas as pd
 
-    from ray.data.aggregate import Max
-
     from ..functions.fputil import np_round_away
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -161,8 +159,14 @@ def embedding_near_dups(embeddings_ds, threshold: float = 0.8):
              .map_batches(add_lsh_bands, batch_format="pyarrow")
              .groupby(["table", "bucket"])
              .map_groups(bucket_pairs, batch_format="pandas"))
-    return pairs.groupby(["a", "b"]).aggregate(
-        Max("cosine_sim", alias_name="cosine_sim"))
+    # cross-table pair dedup on the sorted-block aggregate — pair count at
+    # scale is high-cardinality, where the builtin groupby reduce pays
+    # ~linear-in-groups Python cost (VERDICT r2 #2)
+    from .groupagg import sorted_hash_aggregate
+
+    return sorted_hash_aggregate(
+        pairs.map_batches(lambda b: b, batch_format="pyarrow"),
+        ["a", "b"], [("cosine_sim", "max")])
 
 
 # --- IVF (inverted-file) approximate top-k -----------------------------------

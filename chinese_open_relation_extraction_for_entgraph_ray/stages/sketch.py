@@ -75,9 +75,10 @@ def approx_quantiles(ds, column: str, qs: list[float],
     stats = ds.aggregate(Min(column, alias_name="lo"),
                          Max(column, alias_name="hi"),
                          Count(alias_name="n"))
-    lo, hi, n = stats["lo"], stats["hi"], stats["n"]
-    if n == 0:
+    # aggregate() on an empty Dataset returns None (not a zero-count dict)
+    if not stats or not stats.get("n") or stats.get("lo") is None:
         return [float("nan")] * len(qs)
+    lo, hi, n = stats["lo"], stats["hi"], stats["n"]
     if lo == hi:
         return [float(lo)] * len(qs)
     lo, hi = float(lo), float(hi)
@@ -147,13 +148,14 @@ def grouped_approx_quantiles(ds, key: str, column: str, qs: list[float],
     stats = ds.aggregate(Min(column, alias_name="lo"),
                          Max(column, alias_name="hi"),
                          Count(alias_name="n"))
-    lo, hi, n = stats["lo"], stats["hi"], stats["n"]
     qcols = [f"q{q}" for q in qs]
     out_schema = pa.schema([(key, pa.string())]
                            + [(c, pa.float64()) for c in qcols])
-    if n == 0:
+    # aggregate() on an empty Dataset returns None (not a zero-count dict)
+    if not stats or not stats.get("n") or stats.get("lo") is None:
         return ds.map_batches(
             lambda b: out_schema.empty_table(), batch_format="pyarrow")
+    lo, hi, n = stats["lo"], stats["hi"], stats["n"]
     lo, hi = float(lo), float(hi)
     width = (hi - lo) / bins if hi > lo else 1.0
 

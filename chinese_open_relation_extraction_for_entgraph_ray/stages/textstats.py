@@ -105,21 +105,35 @@ def fingerprints(batch: pa.Table) -> pa.Table:
         names=["doc_id", "md5", "min_shingle_hash"])
 
 
+_MSH_MOD = (1 << 31) - 1          # Mersenne31: ord * weight fits int64
+_MSH_BASES = (1_000_003, 998_244_353 % ((1 << 31) - 1))
+
+
+def _msh_weights(k: int) -> "np.ndarray":
+    import numpy as np
+
+    return np.array([[pow(b, k - 1 - j, _MSH_MOD) for j in range(k)]
+                     for b in _MSH_BASES], dtype=np.int64)   # (2, k)
+
+
 def min_shingle_hash(text: str, k: int = 8) -> int:
-    """Minimum polynomial rolling hash over k-char shingles (cheap near-dup
-    signal; full MinHash lives in stages/dedup.py)."""
+    """Minimum polynomial hash over k-char shingles (cheap near-dup signal;
+    full MinHash lives in stages/dedup.py).  Fully vectorized: char codes
+    via a utf-32 reinterpret, one (windows x k) @ weights matmul per text —
+    no per-character Python (the old 61-bit rolling loop was O(corpus
+    chars) interpreter time, VERDICT r2 #5).  Two independent Mersenne31
+    hashes combine to a 62-bit value: ord (<2^21) x weight (<2^31) stays
+    within int64, which is what makes the matmul exact."""
     if len(text) < k:
         data = text.encode("utf-8")
         return int.from_bytes(hashlib.md5(data).digest()[:8], "big") >> 1
-    mod = (1 << 61) - 1
-    base = 1_000_003
-    h = 0
-    power = pow(base, k - 1, mod)
-    best = None
-    for i, ch in enumerate(text):
-        if i >= k:
-            h = (h - ord(text[i - k]) * power) % mod
-        h = (h * base + ord(ch)) % mod
-        if i >= k - 1:
-            best = h if best is None or h < best else best
-    return best if best is not None else 0
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    codes = np.frombuffer(text.encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.int64)
+    win = sliding_window_view(codes, k)                      # (n-k+1, k)
+    w = _msh_weights(k)                                      # (2, k)
+    h = (win @ w.T) % _MSH_MOD                               # (n-k+1, 2)
+    h1, h2 = int(h[:, 0].min()), int(h[:, 1].min())
+    return (h1 << 31) | h2

@@ -34,9 +34,10 @@ def parquet_files(directory: str) -> list[str]:
                             recursive=True))
 
 
-# (task_id -> next call sequence) for deterministic metric-file naming; a
-# retried task re-runs with the SAME task id and a fresh counter, so its
-# files overwrite the originals instead of double-counting
+# (task_id -> (attempt, next call sequence)) for deterministic metric-file
+# naming; a retried task re-runs with the SAME task id but a new attempt
+# number — detecting the attempt change resets the counter so the retry
+# overwrites the original files instead of appending duplicates
 _EMIT_SEQ: dict = {}
 
 
@@ -44,17 +45,30 @@ def _emit_name(metrics_dir: str) -> str:
     try:
         import ray
 
-        task_id = ray.get_runtime_context().get_task_id() or ""
+        ctx = ray.get_runtime_context()
+        task_id = ctx.get_task_id() or ""
+        try:
+            attempt = ctx.get_attempt_number()
+        except Exception:
+            attempt = 0
     except Exception:
         task_id = ""
     if not task_id:
         import uuid
 
         return os.path.join(metrics_dir, f"part-{uuid.uuid4().hex}.json")
-    if len(_EMIT_SEQ) > 4096:      # bound long-lived-worker state
+    if len(_EMIT_SEQ) > 4096:
+        # bound long-lived-worker state — but never evict the CURRENT
+        # task's entry mid-run (clearing it between two emissions of one
+        # task would reset its counter and overwrite its own first file)
+        saved = _EMIT_SEQ.get(task_id)
         _EMIT_SEQ.clear()
-    seq = _EMIT_SEQ.get(task_id, 0)
-    _EMIT_SEQ[task_id] = seq + 1
+        if saved is not None:
+            _EMIT_SEQ[task_id] = saved
+    prev_attempt, seq = _EMIT_SEQ.get(task_id, (attempt, 0))
+    if prev_attempt != attempt:    # new attempt of a known task id
+        seq = 0
+    _EMIT_SEQ[task_id] = (attempt, seq + 1)
     return os.path.join(metrics_dir, f"part-{task_id}-{seq:04d}.json")
 
 
