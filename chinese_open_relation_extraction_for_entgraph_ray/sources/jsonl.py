@@ -28,8 +28,26 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 
 import pyarrow as pa
+
+# one sentence span = maximal non-terminator run + terminator run + trailing
+# close-quotes/brackets; or the unterminated tail
+_SENT_SPAN_RE = re.compile(r"[^。！？!?…]*[。！？!?…]+[”’」』)）]*|[^。！？!?…]+$")
+
+
+def presplit_sentences_with_spaces(text: str) -> list[str]:
+    """Deterministic analog of the reference's CoreNLP ssplit branch with
+    whitespace-preserving reconstruction (preprocess_corpus.py:198-211: the
+    token rejoin re-inserts ``beginChar - endChar`` original spaces): cut
+    sentence spans at terminator runs and reproduce each span VERBATIM from
+    the source, so concatenating the spans restores the input exactly —
+    the same invariant as the reference's ``num_spaces`` loop.  Spans that
+    are all whitespace are dropped (they carry no sentence)."""
+    spans = _SENT_SPAN_RE.findall(text)
+    assert "".join(spans) == text, "sentence spans must reconstruct the text"
+    return [s for s in spans if s.strip()]
 
 TRANSCRIPTS_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
@@ -53,7 +71,8 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
 
 
 def _entry_rows(entry: dict, raw: str, *, text_field: str,
-                id_field: str | None, split_field: str | None) -> list[dict]:
+                id_field: str | None, split_field: str | None,
+                presplit: bool = False) -> list[dict]:
     if id_field is not None and id_field in entry:
         conv_id = str(entry[id_field])
     else:
@@ -65,18 +84,31 @@ def _entry_rows(entry: dict, raw: str, *, text_field: str,
     text = entry.get(text_field)
     if text is None:
         return []
+    if presplit:
+        return [{"conv_id": conv_id, "turn_idx": i, "text": t}
+                for i, t in enumerate(
+                    presplit_sentences_with_spaces(str(text)))]
     return [{"conv_id": conv_id, "turn_idx": 0, "text": str(text)}]
 
 
 def read_transcripts_jsonl(path: str, *, text_field: str = "text",
                            id_field: str | None = None,
-                           split_field: str | None = None):
+                           split_field: str | None = None,
+                           presplit: bool = False):
     """NDJSON file(s) -> transcripts Dataset.
 
     ``text_field="content"`` covers the reference's clue dialect
     (preprocess_corpus.py:273); ``split_field="splitted_text"`` the
-    newsspike dialect (:343 — one turn per pre-split element)."""
+    newsspike dialect (:343 — one turn per pre-split element);
+    ``presplit=True`` the webhose ``use_corenlp`` branch (:198-211) — each
+    entry's text is sentence-pre-split with original whitespace preserved
+    (one turn per sentence span) BEFORE the engine's own splitter runs, so
+    chunk boundaries match the reference's ssplit-then-split_str order."""
     import ray.data as rd
+
+    if presplit and split_field is not None:
+        raise ValueError("presplit applies to whole-text entries; "
+                         "split_field entries are already pre-split")
 
     def parse(batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
@@ -86,7 +118,8 @@ def read_transcripts_jsonl(path: str, *, text_field: str = "text",
             rows.extend(_entry_rows(json.loads(line), line,
                                     text_field=text_field,
                                     id_field=id_field,
-                                    split_field=split_field))
+                                    split_field=split_field,
+                                    presplit=presplit))
         return _rows_to_table(rows)
 
     return rd.read_text(path).map_batches(parse, batch_format="pyarrow")

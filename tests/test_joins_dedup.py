@@ -281,3 +281,66 @@ def test_semi_anti_partition_left(ray_session, seed):
                           left_key="k", right_key="rk",
                           payload=["count()"], how="inner").count()
     assert inner_n == len(semi)
+
+
+def test_similar_pairs_exact_matches_brute_force(ray_session):
+    """The inverted-index all-pairs Jaccard join is EXACT: identical pair
+    set and values to the O(n^2) single-process reference over the fixture
+    corpus (plus empty docs, which have no shingles and never pair)."""
+    import numpy as np
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        similar_pairs_exact,
+        word_shingles,
+    )
+
+    docs = _fixture_corpus()
+    docs.append({"doc_id": 100, "text": ""})
+    docs.append({"doc_id": 101, "text": "   "})
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in similar_pairs_exact(
+               rd.from_items(docs).repartition(5), threshold=0.5).take_all()}
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            sa = word_shingles(docs[i]["text"])
+            sb = word_shingles(docs[j]["text"])
+            if sa & sb:
+                J = len(sa & sb) / (len(sa) + len(sb) - len(sa & sb))
+                if J >= 0.5:
+                    want[(docs[i]["doc_id"], docs[j]["doc_id"])] = float(
+                        np_round_away(np.array([J]), 4)[0])
+    assert got == want and len(want) > 0
+
+
+def test_similar_pairs_exact_max_df_cap_drops_ubiquitous_shingles(
+        ray_session, caplog):
+    """max_df prefilter: a pair sharing ONLY over-cap shingles disappears
+    (and nothing else changes) — the documented prefix-filter trade."""
+    import logging
+
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        similar_pairs_exact,
+    )
+
+    common = "alpha beta gamma delta epsilon zeta"
+    docs = [{"doc_id": i, "text": common} for i in range(6)]
+    docs += [{"doc_id": 10, "text": "rare pair one two three four"},
+             {"doc_id": 11, "text": "rare pair one two three four"}]
+    with caplog.at_level(logging.WARNING):
+        full = similar_pairs_exact(rd.from_items(docs),
+                                   threshold=0.5).take_all()
+        capped = similar_pairs_exact(rd.from_items(docs), threshold=0.5,
+                                     max_df=3).take_all()
+    full_pairs = {(r["a"], r["b"]) for r in full}
+    capped_pairs = {(r["a"], r["b"]) for r in capped}
+    assert (10, 11) in full_pairs and (10, 11) in capped_pairs
+    # the 6-doc clique shares only shingles with df=6 > 3 -> dropped
+    assert all(a >= 10 for a, _ in capped_pairs)
+    assert len(full_pairs) == 15 + 1 and len(capped_pairs) == 1

@@ -95,3 +95,57 @@ def test_jsonl_duplicate_lines_collapse(ray_session, tmp_path):
         fp.write(line + "\n" + line + "\n")
     rows = read_transcripts_jsonl(str(src)).take_all()
     assert len({r["conv_id"] for r in rows}) == 1
+
+
+def test_presplit_sentences_with_spaces_reconstruction():
+    """The ssplit-with-spaces contract (preprocess_corpus.py:198-211):
+    spans reproduce the source verbatim — including internal spaces — and
+    concatenate back to the input."""
+    from chinese_open_relation_extraction_for_entgraph_ray.sources.jsonl import (
+        presplit_sentences_with_spaces,
+    )
+
+    text = "张伟 访问 数据。李娜说：“它 运行！”然后 离开了"
+    spans = presplit_sentences_with_spaces(text)
+    assert spans == ["张伟 访问 数据。", "李娜说：“它 运行！”", "然后 离开了"]
+    assert "".join(spans) == text
+    # whitespace-only tails are dropped, reconstruction still asserted
+    assert presplit_sentences_with_spaces("你好。  ") == ["你好。"]
+    assert presplit_sentences_with_spaces("") == []
+
+
+def test_jsonl_presplit_dialect_roundtrip_build_kg(ray_session, tmp_path):
+    """The webhose use_corenlp branch analog: presplit=True yields one turn
+    per sentence span (original spacing preserved) and feeds build_kg."""
+    from chinese_open_relation_extraction_for_entgraph_ray.pipelines.kg import (
+        build_kg,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.sources.jsonl import (
+        read_transcripts_jsonl,
+    )
+
+    src = tmp_path / "webhose.jsonl"
+    body = "张伟访问数据。李娜发布论文。它运行成功。"
+    with open(src, "w", encoding="utf8") as fp:
+        fp.write(json.dumps({"uuid": "w0", "text": body},
+                            ensure_ascii=False) + "\n")
+
+    ds = read_transcripts_jsonl(str(src), id_field="uuid", presplit=True)
+    rows = sorted(ds.take_all(), key=lambda r: r["turn_idx"])
+    assert [r["text"] for r in rows] == ["张伟访问数据。", "李娜发布论文。",
+                                        "它运行成功。"]
+    assert [r["turn_idx"] for r in rows] == [0, 1, 2]
+
+    tdir = str(tmp_path / "transcripts")
+    ds.write_parquet(tdir)
+    res = build_kg(tdir, str(tmp_path / "kg"), parse_concurrency=2,
+                   dedup_sort=False)
+    triples = res["triples"].take_all()
+    assert len(triples) > 0
+    assert {t["conv_id"] for t in triples} == {"w0"}
+    # presplit + split_field together is ambiguous
+    import pytest
+
+    with pytest.raises(ValueError, match="presplit"):
+        read_transcripts_jsonl(str(src), split_field="splitted_text",
+                               presplit=True)
