@@ -64,7 +64,8 @@ def _timed_queries() -> dict[str, float]:
 
     names = ["lineitem_pricing", "events_hourly", "events_sessions",
              "docs_token_stats", "docs_exact_dedup", "docs_lang_detect",
-             "minhash_candidate_pairs", "similarity_topk",
+             "minhash_candidate_pairs", "docs_similar_pairs_exact",
+             "similarity_topk",
              "similarity_topk_ivf", "customer_revenue_topk",
              "events_user_cumulative_value", "docs_top_tokens"]
     qs = entrymod.queries()

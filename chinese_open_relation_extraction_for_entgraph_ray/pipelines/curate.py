@@ -58,7 +58,8 @@ def curate_step1_exact(docs_ds, **filter_kwargs):
 
 
 def curate_documents(docs_ds, *, jaccard_threshold: float = 0.5,
-                     cluster_dedup: bool = False, **filter_kwargs):
+                     cluster_dedup: bool = False, pairs_mode: str = "lsh",
+                     **filter_kwargs):
     """Full curation: returns the curated documents Dataset (doc_id, text).
 
     Survivor selection and near-dup removal are distributed keyed joins —
@@ -70,7 +71,17 @@ def curate_documents(docs_ds, *, jaccard_threshold: float = 0.5,
     ``cluster_dedup=True``: close the pairs into connected components
     (``stages/cluster.py``) and keep exactly one representative (the
     minimum doc_id) per component — the correct cluster-level semantics,
-    at the cost of the iterative component rounds."""
+    at the cost of the iterative component rounds.
+
+    ``pairs_mode`` — how near-dup pairs are found:
+    - "lsh" (default): MinHash-LSH candidates, Jaccard-verified — the
+      cheap scale path (recall is the LSH's, near-1 above ~0.6 Jaccard).
+    - "exact": the inverted-index exact all-pairs join
+      (``stages/dedup.similar_pairs_exact``) — deterministic recall=1,
+      costlier on corpora with ubiquitous shingles (see its ``max_df``)."""
+    if pairs_mode not in ("lsh", "exact"):
+        raise ValueError(f"pairs_mode must be 'lsh' or 'exact', "
+                         f"got {pairs_mode!r}")
     from ..stages.joins import semi_join
 
     survivors = curate_step1_exact(docs_ds, **filter_kwargs) \
@@ -79,7 +90,12 @@ def curate_documents(docs_ds, *, jaccard_threshold: float = 0.5,
     kept = semi_join(docs_ds, survivors,
                      left_key="doc_id", right_key="keep_doc_id") \
         .materialize()   # consumed twice: near-dup candidate gen + anti-join
-    pairs = jaccard_near_dups(kept, threshold=jaccard_threshold)
+    if pairs_mode == "exact":
+        from ..stages.dedup import similar_pairs_exact
+
+        pairs = similar_pairs_exact(kept, threshold=jaccard_threshold)
+    else:
+        pairs = jaccard_near_dups(kept, threshold=jaccard_threshold)
     if cluster_dedup:
         from ..stages.cluster import dedup_cluster_representatives
 

@@ -344,3 +344,23 @@ def test_similar_pairs_exact_max_df_cap_drops_ubiquitous_shingles(
     # the 6-doc clique shares only shingles with df=6 > 3 -> dropped
     assert all(a >= 10 for a, _ in capped_pairs)
     assert len(full_pairs) == 15 + 1 and len(capped_pairs) == 1
+
+
+def test_curate_documents_exact_pairs_mode_matches_lsh(ray_session):
+    """pairs_mode='exact' (inverted-index, recall=1) must agree with the
+    LSH path on the fixture corpus (where LSH recall is complete) and
+    reject unknown modes."""
+    import pytest
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.pipelines.curate import (
+        curate_documents,
+    )
+
+    docs = rd.from_items(_fixture_corpus()).repartition(4).materialize()
+    lsh = sorted(r["doc_id"] for r in curate_documents(docs).take_all())
+    exact = sorted(r["doc_id"] for r in curate_documents(
+        docs, pairs_mode="exact").take_all())
+    assert lsh == exact and len(exact) > 0
+    with pytest.raises(ValueError, match="pairs_mode"):
+        curate_documents(docs, pairs_mode="bogus")
