@@ -214,3 +214,106 @@ def test_emit_seq_survives_eviction_and_resets_on_retry(monkeypatch,
     _FakeRay.ctx = _Ctx("tid-current", 1)
     retry = lin._emit_name(d)
     assert retry == first
+
+
+# --- property tests (pure parts — no Ray per example) ------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_key_text = st.text(
+    alphabet=st.sampled_from(list("ab:0\x00v字 \n")), max_size=6)
+
+
+@given(st.tuples(_key_text, _key_text), st.tuples(_key_text, _key_text))
+@settings(max_examples=300, deadline=None)
+def test_key_tuple_encoding_injective_property(t1, t2):
+    """Distinct 2-column key tuples (arbitrary content incl. NULs, colons
+    and digits) must encode to distinct strings."""
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        _joined_key_strings,
+    )
+
+    batch = pa.table({"k1": [t1[0], t2[0]], "k2": [t1[1], t2[1]]})
+    enc = _joined_key_strings(batch, ["k1", "k2"]).to_pylist()
+    assert (enc[0] == enc[1]) == (t1 == t2)
+
+
+def _msh_reference(text: str, k: int = 8) -> int:
+    """Straightforward per-window reimplementation of the Mersenne31
+    double hash (pins the vectorized matmul's modular arithmetic)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (
+        _MSH_BASES,
+        _MSH_MOD,
+    )
+
+    mins = []
+    for base in _MSH_BASES:
+        best = None
+        for i in range(len(text) - k + 1):
+            h = 0
+            for ch in text[i:i + k]:
+                h = (h * base + ord(ch)) % _MSH_MOD
+            if best is None or h < best:
+                best = h
+        mins.append(best)
+    return (mins[0] << 31) | mins[1]
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), min_size=8,
+               max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_min_shingle_hash_matches_reference_property(text):
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (
+        min_shingle_hash,
+    )
+
+    assert min_shingle_hash(text) == _msh_reference(text)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_join_null_keys_random_matches_pandas(ray_session, seed):
+    """All four join modes over random keyed data with ~25% nulls on both
+    sides must match pandas merges run with SQL null semantics."""
+    import numpy as np
+    import ray.data as rd
+
+    rng = np.random.RandomState(seed)
+    left = [{"k": (None if rng.rand() < 0.25 else int(rng.randint(8))),
+             "x": i} for i in range(120)]
+    rkeys = [k for k in range(0, 8, 2)]
+    right = ([{"rk": k, "name": f"n{k}"} for k in rkeys]
+             + [{"rk": None, "name": "NULL"}])
+    lds = rd.from_items(left).repartition(5)
+    rds = rd.from_items(right)
+    lf = pd.DataFrame(left)
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        lookup_join,
+        semi_join,
+    )
+
+    valid = lf["k"].notna()
+    matched = valid & lf["k"].isin(rkeys)
+    # inner
+    got = lookup_join(lds, rds, left_key="k", right_key="rk",
+                      payload=["name"], suffix="_r", how="inner").take_all()
+    assert sorted(r["x"] for r in got) == sorted(lf.loc[matched, "x"])
+    # left: every row kept; payload only on matched
+    got = lookup_join(lds, rds, left_key="k", right_key="rk",
+                      payload=["name"], suffix="_r", how="left").take_all()
+    assert len(got) == len(lf)
+    by_x = {r["x"]: r["name_r"] for r in got}
+    for row in lf.itertuples(index=False):
+        expect = (f"n{int(row.k)}"
+                  if (row.k is not None and not pd.isna(row.k)
+                      and int(row.k) in rkeys) else None)
+        assert by_x[row.x] == expect
+    # semi / anti partition the left side
+    semi = semi_join(lds, rds, left_key="k", right_key="rk").take_all()
+    anti = semi_join(lds, rds, left_key="k", right_key="rk",
+                     anti=True).take_all()
+    assert sorted(r["x"] for r in semi) == sorted(lf.loc[matched, "x"])
+    assert sorted(r["x"] for r in anti) == sorted(lf.loc[~matched, "x"])
+    assert len(semi) + len(anti) == len(lf)
