@@ -352,6 +352,20 @@ def _q_events_value_quantiles(sf_dir: str):
                           ("p95", pa.float64()), ("p99", pa.float64())]))
 
 
+def _q_events_type_distinct_users_approx(sf_dir: str):
+    """Per-type approximate distinct users — the keyed HLL sketch
+    (stages/sketch.grouped_approx_distinct), the approximate companion of
+    the SQL-oracled exact events_type_distinct_users; rows-only (estimator
+    error bound pinned by pytest)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        grouped_approx_distinct,
+    )
+
+    return grouped_approx_distinct(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id")
+
+
 def _q_events_quantiles_approx(sf_dir: str):
     """Approximate value quantiles from the mergeable histogram sketches —
     BOTH compositions in one probe (consolidated r3 so the sketch family
@@ -979,7 +993,10 @@ def _q_docs_top_tokens(sf_dir: str):
     the exchange carries one row per (batch, distinct token), never raw
     tokens."""
     import pyarrow as pa
-    from ray.data.aggregate import Sum
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
 
     def batch_counts(batch: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}
@@ -991,9 +1008,13 @@ def _q_docs_top_tokens(sf_dir: str):
              pa.array(list(counts.values()), pa.int64())],
             names=["token", "n"])
 
-    return (_read(sf_dir, "documents", columns=["text"])
-            .map_batches(batch_counts, batch_format="pyarrow")
-            .groupby("token").aggregate(Sum("n", alias_name="n"))
+    # token cardinality is corpus-vocabulary-bound (can reach 1e8+ at
+    # 100 TB): observed-cardinality dispatch — small vocab reduces on the
+    # no-sort path, a web-scale vocab takes the sorted-block aggregate
+    return (auto_hash_aggregate(
+                _read(sf_dir, "documents", columns=["text"])
+                .map_batches(batch_counts, batch_format="pyarrow"),
+                ["token"], [("n", "sum")])
             .sort(["n", "token"], descending=[True, False])
             .limit(20))
 
@@ -1418,6 +1439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_filter_histograms": _q_kg_filter_histograms,
         "events_approx_distinct_users": _q_events_approx_distinct_users,
         "events_quantiles_approx": _q_events_quantiles_approx,
+        "events_type_distinct_users_approx":
+            _q_events_type_distinct_users_approx,
         "similarity_topk_ivf": _q_similarity_topk_ivf,
         "docs_embed_similar": _q_docs_embed_similar,
         "multimodal_frame_plan": _q_multimodal_frame_plan,

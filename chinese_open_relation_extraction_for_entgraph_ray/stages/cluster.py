@@ -43,8 +43,7 @@ def connected_components(pairs_ds, *, a: str = "a", b: str = "b",
     nodes have no duplicate to resolve).  Raises RuntimeError if
     ``max_iters`` rounds don't converge (pointer jumping makes that
     ~2^max_iters-long chains — unreachable in practice)."""
-    from ray.data.aggregate import Min
-
+    from .groupagg import auto_hash_aggregate
     from .joins import lookup_join
 
     # symmetric neighbor stream (src, dst): each edge in both directions
@@ -58,16 +57,22 @@ def connected_components(pairs_ds, *, a: str = "a", b: str = "b",
     endpoints = pairs_ds.map_batches(sym,
                                      batch_format="pyarrow").materialize()
 
+    def _grouped_min(ds):
+        """node-keyed min — node cardinality ~ corpus size, so this runs
+        through the observed-cardinality dispatch (the builtin groupby
+        reduce is linear in group count), falling back to the no-sort
+        merge path on small graphs."""
+        return auto_hash_aggregate(
+            ds.map_batches(lambda t: t.rename_columns(["node", "label"]),
+                           batch_format="pyarrow"),
+            ["node"], [("label", "min")])
+
     # seed: labels(v) = min(v, N(v)) — one grouped min over (src, dst) +
     # self rows
-    labels = endpoints.union(endpoints.map_batches(
+    labels = _grouped_min(endpoints.union(endpoints.map_batches(
         lambda t: pa.Table.from_arrays(
             [t.column("src"), t.column("src")], names=["src", "dst"]),
-        batch_format="pyarrow")) \
-        .groupby("src").aggregate(Min("dst", alias_name="label")) \
-        .map_batches(lambda t: t.rename_columns(["node", "label"]),
-                     batch_format="pyarrow") \
-        .materialize()
+        batch_format="pyarrow"))).materialize()
 
     if labels.count() == 0:
         # explicit empty-input short-circuit (sum() on an empty Dataset
@@ -97,9 +102,7 @@ def connected_components(pairs_ds, *, a: str = "a", b: str = "b",
             .map_batches(lambda t: pa.Table.from_arrays(
                 [t.column("dst"), t.column("label_q")],
                 names=["node", "label"]), batch_format="pyarrow")
-        labels = labels.union(cand) \
-            .groupby("node").aggregate(Min("label", alias_name="label")) \
-            .materialize()
+        labels = _grouped_min(labels.union(cand)).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:      # labels only decrease -> fixpoint
             logger.info("connected_components converged in %d rounds",

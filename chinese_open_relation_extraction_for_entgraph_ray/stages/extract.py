@@ -115,7 +115,7 @@ def filter_histograms(parses_ds, config: ExtractionConfig = DEFAULT_CONFIG):
     merge_parsed_results.py:100-106,133-135) as a distributed view:
     per-batch counter rows -> grouped sum -> count-desc sort per bucket.
     Returns (bucket, token, n) rows."""
-    from ray.data.aggregate import Sum
+    from .groupagg import auto_hash_aggregate
 
     def batch_counts(batch: pa.Table) -> pa.Table:
         agg: dict[tuple, int] = {}
@@ -132,9 +132,11 @@ def filter_histograms(parses_ds, config: ExtractionConfig = DEFAULT_CONFIG):
              pa.array([agg[k] for k in keys], pa.int64())],
             names=["bucket", "token", "n"])
 
-    return (parses_ds.map_batches(batch_counts, batch_format="pyarrow")
-            .groupby(["bucket", "token"])
-            .aggregate(Sum("n", alias_name="n"))
+    # (bucket, token) cardinality is vocabulary-bound — same
+    # observed-cardinality dispatch as the other token-keyed aggregates
+    return (auto_hash_aggregate(
+                parses_ds.map_batches(batch_counts, batch_format="pyarrow"),
+                ["bucket", "token"], [("n", "sum")])
             .sort(["bucket", "n", "token"], descending=[False, True, False]))
 
 

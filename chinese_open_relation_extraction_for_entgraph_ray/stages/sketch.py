@@ -230,3 +230,51 @@ def approx_distinct(ds, column: str):
         return 0.0
     final = np.asarray(rows[0]["regs"], dtype=np.uint8)
     return hll_estimate(final)
+
+
+def grouped_approx_distinct(ds, key: str, column: str):
+    """Per-group approximate distinct count — the keyed composition of
+    :func:`approx_distinct`, completing the sketch family symmetrically
+    with :func:`grouped_approx_quantiles`.
+
+    Shape: per batch, ONE register row per key present (pre-merged — the
+    exchange carries at most batch_groups rows of 4 KB, never raw values),
+    then one sorted-block grouped apply merges each key's rows by
+    elementwise max and estimates.  Skew-proof: a hot key reduces once per
+    batch, then once over <= #batches register rows.
+
+    Returns a Dataset of (key, approx_distinct) with key stringified (like
+    a GROUP BY over a cast); estimate error ~1.6% at p=12."""
+    import pandas as pd
+
+    from .blockgroup import sorted_map_groups
+
+    def batch_regs(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).cast(pa.string()).to_pylist()
+        vals = batch.column(column).to_pylist()
+        per: dict[str, list] = {}
+        for k, v in zip(keys, vals):
+            per.setdefault(k, []).append(v)
+        out_k = list(per)
+        out_r = [hll_registers(per[k]).tolist() for k in out_k]
+        return pa.Table.from_arrays(
+            [pa.array(out_k, pa.string()),
+             pa.array(out_r, pa.list_(pa.uint8(), HLL_M))],
+            names=[key, "regs"])
+
+    def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)["regs"]
+        keys_out, est_out = [], []
+        for k, rows in g:
+            regs = hll_merge(np.asarray([np.asarray(r, dtype=np.uint8)
+                                         for r in rows]))
+            keys_out.append(k)
+            est_out.append(round(float(hll_estimate(regs)), 1))
+        return pd.DataFrame({key: keys_out, "approx_distinct": est_out})
+
+    schema = pa.schema([(key, pa.string()),
+                        ("approx_distinct", pa.float64())])
+    return sorted_map_groups(
+        ds.map_batches(batch_regs, batch_format="pyarrow",
+                       batch_size=65536),
+        [key], block_fn=merge_block, schema=schema)

@@ -397,3 +397,29 @@ def test_grouped_approx_quantiles_error_bound(ray_session):
         want = np.quantile(vals[m], [0.5, 0.95], method="linear")
         assert abs(got[k][0] - want[0]) <= tol, (k, got[k][0], want[0])
         assert abs(got[k][1] - want[1]) <= tol, (k, got[k][1], want[1])
+
+
+def test_grouped_approx_distinct_error_bound(ray_session):
+    """Keyed HLL: per-group estimates within 5% of exact distinct counts
+    across groups of very different cardinalities (incl. a group where
+    values repeat heavily)."""
+    import numpy as np
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        grouped_approx_distinct,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    exact = {"small": 17, "mid": 800, "big": 6000}
+    for grp, n_distinct in exact.items():
+        for _ in range(n_distinct * 3):        # repeats: 3x each on average
+            rows.append({"g": grp, "v": int(rng.randint(n_distinct))})
+    ds = rd.from_items(rows).repartition(6)
+    got = {r["g"]: r["approx_distinct"]
+           for r in grouped_approx_distinct(ds, "g", "v").take_all()}
+    for grp, n_distinct in exact.items():
+        # draws with replacement: the truth is the number of UNIQUE values
+        truth = len({r["v"] for r in rows if r["g"] == grp})
+        assert abs(got[grp] - truth) / truth < 0.05, (grp, got[grp], truth)
