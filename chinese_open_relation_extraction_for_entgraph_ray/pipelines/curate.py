@@ -77,8 +77,13 @@ def curate_documents(docs_ds, *, jaccard_threshold: float = 0.5,
     - "lsh" (default): MinHash-LSH candidates, Jaccard-verified — the
       cheap scale path (recall is the LSH's, near-1 above ~0.6 Jaccard).
     - "exact": the inverted-index exact all-pairs join
-      (``stages/dedup.similar_pairs_exact``) — deterministic recall=1,
-      costlier on corpora with ubiquitous shingles (see its ``max_df``)."""
+      (``stages/dedup.similar_pairs_exact``) — deterministic recall=1 over
+      pairs sharing >=1 shingle; the one divergence from the LSH path is
+      docs with NO shingles (empty/whitespace-only text), which the
+      ``jaccard()`` convention treats as J=1.0 pairs but the index can
+      never emit — the default quality filter's min-token bound removes
+      such docs before this step.  Costlier on corpora with ubiquitous
+      shingles (see its ``max_df``)."""
     if pairs_mode not in ("lsh", "exact"):
         raise ValueError(f"pairs_mode must be 'lsh' or 'exact', "
                          f"got {pairs_mode!r}")

@@ -516,9 +516,12 @@ def similar_pairs_exact(docs_ds, threshold: float = 0.5, k: int = 3,
 
     Deterministic complement to :func:`jaccard_near_dups` (whose recall is
     the LSH's): the output is exactly every pair sharing >= 1 indexed
-    shingle with true Jaccard over the threshold, which is every pair with
-    J > 0 — so the operator is exact, and SQL-mirrorable (the DuckDB oracle
-    in ``__ray_entry__`` runs the same join over unnested shingle lists).
+    shingle with true Jaccard over the threshold — i.e. every pair with
+    J > 0 (a pair of zero-shingle docs, which :func:`jaccard` scores 1.0
+    by convention, has no index rows and is NOT emitted).  Exact and
+    SQL-mirrorable (the DuckDB oracle in ``__ray_entry__`` runs the same
+    join over unnested shingle lists, which misses the same degenerate
+    pairs by construction).
 
     100-TB shape: the only quadratic danger is a shingle shared by many
     documents (bucket of size d emits d^2/2 pairs).  ``max_df`` drops

@@ -21,7 +21,8 @@ _JK, _JSIDE = "__jk", "__jside"
 
 def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
                            right_key: str, payload: list[str],
-                           suffix: str, mode: str):
+                           suffix: str, mode: str,
+                           left_key_nullable: bool = True):
     """Distributed equi-join via the sorted-block pattern (no driver-side
     key sets, no broadcast): tag + union both sides, ONE sort by the join
     key, then a vectorized pandas merge/isin per block; only each block's
@@ -43,8 +44,11 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
     are dropped at tagging; null left keys are dropped for inner/semi and
     re-unioned from a second scan of the left side for left/anti — that
     second scan is the cost of exact null semantics in those two modes
-    (cheap when the left side is already materialized, as every in-repo
-    left/anti call site is)."""
+    (cheap when the left side is materialized; when the caller KNOWS the
+    key cannot be null — e.g. a computed hash — pass
+    ``left_key_nullable=False`` to skip the scan entirely, important when
+    the left side is an unmaterialized derived pipeline that the second
+    scan would re-execute)."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -153,7 +157,7 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
              .map_batches(lambda df: block_join(df, skip_edges=False),
                           batch_format="pandas", batch_size=None))
     out = inner.union(edges)
-    if mode in ("left", "anti"):
+    if mode in ("left", "anti") and left_key_nullable:
         # null left keys are kept by these modes (with null payload for
         # 'left') — second scan of the left side, see docstring
         out = out.union(left_ds.map_batches(null_left_rows,
@@ -173,12 +177,15 @@ def lookup_join(left_ds, right_ds, *, left_key: str, right_key: str,
 
 
 def semi_join(left_ds, right_ds, *, left_key: str, right_key: str,
-              anti: bool = False):
+              anti: bool = False, left_key_nullable: bool = True):
     """Keep left rows whose key does (semi) / does not (anti) appear in the
-    right side — the distributed replacement for take_all() + is_in."""
+    right side — the distributed replacement for take_all() + is_in.
+    ``left_key_nullable=False`` skips the anti mode's null-key second scan
+    when the caller guarantees a non-null key (e.g. a computed hash)."""
     return _sorted_block_equijoin(left_ds, right_ds, left_key=left_key,
                                   right_key=right_key, payload=[],
-                                  suffix="", mode="anti" if anti else "semi")
+                                  suffix="", mode="anti" if anti else "semi",
+                                  left_key_nullable=left_key_nullable)
 
 
 def asof_join(left_ds, right_ds, *, by: str, ts: str,

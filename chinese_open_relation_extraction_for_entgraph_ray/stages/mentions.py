@@ -113,7 +113,11 @@ def mentions_with_coref(sentences_ds, parses_ds, concurrency: int = 4):
                                        batch_format="pyarrow")
     reuse = (semi_join(
         sentences_ds.map_batches(_add_sent_key, batch_format="pyarrow"),
-        changed_keys, left_key="__sk", right_key="__sk", anti=True)
+        changed_keys, left_key="__sk", right_key="__sk", anti=True,
+        # __sk is a computed join of non-null id columns — never null, so
+        # skip the anti mode's null-key second scan (it would re-execute
+        # the unmaterialized sentence pipeline for provably zero rows)
+        left_key_nullable=False)
         .map_batches(lambda b: b.drop_columns(["__sk"]),
                      batch_format="pyarrow"))
 

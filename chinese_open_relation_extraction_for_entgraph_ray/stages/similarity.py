@@ -164,9 +164,8 @@ def embedding_near_dups(embeddings_ds, threshold: float = 0.8):
     # ~linear-in-groups Python cost (VERDICT r2 #2)
     from .groupagg import sorted_hash_aggregate
 
-    return sorted_hash_aggregate(
-        pairs.map_batches(lambda b: b, batch_format="pyarrow"),
-        ["a", "b"], [("cosine_sim", "max")])
+    return sorted_hash_aggregate(pairs, ["a", "b"],
+                                 [("cosine_sim", "max")])
 
 
 # --- IVF (inverted-file) approximate top-k -----------------------------------

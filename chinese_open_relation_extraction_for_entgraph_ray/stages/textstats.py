@@ -8,6 +8,7 @@ regex semantics match bit-for-bit.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import pyarrow as pa
@@ -109,7 +110,10 @@ _MSH_MOD = (1 << 31) - 1          # Mersenne31: ord * weight fits int64
 _MSH_BASES = (1_000_003, 998_244_353 % ((1 << 31) - 1))
 
 
+@functools.lru_cache(maxsize=8)
 def _msh_weights(k: int) -> "np.ndarray":
+    # cached: rebuilt per call would cost 2k modular pow()s per DOCUMENT
+    # on the fingerprints hot path
     import numpy as np
 
     return np.array([[pow(b, k - 1 - j, _MSH_MOD) for j in range(k)]

@@ -143,3 +143,26 @@ def test_coref_chain_buckets_recount(ray_session):
     got_map = dict(zip(got["n_chains"], got["n_conversations"]))
     assert got_map == {int(k): int(v) for k, v in want.items()}
     assert list(got["n_chains"]) == sorted(got["n_chains"])
+
+
+def test_mention_label_histogram_counts(ray_session):
+    """mention_label_histogram (reference ner_token_bucket analog) sums to
+    the mention count and groups by label — kept pinned here since its
+    driver query was consolidated into transcripts_mention_labels (r3)."""
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.mentions import (
+        detect_mentions,
+        mention_label_histogram,
+    )
+
+    sents = rd.from_items([
+        {"conv_id": "c0", "turn_idx": 0, "sent_idx": 0,
+         "text": "张伟访问北京大学"},
+        {"conv_id": "c0", "turn_idx": 1, "sent_idx": 0,
+         "text": "李娜加入百度"},
+    ])
+    mentions = detect_mentions(sents, concurrency=1).materialize()
+    hist = mention_label_histogram(mentions).take_all()
+    assert sum(r["n_mentions"] for r in hist) == mentions.count() > 0
+    assert all(r["n_mentions"] > 0 for r in hist)
