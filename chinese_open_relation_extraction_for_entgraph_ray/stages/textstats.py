@@ -141,3 +141,35 @@ def min_shingle_hash(text: str, k: int = 8) -> int:
     h = (win @ w.T) % _MSH_MOD                               # (n-k+1, 2)
     h1, h2 = int(h[:, 0].min()), int(h[:, 1].min())
     return (h1 << 31) | h2
+
+
+# PII-ish scrub patterns (RE2-safe, no lookarounds — shared verbatim with
+# the DuckDB oracle, which also runs RE2)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+?[0-9][0-9()\-\. ]{7,}[0-9]"
+REDACT_PATTERNS = (("email", EMAIL_RE), ("url", URL_RE), ("phone", PHONE_RE))
+REDACTED_TOKEN = "[REDACTED]"
+
+
+def redact_pii(batch: pa.Table) -> pa.Table:
+    """Scrub email/URL/phone spans from ``text`` (the standard pre-training
+    PII pass), fully vectorized: one RE2 count + one RE2 replace per
+    pattern per batch — no Python row loop.  Returns (doc_id, n_emails,
+    n_urls, n_phones, redacted md5) — the md5 stands in for the scrubbed
+    text so the DuckDB oracle can verify the replacement bit-for-bit
+    without hauling full documents through the compare.  Patterns apply in
+    REDACT_PATTERNS order (emails before phones, so a phone-like digit run
+    inside an email is consumed by the email rule first — mirrored in
+    SQL by nesting regexp_replace in the same order)."""
+    text = batch.column("text")
+    counts = []
+    for _, pat in REDACT_PATTERNS:
+        counts.append(pc.count_substring_regex(text, pat).cast(pa.int64()))
+        text = pc.replace_substring_regex(text, pat, REDACTED_TOKEN)
+    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in text.to_pylist()]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), counts[0], counts[1], counts[2],
+         pa.array(md5s, pa.string())],
+        names=["doc_id", "n_emails", "n_urls", "n_phones", "redacted_md5"])

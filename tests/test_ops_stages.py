@@ -3,6 +3,7 @@ textstats, multimodal) — batch-level, no Ray needed."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from chinese_open_relation_extraction_for_entgraph_ray.stages import (
     dedup,
@@ -423,3 +424,65 @@ def test_grouped_approx_distinct_error_bound(ray_session):
         # draws with replacement: the truth is the number of UNIQUE values
         truth = len({r["v"] for r in rows if r["g"] == grp})
         assert abs(got[grp] - truth) / truth < 0.05, (grp, got[grp], truth)
+
+
+def test_redact_pii_sequential_semantics():
+    """Counts are taken on the progressively-scrubbed text (email first),
+    and the scrub replaces whole spans."""
+    batch = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["write a.b+c@ex.co or see https://x.io/a?b=1",
+                 "call +1 (415) 555-0199 now",
+                 "plain text, nothing to scrub"]})
+    out = textstats.redact_pii(batch)
+    assert out.column("n_emails").to_pylist() == [1, 0, 0]
+    assert out.column("n_urls").to_pylist() == [1, 0, 0]
+    assert out.column("n_phones").to_pylist() == [0, 1, 0]
+    import hashlib
+
+    want = hashlib.md5(
+        "write [REDACTED] or see [REDACTED]".encode()).hexdigest()
+    assert out.column("redacted_md5").to_pylist()[0] == want
+    # untouched text hashes to itself
+    want3 = hashlib.md5("plain text, nothing to scrub".encode()).hexdigest()
+    assert out.column("redacted_md5").to_pylist()[2] == want3
+
+
+def test_decontaminate_removes_planted_overlap(ray_session):
+    """Docs sharing >= min_overlap 3-shingles with the eval set are
+    dropped; clean docs survive; the report counts distinct overlaps."""
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.decontaminate import (
+        contamination_counts,
+        decontaminate,
+        eval_shingle_set,
+    )
+
+    eval_docs = rd.from_items([
+        {"doc_id": 900, "text": "the secret benchmark question about owls"}])
+    train = rd.from_items([
+        {"doc_id": 1, "text": "totally unrelated training document here"},
+        {"doc_id": 2, "text": "it mentions the secret benchmark question "
+                              "about owls verbatim"},
+        {"doc_id": 3, "text": "short"},
+    ]).repartition(2)
+    ref = eval_shingle_set(eval_docs)
+    clean = decontaminate(train, eval_docs).take_all()
+    assert sorted(r["doc_id"] for r in clean) == [1, 3]
+    report = {r["doc_id"]: r["n_overlap"]
+              for r in contamination_counts(train, ref).take_all()}
+    # "the secret benchmark question about owls" = 7 tokens -> 5 shingles,
+    # 4 of which appear verbatim inside doc 2's longer sentence... compute:
+    assert list(report) == [2] and report[2] >= 4
+
+
+def test_eval_shingle_set_bounds(ray_session, monkeypatch):
+    import ray.data as rd
+
+    import chinese_open_relation_extraction_for_entgraph_ray.stages.decontaminate as dec
+
+    monkeypatch.setattr(dec, "MAX_EVAL_SHINGLES", 2)
+    big = rd.from_items([{"doc_id": 1, "text": "a b c d e f g h i j"}])
+    with pytest.raises(ValueError, match="not a broadcastable eval set"):
+        dec.eval_shingle_set(big)
