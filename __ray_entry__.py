@@ -1691,14 +1691,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "docs_quality": rf"""
             SELECT doc_id,
-                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   len(t) AS n_tokens,
                    round(len(regexp_extract_all(text, '{stop_re}')) * 1.0 /
-                         greatest(len(regexp_extract_all(text, '\S+')), 1), 4)
-                       AS stop_ratio,
+                         greatest(len(t), 1), 4) AS stop_ratio,
                    round(length(text) * 1.0 /
-                         greatest(len(regexp_extract_all(text, '\S+')), 1), 4)
-                       AS avg_token_len
-            FROM documents""",
+                         greatest(len(t), 1), 4) AS avg_token_len,
+                   len(list_distinct(t)) AS n_distinct_tokens,
+                   round(1.0 - len(list_distinct(t)) * 1.0 /
+                         greatest(len(t), 1), 4) AS dup_token_ratio
+            FROM (SELECT doc_id, text,
+                         regexp_extract_all(text, '\S+') AS t
+                  FROM documents)""",
         "docs_lang_detect": f"""
             SELECT doc_id,
                    CASE WHEN c_zh > 0 THEN 'zh'

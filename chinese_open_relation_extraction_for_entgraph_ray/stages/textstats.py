@@ -50,8 +50,13 @@ def token_stats(batch: pa.Table) -> pa.Table:
 
 
 def quality_scores(batch: pa.Table) -> pa.Table:
-    """Length / stop-word-ratio quality features, rounded for FP-stable
-    comparison against the SQL oracle."""
+    """Length / stop-word-ratio / token-repetition quality features (the
+    Gopher-style repetition signal: a boilerplate page repeats its
+    vocabulary), rounded for FP-stable comparison against the SQL oracle.
+    Distinct-token counting runs through polars' vectorized list kernels —
+    still no per-row Python."""
+    import polars as pl
+
     text = batch.column("text")
     n_tok = pc.count_substring_regex(text, TOKEN_RE).cast(pa.float64())
     n_stop = pc.count_substring_regex(text, STOPWORD_RE).cast(pa.float64())
@@ -59,10 +64,21 @@ def quality_scores(batch: pa.Table) -> pa.Table:
     denom = pc.max_element_wise(n_tok, pa.scalar(1.0))
     stop_ratio = pc_round_away(pc.divide(n_stop, denom), 4)
     avg_tok_len = pc_round_away(pc.divide(n_chars, denom), 4)
+    if batch.num_rows:
+        ser = pl.from_arrow(pc.fill_null(text, "").combine_chunks())
+        n_distinct = pa.array(
+            ser.str.extract_all(TOKEN_RE).list.n_unique()
+            .to_numpy().astype("int64"))
+    else:
+        n_distinct = pa.array([], pa.int64())
+    dup_ratio = pc_round_away(
+        pc.subtract(pa.scalar(1.0),
+                    pc.divide(n_distinct.cast(pa.float64()), denom)), 4)
     return pa.Table.from_arrays(
         [batch.column("doc_id"), n_tok.cast(pa.int64()),
-         stop_ratio, avg_tok_len],
-        names=["doc_id", "n_tokens", "stop_ratio", "avg_token_len"])
+         stop_ratio, avg_tok_len, n_distinct, dup_ratio],
+        names=["doc_id", "n_tokens", "stop_ratio", "avg_token_len",
+               "n_distinct_tokens", "dup_token_ratio"])
 
 
 def lang_codes(batch: pa.Table) -> "np.ndarray":

@@ -486,3 +486,15 @@ def test_eval_shingle_set_bounds(ray_session, monkeypatch):
     big = rd.from_items([{"doc_id": 1, "text": "a b c d e f g h i j"}])
     with pytest.raises(ValueError, match="not a broadcastable eval set"):
         dec.eval_shingle_set(big)
+
+
+def test_quality_scores_repetition_signal():
+    """dup_token_ratio separates boilerplate (repeated vocab) from varied
+    text; distinct counts are exact."""
+    batch = pa.table({
+        "doc_id": [1, 2],
+        "text": ["spam spam spam spam spam", "five distinct words here ok"]})
+    out = textstats.quality_scores(batch)
+    assert out.column("n_distinct_tokens").to_pylist() == [1, 5]
+    ratios = out.column("dup_token_ratio").to_pylist()
+    assert ratios[0] == 0.8 and ratios[1] == 0.0
