@@ -19,9 +19,29 @@ _rng = np.random.RandomState(0xBEEF)
 
 
 def _embedding_matrix(batch: pa.Table) -> np.ndarray:
-    col = batch.column("embedding")
-    arr = np.asarray(col.to_pylist(), dtype=np.float64)
-    return arr
+    """(n, dim) float64 matrix from the embedding column — via the Arrow
+    buffer (flatten() respects offsets/slices), not to_pylist(): the
+    Python-object round-trip was the dominant per-batch cost of every
+    similarity kernel at scale."""
+    col = batch.column("embedding").combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    if col.null_count == 0:
+        if pa.types.is_fixed_size_list(col.type):
+            flat = col.flatten()
+            if flat.null_count == 0:
+                return np.asarray(flat, dtype=np.float64).reshape(
+                    n, col.type.list_size)
+        elif pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            lens = np.diff(np.asarray(col.offsets))
+            flat = col.flatten()
+            if len(lens) and (lens == lens[0]).all() and lens[0] > 0 \
+                    and flat.null_count == 0:
+                return np.asarray(flat, dtype=np.float64).reshape(
+                    n, int(lens[0]))
+    # ragged/null rows — correctness fallback (never hit by valid input)
+    return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
 def normalize(v: np.ndarray) -> np.ndarray:
