@@ -316,16 +316,19 @@ def minhash_candidate_pairs(docs_ds):
     all_pairs = inner.map_batches(_sel_pairs, batch_format="pyarrow") \
                      .union(edge_pairs)
 
-    # final pair dedupe via the sorted-block hash aggregate — Ray's builtin
-    # groupby().aggregate() pays ~ms per group in the reduce, which at 1e5+
-    # distinct pairs dominated the whole pair-generation stage
-    from .groupagg import sorted_hash_aggregate
+    # final pair dedupe: a pair is emitted once per agreeing band (up to
+    # BANDS x), so the per-block pre-combine of auto_hash_aggregate
+    # collapses the duplication BEFORE any exchange, and the observed-
+    # cardinality dispatch skips the sort entirely when the surviving
+    # pair count is small (Ray's builtin groupby reduce — ~ms/group —
+    # remains out of the picture either way)
+    from .groupagg import auto_hash_aggregate
 
     def add_one(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "n_bands", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
 
-    return sorted_hash_aggregate(
+    return auto_hash_aggregate(
         all_pairs.map_batches(add_one, batch_format="pyarrow"),
         ["a", "b"], [("n_bands", "sum")])
 
@@ -424,10 +427,12 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
                                batch_format="pandas", batch_size=None)
                   .map_batches(lambda b: b.select(["a", "b", "hamming"]),
                                batch_format="pyarrow"))
-    from .groupagg import sorted_hash_aggregate
+    from .groupagg import auto_hash_aggregate
 
-    return sorted_hash_aggregate(inner.union(edge_pairs), ["a", "b"],
-                                 [("hamming", "min")])
+    # same shape as the MinHash pair dedupe: up to 4x banded duplication
+    # collapsed by the pre-combine, sort skipped at small pair counts
+    return auto_hash_aggregate(inner.union(edge_pairs), ["a", "b"],
+                               [("hamming", "min")])
 
 
 def jaccard_near_dups(docs_ds, threshold: float = 0.5, k: int = 3,
@@ -668,14 +673,17 @@ def similar_pairs_exact(docs_ds, threshold: float = 0.5, k: int = 3,
              .map_batches(edge_pairs_whole, batch_format="pyarrow",
                           batch_size=None))
 
-    from .groupagg import sorted_hash_aggregate
+    from .groupagg import auto_hash_aggregate
     from .joins import lookup_join
 
     def add_one(b: pa.Table) -> pa.Table:
         return b.append_column(
             "n_shared", pa.array(np.ones(b.num_rows, dtype=np.int64)))
 
-    inter = sorted_hash_aggregate(
+    # the pair stream carries one row per SHARED SHINGLE (multiplicity is
+    # the intersection count) — the per-block pre-combine turns that into
+    # one (pair, partial-count) row per block before any exchange
+    inter = auto_hash_aggregate(
         inner.union(edges).map_batches(add_one, batch_format="pyarrow"),
         ["a", "b"], [("n_shared", "sum")])
     with_a = lookup_join(inter, sizes, left_key="a", right_key="doc_id",
