@@ -364,3 +364,36 @@ def test_curate_documents_exact_pairs_mode_matches_lsh(ray_session):
     assert lsh == exact and len(exact) > 0
     with pytest.raises(ValueError, match="pairs_mode"):
         curate_documents(docs, pairs_mode="bogus")
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_similar_pairs_exact_random_corpora(ray_session, seed):
+    """Exactness holds on randomized corpora (shared token pools force
+    nontrivial shingle overlap), not just the crafted fixture."""
+    import numpy as np
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        similar_pairs_exact,
+        word_shingles,
+    )
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{v}" for v in range(30)]
+    docs = []
+    for i in range(50):
+        n = int(rng.randint(1, 15))
+        docs.append({"doc_id": i,
+                     "text": " ".join(rng.choice(vocab, size=n))})
+    got = {(r["a"], r["b"]) for r in similar_pairs_exact(
+        rd.from_items(docs).repartition(4), threshold=0.4).take_all()}
+    want = set()
+    for i in range(len(docs)):
+        sa = word_shingles(docs[i]["text"])
+        for j in range(i + 1, len(docs)):
+            sb = word_shingles(docs[j]["text"])
+            if sa & sb:
+                J = len(sa & sb) / (len(sa) + len(sb) - len(sa & sb))
+                if J >= 0.4:
+                    want.add((i, j))
+    assert got == want
