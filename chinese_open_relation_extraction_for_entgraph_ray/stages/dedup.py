@@ -237,8 +237,8 @@ def _block_pairs_and_edges(batch: pa.Table) -> pa.Table:
     Python touches ONLY multi-member buckets (a per-group pandas iteration
     here measured ~50 µs x millions of singleton buckets — the dominant
     cost of the whole pair-generation stage before this rewrite)."""
-    out_a: list[int] = []
-    out_b: list[int] = []
+    out_a: list = []      # per-bucket numpy id arrays
+    out_b: list = []
     n_edges = 0
     edge_tbl = None
     if batch.num_rows:
@@ -264,19 +264,23 @@ def _block_pairs_and_edges(batch: pa.Table) -> pa.Table:
             members = doc[starts[g]:starts[g] + counts[g]]
             if len(members) > MAX_BUCKET:
                 truncated.append(len(members))
-            ids = np.sort(members)[:MAX_BUCKET].tolist()
-            for a, b in itertools.combinations(ids, 2):
-                out_a.append(a)
-                out_b.append(b)
+            ids = np.sort(members)[:MAX_BUCKET]
+            iu, ju = np.triu_indices(len(ids), 1)   # vectorized pair emit
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
         _log_bucket_caps(truncated)
-    n_pairs = len(out_a)
+    pa_a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+    pa_b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+    n_pairs = len(pa_a)
     edge_band = edge_tbl.column("band").to_pylist() if n_edges else []
     edge_hash = edge_tbl.column("band_hash").to_pylist() if n_edges else []
     edge_doc = edge_tbl.column("doc_id").to_pylist() if n_edges else []
     return pa.Table.from_arrays(
         [pa.array([1] * n_pairs + [0] * n_edges, pa.int8()),
-         pa.array(out_a + [0] * n_edges, pa.int64()),
-         pa.array(out_b + [0] * n_edges, pa.int64()),
+         pa.array(np.concatenate([pa_a, np.zeros(n_edges, np.int64)]),
+                  pa.int64()),
+         pa.array(np.concatenate([pa_b, np.zeros(n_edges, np.int64)]),
+                  pa.int64()),
          pa.array([0] * n_pairs + edge_band, pa.int32()),
          pa.array([0] * n_pairs + edge_hash, pa.int64()),
          pa.array([0] * n_pairs + edge_doc, pa.int64())],
@@ -593,8 +597,8 @@ def similar_pairs_exact(docs_ds, threshold: float = 0.5, k: int = 3,
     def block_pairs(batch: pa.Table) -> pa.Table:
         """RLE scan over the shingle-sorted stream: every fully-contained
         bucket emits its pairs; boundary buckets pass through (kind=0)."""
-        out_a: list[int] = []
-        out_b: list[int] = []
+        out_a: list = []      # per-bucket numpy id arrays
+        out_b: list = []
         edge_tbl = None
         n_edges = 0
         if batch.num_rows:
@@ -620,22 +624,26 @@ def similar_pairs_exact(docs_ds, threshold: float = 0.5, k: int = 3,
                 members = np.sort(doc[starts[g]:starts[g] + counts[g]])
                 if len(members) > 4096:
                     big.append(int(len(members)))
-                for ai, bi in itertools.combinations(members.tolist(), 2):
-                    out_a.append(ai)
-                    out_b.append(bi)
+                iu, ju = np.triu_indices(len(members), 1)
+                out_a.append(members[iu])
+                out_b.append(members[ju])
             if big:
                 logger.warning(
                     "similar_pairs_exact: %d shingle bucket(s) over 4096 "
                     "docs (sizes %s) — quadratic pair emission; consider "
                     "max_df", len(big), sorted(big, reverse=True)[:5])
-        np_ = len(out_a)
+        cat_a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        cat_b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        np_ = len(cat_a)
         e1 = edge_tbl.column("h1").to_pylist() if n_edges else []
         e2 = edge_tbl.column("h2").to_pylist() if n_edges else []
         ed = edge_tbl.column("doc_id").to_pylist() if n_edges else []
         return pa.Table.from_arrays(
             [pa.array([1] * np_ + [0] * n_edges, pa.int8()),
-             pa.array(out_a + [0] * n_edges, pa.int64()),
-             pa.array(out_b + [0] * n_edges, pa.int64()),
+             pa.array(np.concatenate([cat_a, np.zeros(n_edges, np.int64)]),
+                      pa.int64()),
+             pa.array(np.concatenate([cat_b, np.zeros(n_edges, np.int64)]),
+                      pa.int64()),
              pa.array([0] * np_ + e1, pa.int64()),
              pa.array([0] * np_ + e2, pa.int64()),
              pa.array([0] * np_ + ed, pa.int64())],
