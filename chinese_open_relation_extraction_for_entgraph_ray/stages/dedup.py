@@ -199,6 +199,19 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hamming64_matrix(sigs: np.ndarray) -> np.ndarray:
+    """(m, m) pairwise Hamming distances over int64/uint64 signatures —
+    byte-table popcount (numpy<2 has no bitwise_count), no Python per
+    pair."""
+    m = len(sigs)
+    x = np.ascontiguousarray(sigs[:, None] ^ sigs[None, :])
+    return _POP8[x.view(np.uint8)].reshape(m, m, 8).sum(
+        axis=2, dtype=np.int32)
+
+
 # --- driver-facing composite ops (Dataset -> Dataset) ------------------------
 
 def exact_dedup(docs_ds):
@@ -361,9 +374,9 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
         """RLE over the sorted bucket stream; Python touches only
         multi-member buckets (same no-Python-on-singletons shape as the
         MinHash pair generator)."""
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_h: list[int] = []
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
         edges = None
         if len(df):
             band = df["band"].to_numpy()
@@ -386,27 +399,35 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
                 if skip_edges and (g == 0 or g == last_gid):
                     continue
                 sl = slice(starts[g], starts[g] + counts[g])
-                members = sorted(zip(doc[sl].tolist(), sig[sl].tolist()))
-                if len(members) > MAX_BUCKET:
-                    truncated.append(len(members))
-                members = members[:MAX_BUCKET]
-                for (a, sa), (b, sb) in itertools.combinations(members, 2):
-                    h = hamming64(int(sa), int(sb))
-                    if h <= max_hamming:
-                        out_a.append(a)
-                        out_b.append(b)
-                        out_h.append(h)
+                order = np.argsort(doc[sl], kind="stable")
+                if len(order) > MAX_BUCKET:
+                    truncated.append(len(order))
+                    order = order[:MAX_BUCKET]
+                d = doc[sl][order]
+                h_mat = hamming64_matrix(sig[sl][order])   # vectorized
+                iu, ju = np.triu_indices(len(d), 1)
+                keep = h_mat[iu, ju] <= max_hamming
+                out_a.append(d[iu[keep]])
+                out_b.append(d[ju[keep]])
+                out_h.append(h_mat[iu, ju][keep])
             _log_bucket_caps(truncated)
-        n_pairs = len(out_a)
+        cat_a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        cat_b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        cat_h = np.concatenate(out_h) if out_h else np.array([], np.int32)
+        n_pairs = len(cat_a)
         if edges is None:
             edges = pd.DataFrame({c: [] for c in ["band", "band_hash",
                                                   "doc_id", "sig"]})
         n_edges = len(edges)
         return pa.Table.from_arrays(
             [pa.array([1] * n_pairs + [0] * n_edges, pa.int8()),
-             pa.array(out_a + [0] * n_edges, pa.int64()),
-             pa.array(out_b + [0] * n_edges, pa.int64()),
-             pa.array(out_h + [0] * n_edges, pa.int32()),
+             pa.array(np.concatenate([cat_a, np.zeros(n_edges, np.int64)]),
+                      pa.int64()),
+             pa.array(np.concatenate([cat_b, np.zeros(n_edges, np.int64)]),
+                      pa.int64()),
+             pa.array(np.concatenate([cat_h.astype(np.int32),
+                                      np.zeros(n_edges, np.int32)]),
+                      pa.int32()),
              pa.array([0] * n_pairs + list(edges["band"]), pa.int32()),
              pa.array([0] * n_pairs + list(edges["band_hash"]), pa.int32()),
              pa.array([0] * n_pairs + list(edges["doc_id"]), pa.int64()),

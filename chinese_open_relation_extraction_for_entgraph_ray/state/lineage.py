@@ -69,7 +69,11 @@ def _emit_name(metrics_dir: str) -> str:
     if prev_attempt != attempt:    # new attempt of a known task id
         seq = 0
     _EMIT_SEQ[task_id] = (attempt, seq + 1)
-    return os.path.join(metrics_dir, f"part-{task_id}-{seq:04d}.json")
+    # attempt number IN the name: a retry that emits fewer files than the
+    # failed attempt must not leave the old attempt's higher-seq files
+    # double-counting — the reader keeps only the max attempt per task id
+    return os.path.join(metrics_dir,
+                        f"part-{task_id}-a{attempt:03d}-{seq:04d}.json")
 
 
 def emit_partition_metrics(metrics_dir: str, record: dict) -> None:
@@ -88,16 +92,48 @@ def emit_partition_metrics(metrics_dir: str, record: dict) -> None:
     os.replace(tmp, path)
 
 
-def merge_metric_records(metrics_dir: str) -> dict:
-    """Key-wise additive merge of all partition records — the reference's
-    stats merge (merge_dict, /root/reference/merge_parsed_results.py:8-14,
-    dudepparse.py:204-211)."""
-    merged: dict = {}
-    if not os.path.isdir(metrics_dir):
-        return merged
+_ATTEMPT_NAME_RE = None
+
+
+def _surviving_metric_files(metrics_dir: str) -> list[str]:
+    """Metric files to merge: for task-attempt-named files
+    (``part-<task_id>-a<attempt>-<seq>.json``) keep only the MAX attempt
+    per task id — a retry that emitted fewer files than the failed attempt
+    must not leave the old attempt's higher-seq files double-counting.
+    Files without the pattern (uuid fallback / legacy) pass through."""
+    import re
+
+    global _ATTEMPT_NAME_RE
+    if _ATTEMPT_NAME_RE is None:
+        _ATTEMPT_NAME_RE = re.compile(
+            r"^part-(?P<tid>.+)-a(?P<att>\d+)-\d+\.json$")
+    by_task: dict[str, int] = {}
+    parsed = []
     for f in sorted(os.listdir(metrics_dir)):
         if not f.endswith(".json"):
             continue
+        m = _ATTEMPT_NAME_RE.match(f)
+        if m:
+            att = int(m.group("att"))
+            tid = m.group("tid")
+            by_task[tid] = max(by_task.get(tid, -1), att)
+            parsed.append((f, tid, att))
+        else:
+            parsed.append((f, None, 0))
+    return [f for f, tid, att in parsed
+            if tid is None or att == by_task[tid]]
+
+
+def merge_metric_records(metrics_dir: str) -> dict:
+    """Key-wise additive merge of all partition records — the reference's
+    stats merge (merge_dict, /root/reference/merge_parsed_results.py:8-14,
+    dudepparse.py:204-211).  Only the latest attempt's files per task id
+    participate (see :func:`_surviving_metric_files`)."""
+    merged: dict = {}
+    if not os.path.isdir(metrics_dir):
+        return merged
+    files = _surviving_metric_files(metrics_dir)
+    for f in files:
         try:
             with open(os.path.join(metrics_dir, f)) as fp:
                 rec = json.load(fp)
@@ -106,8 +142,7 @@ def merge_metric_records(metrics_dir: str) -> dict:
         for k, v in rec.items():
             if isinstance(v, (int, float)):
                 merged[k] = merged.get(k, 0) + v
-    merged["n_partitions"] = sum(
-        1 for f in os.listdir(metrics_dir) if f.endswith(".json"))
+    merged["n_partitions"] = len(files)
     return merged
 
 

@@ -210,10 +210,29 @@ def test_emit_seq_survives_eviction_and_resets_on_retry(monkeypatch,
     first = lin._emit_name(d)
     second = lin._emit_name(d)
     assert first.endswith("-0000.json") and second.endswith("-0001.json")
-    # a retry (same id, new attempt) restarts the sequence
+    # a retry (same id, new attempt) restarts the sequence under an
+    # attempt-tagged name; the reader then keeps ONLY the latest attempt
+    # per task id, so a retry emitting fewer files than the failed attempt
+    # cannot leave stale higher-seq files double-counting (ADVICE r3 #1)
     _FakeRay.ctx = _Ctx("tid-current", 1)
     retry = lin._emit_name(d)
-    assert retry == first
+    assert retry.endswith("-a001-0000.json")
+    assert first.endswith("-a000-0000.json")
+    import json
+    import os
+
+    # attempt 0 of tid-current emitted TWO files, the retry only ONE —
+    # merge must see the single retry file plus the 4097 other tasks'
+    for path, v in [(first, 1), (second, 10), (retry, 100)]:
+        with open(path, "w") as fp:
+            json.dump({"n": v}, fp)
+    survivors = lin._surviving_metric_files(d)
+    names = {os.path.basename(p) for p in survivors}
+    assert os.path.basename(retry) in names
+    assert os.path.basename(first) not in names
+    assert os.path.basename(second) not in names
+    merged = lin.merge_metric_records(d)
+    assert merged["n"] == 100
 
 
 # --- property tests (pure parts — no Ray per example) ------------------------

@@ -26,7 +26,11 @@ def _reference_pagerank(edges, damping=0.85, iters=50):
     [("a", "b"), ("c", "b"), ("d", "b"), ("b", "e"), ("e", "f"),
      ("f", "a"), ("g", "b"), ("b", "h")],
 ])
-def test_pagerank_matches_power_iteration(ray_session, edges):
+# broadcast_max_nodes=0 forces the join path; default takes the
+# small-graph broadcast fast path — both must match the reference exactly
+@pytest.mark.parametrize("broadcast_max_nodes", [0, 200_000])
+def test_pagerank_matches_power_iteration(ray_session, edges,
+                                          broadcast_max_nodes):
     import ray.data as rd
 
     from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
@@ -39,7 +43,9 @@ def test_pagerank_matches_power_iteration(ray_session, edges):
     # float precision (full convergence would need ~40 rounds x ~10 s of
     # fixed per-round Ray op latency in this sandbox — not a test's job)
     got = {r["node"]: r["rank"]
-           for r in pagerank(ds, iters=3, tol=None).take_all()}
+           for r in pagerank(ds, iters=3, tol=None,
+                             broadcast_max_nodes=broadcast_max_nodes)
+           .take_all()}
     want = _reference_pagerank(edges, iters=3)
     assert set(got) == set(want)
     for k in want:
