@@ -353,7 +353,10 @@ def minhash_candidate_pairs(docs_ds):
 def simhash_near_dups(docs_ds, max_hamming: int = 3):
     """SimHash near-dup pairs: 64-bit signatures, 4x16-bit banded LSH (a
     pair within hamming distance 3 must agree exactly on >=1 of the 4
-    bands), verified by exact Hamming distance — the same sort-based
+    bands — complete by pigeonhole EXCEPT where a band bucket exceeds
+    MAX_BUCKET and is deterministically capped to its first MAX_BUCKET
+    doc_ids, the logged scale guard; the SQL oracle mirrors the cap
+    exactly), verified by exact Hamming distance — the same sort-based
     block pair generation as the MinHash path (one exchange, boundary
     buckets through a tiny second pass), with signatures riding along so
     verification needs no extra join.  Returns (a, b, hamming) rows."""

@@ -18,3 +18,8 @@ def ray_session():
         pass
     yield ray
     ray.shutdown()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running gate-budget sweeps")

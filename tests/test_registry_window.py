@@ -1,0 +1,108 @@
+"""Registry-window gates (ADVICE r3 #3 + VERDICT r3 next-round #8).
+
+The driver's correctness gate only evaluates the FIRST 50 ``queries()``
+entries, so queries past that window never get a driver row.  This module
+is their in-repo replacement:
+
+- every past-window query runs at sf0.001 with its row count and column
+  set pinned (a regression there is loud even though the driver never
+  sees those queries), and
+- the whole past-window sweep plus an in-window oracled-query sweep run
+  under a wall-time budget, so query-cost creep is caught in CI before it
+  can push the driver's 50-query window into a timeout (the r3 failure
+  mode: CORRECTNESS_r03.json came back empty).
+
+Budgets are ~5x the measured wall (past-window 20 s, in-window 75 s at
+4 CPUs) — loose enough for VM noise, tight enough to catch the 210 s
+PageRank-style blowups this exists for.
+"""
+
+import time
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+WINDOW = 50
+
+# (rows, sorted columns) at sf0.001 — all past-window outputs are
+# deterministic by construction (seeded samples, fixed-round iterations).
+PAST_WINDOW_PINS = {
+    "kg_rejected_turns": (159, ["conv_id", "turn_idx"]),
+    "kg_pagerank": (109, ["node", "rank"]),
+    "kg_sentences": (1287, ["conv_id", "sent_idx", "text", "turn_idx"]),
+    "kg_entities": (58, ["entity_id", "mention_count"]),
+    "kg_rel_kind_counts": (5, ["n_triples", "rel_kind"]),
+    "kg_sample": (40, ["obj", "obj_ent", "pred", "sample_conv_id",
+                       "sample_turn_idx", "subj", "subj_ent", "weight"]),
+    "kg_mentions": (3533, ["conv_id", "entity_id", "label", "link_score",
+                           "sent_idx", "span_end", "span_start", "surface",
+                           "turn_idx"]),
+    "kg_coref_chain_buckets": (4, ["n_chains", "n_conversations"]),
+    "kg_filter_histograms": (13, ["bucket", "n", "token"]),
+    "events_approx_distinct_users": (1, ["approx_distinct_users"]),
+    "events_quantiles_approx": (6, ["event_type", "q0.5", "q0.95"]),
+    "events_type_distinct_users_approx": (5, ["approx_distinct",
+                                              "event_type"]),
+    "similarity_topk_ivf": (10, ["cosine_sim", "vec_id"]),
+    "docs_embed_similar": (5, ["cosine_sim", "vec_id"]),
+    "multimodal_frame_plan": (1465, ["doc_id", "frame_idx"]),
+    "multimodal_audio_features": (500, ["doc_id", "duration_sec",
+                                        "n_frames", "peak", "rms_energy"]),
+}
+
+
+def _to_pandas(result):
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data import Dataset
+
+    if isinstance(result, Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    assert isinstance(result, pd.DataFrame)
+    return result
+
+
+def test_past_window_queries_pinned(ray_session):
+    import __ray_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    past = list(q)[WINDOW:]
+    assert sorted(past) == sorted(PAST_WINDOW_PINS), (
+        "past-window set drifted — update PAST_WINDOW_PINS and the "
+        "queries() ordering docstring together")
+    t0 = time.time()
+    for name in past:
+        df = _to_pandas(q[name](SF_DIR))
+        rows, cols = PAST_WINDOW_PINS[name]
+        assert sorted(df.columns) == cols, name
+        assert len(df) == rows, f"{name}: {len(df)} rows != pinned {rows}"
+    assert time.time() - t0 < 120, "past-window sweep wall-time blowup"
+
+
+@pytest.mark.slow
+def test_in_window_gate_wall_budget(ray_session):
+    """Every driver-window query must run at sf0.001 well under the
+    driver's per-gate patience; catches fixed-cost creep (extra Dataset
+    executions per query) before the real gate pays for it at sf0.01."""
+    import __ray_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    in_window = list(q)[:WINDOW]
+    assert [k for k in in_window if k not in oracles] == [
+        "kg_triples", "kg_edges", "kg_coref_delta", "kg_mentions_corefed",
+        "embedding_near_dups", "multimodal_features"]
+    t0 = time.time()
+    slowest: list[tuple[float, str]] = []
+    for name in in_window:
+        t = time.time()
+        df = _to_pandas(q[name](SF_DIR))
+        assert df is not None, name
+        slowest.append((time.time() - t, name))
+    wall = time.time() - t0
+    slowest.sort(reverse=True)
+    assert wall < 400, (
+        f"in-window sweep took {wall:.0f}s at sf0.001 — gate-timeout "
+        f"risk at sf0.01; slowest: {slowest[:5]}")
