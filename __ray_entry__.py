@@ -1978,8 +1978,9 @@ def oracle_sql() -> dict[str, str]:
                    round(length(text) * 1.0 /
                          greatest(len(t), 1), 4) AS avg_token_len,
                    len(list_distinct(t)) AS n_distinct_tokens,
-                   round(1.0 - len(list_distinct(t)) * 1.0 /
-                         greatest(len(t), 1), 4) AS dup_token_ratio
+                   CASE WHEN len(t) = 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(t)) * 1.0 /
+                                   len(t), 4) END AS dup_token_ratio
             FROM (SELECT doc_id, text,
                          regexp_extract_all(text, '\S+') AS t
                   FROM documents)""",

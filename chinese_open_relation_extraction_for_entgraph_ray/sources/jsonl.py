@@ -41,13 +41,16 @@ def presplit_sentences_with_spaces(text: str) -> list[str]:
     """Deterministic analog of the reference's CoreNLP ssplit branch with
     whitespace-preserving reconstruction (preprocess_corpus.py:198-211: the
     token rejoin re-inserts ``beginChar - endChar`` original spaces): cut
-    sentence spans at terminator runs and reproduce each span VERBATIM from
-    the source, so concatenating the spans restores the input exactly —
-    the same invariant as the reference's ``num_spaces`` loop.  Spans that
-    are all whitespace are dropped (they carry no sentence)."""
+    sentence spans at terminator runs, check the raw spans reconstruct the
+    input exactly (the same invariant the reference's ``num_spaces`` loop
+    maintains), then strip the spans' OUTER whitespace — the reference
+    only re-inserts spaces BETWEEN tokens inside a sentence (tok_id > 0),
+    so inter-sentence whitespace never appears in its sentence strings;
+    intra-sentence whitespace is preserved verbatim.  Spans that are all
+    whitespace are dropped (they carry no sentence)."""
     spans = _SENT_SPAN_RE.findall(text)
     assert "".join(spans) == text, "sentence spans must reconstruct the text"
-    return [s for s in spans if s.strip()]
+    return [s.strip() for s in spans if s.strip()]
 
 TRANSCRIPTS_SCHEMA = pa.schema([
     ("conv_id", pa.string()),

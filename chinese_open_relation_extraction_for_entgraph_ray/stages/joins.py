@@ -43,12 +43,16 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
     each other under pandas' NaN==NaN merge semantics): null right keys
     are dropped at tagging; null left keys are dropped for inner/semi and
     re-unioned from a second scan of the left side for left/anti — that
-    second scan is the cost of exact null semantics in those two modes
-    (cheap when the left side is materialized; when the caller KNOWS the
-    key cannot be null — e.g. a computed hash — pass
-    ``left_key_nullable=False`` to skip the scan entirely, important when
-    the left side is an unmaterialized derived pipeline that the second
-    scan would re-execute)."""
+    second scan is the cost of exact null semantics in those two modes.
+    Because the two scans must see the SAME rows, the left side is
+    materialized internally before the double consumption (a
+    nondeterministic unmaterialized left pipeline would otherwise yield a
+    null-row set that disagrees with the main scan, duplicating or losing
+    rows); when the caller KNOWS the key cannot be null — e.g. a computed
+    hash — pass ``left_key_nullable=False`` to skip both the
+    materialization and the scan.  That guarantee is CHECKED: an observed
+    null key under ``left_key_nullable=False`` raises instead of silently
+    dropping the row."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -84,6 +88,13 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
         # null left keys never match: they must not enter the sort (Ray's
         # string-sort partitioner raises on nulls) nor the pandas merge
         # (NaN == NaN there).  They are re-unioned below for left/anti.
+        n_null = batch.column(left_key).null_count
+        if n_null and not left_key_nullable:
+            raise ValueError(
+                f"left_key_nullable=False but {n_null} null "
+                f"{left_key!r} value(s) observed — the non-null guarantee "
+                f"is violated; dropping them silently would lose rows "
+                f"in mode {mode!r}")
         batch = batch.filter(pc.is_valid(batch.column(left_key)))
         cols = {c: batch.column(c) for c in left_cols}
         cols[_JK] = batch.column(left_key).cast(key_type)
@@ -145,6 +156,11 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
         return batch.filter(pc.or_(pc.equal(jk, jk[0]),
                                    pc.equal(jk, jk[n - 1])))
 
+    if mode in ("left", "anti") and left_key_nullable:
+        # these modes consume left_ds TWICE (main scan + null-key scan);
+        # pin the rows once so both scans agree even if the left pipeline
+        # is nondeterministic (see docstring)
+        left_ds = left_ds.materialize()
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow"))
     sorted_ds = tagged.sort([_JK, _JSIDE]).materialize()

@@ -71,9 +71,14 @@ def quality_scores(batch: pa.Table) -> pa.Table:
             .to_numpy().astype("int64"))
     else:
         n_distinct = pa.array([], pa.int64())
-    dup_ratio = pc_round_away(
-        pc.subtract(pa.scalar(1.0),
-                    pc.divide(n_distinct.cast(pa.float64()), denom)), 4)
+    # convention: an empty/whitespace-only doc is NOT "maximally
+    # repetitive" — dup_token_ratio is 0.0 when n_tokens == 0 (mirrored in
+    # the docs_quality SQL oracle), so the signal is safe to gate on
+    dup_ratio = pc.if_else(
+        pc.equal(n_tok, pa.scalar(0.0)), pa.scalar(0.0),
+        pc_round_away(
+            pc.subtract(pa.scalar(1.0),
+                        pc.divide(n_distinct.cast(pa.float64()), denom)), 4))
     return pa.Table.from_arrays(
         [batch.column("doc_id"), n_tok.cast(pa.int64()),
          stop_ratio, avg_tok_len, n_distinct, dup_ratio],

@@ -336,3 +336,31 @@ def test_join_null_keys_random_matches_pandas(ray_session, seed):
     assert sorted(r["x"] for r in semi) == sorted(lf.loc[matched, "x"])
     assert sorted(r["x"] for r in anti) == sorted(lf.loc[~matched, "x"])
     assert len(semi) + len(anti) == len(lf)
+
+
+def test_join_nonnull_guarantee_violation_raises(ray_session):
+    """r4 (ADVICE r3 #2): left_key_nullable=False promises a non-null left
+    key; a null showing up anyway must fail loudly instead of silently
+    dropping rows the anti mode would have kept."""
+    import ray.data as rd
+
+    with pytest.raises(Exception, match="left_key_nullable"):
+        # the join materializes its sorted stream eagerly, so the guard
+        # fires during the call itself
+        semi_join(rd.from_items(_null_key_left()),
+                  rd.from_items(_null_key_right()),
+                  left_key="k", right_key="rk", anti=True,
+                  left_key_nullable=False).take_all()
+
+
+def test_join_anti_nullable_left_double_scan_consistent(ray_session):
+    """r4 (ADVICE r3 #2): left/anti consume the left side twice (main +
+    null-key scan); the internal materialize pins the rows so both scans
+    agree even when the left pipeline is regenerated per consumer."""
+    import ray.data as rd
+
+    left = rd.from_items(_null_key_left() * 40).repartition(7)
+    got = semi_join(left, rd.from_items(_null_key_right()),
+                    left_key="k", right_key="rk", anti=True).take_all()
+    xs = sorted(r["x"] for r in got)
+    assert xs == sorted([0, 2, 3] * 40)

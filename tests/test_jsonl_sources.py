@@ -112,6 +112,11 @@ def test_presplit_sentences_with_spaces_reconstruction():
     # whitespace-only tails are dropped, reconstruction still asserted
     assert presplit_sentences_with_spaces("你好。  ") == ["你好。"]
     assert presplit_sentences_with_spaces("") == []
+    # r4 (ADVICE r3 #4): inter-sentence whitespace is NOT part of any
+    # sentence — the reference only re-inserts spaces BETWEEN tokens
+    # (tok_id > 0), so spans are stripped; intra-sentence spaces stay
+    assert presplit_sentences_with_spaces("你好。  再 见！") == \
+        ["你好。", "再 见！"]
 
 
 def test_jsonl_presplit_dialect_roundtrip_build_kg(ray_session, tmp_path):

@@ -492,9 +492,13 @@ def test_quality_scores_repetition_signal():
     """dup_token_ratio separates boilerplate (repeated vocab) from varied
     text; distinct counts are exact."""
     batch = pa.table({
-        "doc_id": [1, 2],
-        "text": ["spam spam spam spam spam", "five distinct words here ok"]})
+        "doc_id": [1, 2, 3, 4],
+        "text": ["spam spam spam spam spam", "five distinct words here ok",
+                 "", "   "]})
     out = textstats.quality_scores(batch)
-    assert out.column("n_distinct_tokens").to_pylist() == [1, 5]
+    assert out.column("n_distinct_tokens").to_pylist() == [1, 5, 0, 0]
     ratios = out.column("dup_token_ratio").to_pylist()
     assert ratios[0] == 0.8 and ratios[1] == 0.0
+    # r4 (ADVICE r3 #5): empty/whitespace-only docs are NOT "maximally
+    # repetitive" — the ratio is defined as 0.0 at n_tokens == 0
+    assert ratios[2] == 0.0 and ratios[3] == 0.0
