@@ -1231,6 +1231,21 @@ def _q_graph_pagerank(sf_dir: str):
     return ranks.map_batches(scale, batch_format="pyarrow")
 
 
+def _q_docs_pack_sequences(sf_dir: str):
+    """Greedy sequence packing (stages/packing.py) of the documents table
+    into 512-token training bins, per-lang — the standard LLM-pretraining
+    concat-and-pack op.  Deterministic first-fit-in-order, so the DuckDB
+    oracle reproduces it exactly with a recursive CTE walking each lang
+    partition in doc_id order."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.packing import (
+        pack_sequences,
+    )
+
+    return pack_sequences(
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "text"]),
+        capacity=512)
+
+
 def _q_kg_coref_chain_buckets(sf_dir: str):
     """Coref chain-count histogram per conversation incl. the 0 bucket
     (the reference's coref_chain_bucket, main_ner.py:332,380-381; G4
@@ -1580,6 +1595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_embed_similar": _q_docs_embed_similar,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
         "multimodal_audio_features": _q_multimodal_audio_features,
+        "docs_pack_sequences": _q_docs_pack_sequences,   # oracled (r4)
     }
 
 
@@ -1734,6 +1750,34 @@ def _minhash_pairs_sql() -> str:
           ON x.band = y.band AND x.vec = y.vec AND x.doc_id < y.doc_id
         WHERE x.rn <= {MAX_BUCKET} AND y.rn <= {MAX_BUCKET}
         GROUP BY x.doc_id, y.doc_id"""
+
+
+def _pack_sequences_sql(capacity: int = 512) -> str:
+    """Exact SQL mirror of ``stages/packing.pack_sequences``: the greedy
+    first-fit-in-order rule (new bin iff the current bin is non-empty and
+    would overflow; an oversize doc gets its own bin) unrolled as a
+    recursive CTE that walks each lang partition in doc_id order carrying
+    (bin, fill).  Verified row-identical against the Ray operator."""
+    return rf"""
+        WITH RECURSIVE seq AS (
+          SELECT doc_id, lang,
+                 len(regexp_extract_all(text, '\S+'))::BIGINT AS n,
+                 row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+          FROM documents),
+        pack AS (
+          SELECT lang, rn, doc_id, n, 0::BIGINT AS pack_bin,
+                 0::BIGINT AS bin_offset, n AS fill
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.lang, s.rn, s.doc_id, s.n,
+                 CASE WHEN p.fill > 0 AND p.fill + s.n > {capacity}
+                      THEN p.pack_bin + 1 ELSE p.pack_bin END,
+                 CASE WHEN p.fill > 0 AND p.fill + s.n > {capacity}
+                      THEN 0 ELSE p.fill END,
+                 CASE WHEN p.fill > 0 AND p.fill + s.n > {capacity}
+                      THEN s.n ELSE p.fill + s.n END
+          FROM pack p JOIN seq s ON s.lang = p.lang AND s.rn = p.rn + 1)
+        SELECT doc_id, lang, n AS n_tokens, pack_bin, bin_offset FROM pack"""
 
 
 def _simhash_pairs_sql(max_hamming: int = 3) -> str:
@@ -2160,6 +2204,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_pairs_sql(),
         "graph_pagerank": _pagerank_sql(),
         "minhash_candidate_pairs": _minhash_pairs_sql(),
+        # past-window but still oracled: hash-checked by the full local
+        # gate (scripts/check_correctness.py) even though the driver's
+        # 50-query window never reaches it
+        "docs_pack_sequences": _pack_sequences_sql(),
     }
 
 
