@@ -502,3 +502,45 @@ def test_quality_scores_repetition_signal():
     # r4 (ADVICE r3 #5): empty/whitespace-only docs are NOT "maximally
     # repetitive" — the ratio is defined as 0.0 at n_tokens == 0
     assert ratios[2] == 0.0 and ratios[3] == 0.0
+
+
+def test_lsh_params_bits_scale_with_corpus():
+    """r4 (VERDICT r3 #2): the embedding-LSH table width must grow with
+    corpus size so expected bucket membership stays ~TARGET_BUCKET_ROWS
+    instead of O(n); tables compensate for the per-table recall loss."""
+    b_small, t_small = similarity.lsh_params(1_000)
+    b_big, t_big = similarity.lsh_params(100_000_000)
+    assert b_small == similarity.BITS_PER_TABLE          # floor holds
+    assert b_big > b_small
+    assert b_big <= similarity.MAX_BITS
+    assert t_small >= similarity.N_TABLES
+    assert t_big <= similarity.MAX_TABLES
+    # expected bucket membership at the chosen width stays bounded
+    assert 100_000_000 / (1 << b_big) <= 4 * similarity.TARGET_BUCKET_ROWS
+
+
+def test_emb_block_pairs_over_cap_bucket_logged(monkeypatch, caplog):
+    """r4 (VERDICT r3 #2): a bucket beyond MAX_EMB_BUCKET is truncated to
+    its first (sorted-vec_id) members, the truncation is LOGGED, and the
+    emitted pair count is the capped quadratic, not the full one."""
+    import logging
+
+    monkeypatch.setattr(similarity, "MAX_EMB_BUCKET", 5)
+    rng = np.random.RandomState(11)
+    v = rng.standard_normal(8)
+    n = 9
+    batch = pa.Table.from_arrays(
+        [pa.array([0] * n, pa.int32()), pa.array([0] * n, pa.int32()),
+         pa.array(list(range(n)), pa.int64()),
+         pa.array([v.tolist()] * n, pa.list_(pa.float64()))],
+        names=["table", "bucket", "vec_id", "embedding"])
+    with caplog.at_level(logging.WARNING,
+                         logger=similarity.logger.name):
+        out = similarity._emb_block_pairs(batch, threshold=0.8,
+                                          skip_edges=False)
+    pairs = out.filter(pa.compute.equal(out.column("kind"), 1))
+    assert pairs.num_rows == 5 * 4 // 2         # C(cap, 2), not C(9, 2)
+    kept = set(pairs.column("a").to_pylist()) | \
+        set(pairs.column("b").to_pylist())
+    assert kept == {0, 1, 2, 3, 4}              # first cap members by id
+    assert any("MAX_EMB_BUCKET" in r.message for r in caplog.records)
