@@ -1246,6 +1246,18 @@ def _q_docs_pack_sequences(sf_dir: str):
         capacity=512)
 
 
+def _q_docs_tfidf_top_terms(sf_dir: str):
+    """Per-doc TF-IDF top-5 terms (stages/tfidf.py): in-batch tf, one df
+    aggregate, one lookup join, one grouped top-k — ranking on the ROUNDED
+    score so the DuckDB mirror is bit-reproducible."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.tfidf import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), k=5)
+
+
 def _q_kg_coref_chain_buckets(sf_dir: str):
     """Coref chain-count histogram per conversation incl. the 0 bucket
     (the reference's coref_chain_bucket, main_ner.py:332,380-381; G4
@@ -1596,6 +1608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frame_plan": _q_multimodal_frame_plan,
         "multimodal_audio_features": _q_multimodal_audio_features,
         "docs_pack_sequences": _q_docs_pack_sequences,   # oracled (r4)
+        "docs_tfidf_top_terms": _q_docs_tfidf_top_terms,  # oracled (r4)
     }
 
 
@@ -2208,6 +2221,26 @@ def oracle_sql() -> dict[str, str]:
         # gate (scripts/check_correctness.py) even though the driver's
         # 50-query window never reaches it
         "docs_pack_sequences": _pack_sequences_sql(),
+        "docs_tfidf_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     round(tf.tf * ln((SELECT n FROM nd) / df.df), 4)
+                         AS tfidf
+              FROM tf JOIN df USING (term)),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, term)
+                            AS rank
+              FROM scored)
+            SELECT doc_id, term, tf, df, tfidf, rank
+            FROM ranked WHERE rank <= 5""",
     }
 
 

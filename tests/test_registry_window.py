@@ -48,9 +48,11 @@ PAST_WINDOW_PINS = {
     "multimodal_frame_plan": (1465, ["doc_id", "frame_idx"]),
     "multimodal_audio_features": (500, ["doc_id", "duration_sec",
                                         "n_frames", "peak", "rms_energy"]),
-    # SQL-oracled past-window (full local gate hash-checks it)
+    # SQL-oracled past-window (full local gate hash-checks them)
     "docs_pack_sequences": (500, ["bin_offset", "doc_id", "lang",
                                   "n_tokens", "pack_bin"]),
+    "docs_tfidf_top_terms": (2500, ["df", "doc_id", "rank", "term",
+                                    "tf", "tfidf"]),
 }
 
 
