@@ -1246,6 +1246,22 @@ def _q_docs_pack_sequences(sf_dir: str):
         capacity=512)
 
 
+def _q_embeddings_kmeans(sf_dir: str):
+    """Distributed spherical k-means cluster assignments over the
+    embeddings table (stages/kmeans.py; fixed 4 rounds, seeded init).
+    Rows-only: iterative float64 refinement is not SQL-expressible; the
+    operator is pinned against a single-process Lloyd's reference in
+    tests/test_kmeans.py instead."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.kmeans import (
+        kmeans_embeddings,
+    )
+
+    assigned, _ = kmeans_embeddings(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        n_clusters=16, iters=4)
+    return assigned
+
+
 def _q_docs_tfidf_top_terms(sf_dir: str):
     """Per-doc TF-IDF top-5 terms (stages/tfidf.py): in-batch tf, one df
     aggregate, one lookup join, one grouped top-k — ranking on the ROUNDED
@@ -1609,6 +1625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_features": _q_multimodal_audio_features,
         "docs_pack_sequences": _q_docs_pack_sequences,   # oracled (r4)
         "docs_tfidf_top_terms": _q_docs_tfidf_top_terms,  # oracled (r4)
+        "embeddings_kmeans": _q_embeddings_kmeans,   # rows-only (iterative)
     }
 
 

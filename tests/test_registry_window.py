@@ -53,6 +53,8 @@ PAST_WINDOW_PINS = {
                                   "n_tokens", "pack_bin"]),
     "docs_tfidf_top_terms": (2500, ["df", "doc_id", "rank", "term",
                                     "tf", "tfidf"]),
+    "embeddings_kmeans": (500, ["cluster", "cosine_to_centroid",
+                                "vec_id"]),
 }
 
 
