@@ -1246,6 +1246,26 @@ def _q_docs_pack_sequences(sf_dir: str):
         capacity=512)
 
 
+def _q_docs_top_tokens_approx(sf_dir: str):
+    """Misra-Gries heavy hitters over the token stream
+    (sketch.approx_top_k) — the shuffle-free approximate companion to the
+    exact SQL-green docs_top_tokens aggregate.  Rows-only: MG estimates
+    deliberately undercount (bounded by N/(capacity+1)); the guarantee is
+    pinned in tests/test_ops_stages.py.  The per-doc tf rows from
+    tfidf._term_freqs act as the pre-aggregated weighted stream."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        approx_top_k,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.tfidf import (
+        _term_freqs,
+    )
+
+    tf_rows = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda b: _term_freqs(b, "doc_id", "text"),
+                     batch_format="pyarrow")
+    return approx_top_k(tf_rows, "term", k=20, weight_col="tf")
+
+
 def _q_embeddings_kmeans(sf_dir: str):
     """Distributed spherical k-means cluster assignments over the
     embeddings table (stages/kmeans.py; fixed 4 rounds, seeded init).
@@ -1626,6 +1646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_sequences": _q_docs_pack_sequences,   # oracled (r4)
         "docs_tfidf_top_terms": _q_docs_tfidf_top_terms,  # oracled (r4)
         "embeddings_kmeans": _q_embeddings_kmeans,   # rows-only (iterative)
+        "docs_top_tokens_approx": _q_docs_top_tokens_approx,  # rows-only
     }
 
 

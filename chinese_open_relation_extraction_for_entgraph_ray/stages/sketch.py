@@ -278,3 +278,80 @@ def grouped_approx_distinct(ds, key: str, column: str):
         ds.map_batches(batch_regs, batch_format="pyarrow",
                        batch_size=65536),
         [key], block_fn=merge_block, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable approximate top-k)
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 4096
+
+
+def mg_compress(keys: np.ndarray, counts: np.ndarray,
+                capacity: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress exact (key, count) pairs to <= ``capacity`` counters the
+    Misra-Gries way: subtract the (capacity+1)-th largest count from all and
+    keep the positive survivors.  Each surviving estimate drops by at most
+    the subtracted amount; summed over all compressions the total deficit
+    is <= N / (capacity + 1) (the classic MG bound, preserved under merge
+    by Agarwal et al. 2012's merge rule, which this IS: sum then
+    compress)."""
+    if len(keys) <= capacity:
+        return keys, counts
+    order = np.argsort(counts, kind="stable")[::-1]
+    sub = counts[order[capacity]]
+    kept = order[:capacity]
+    new_counts = counts[kept] - sub
+    pos = new_counts > 0
+    return keys[kept][pos], new_counts[pos]
+
+
+def approx_top_k(ds, column: str, k: int = 20,
+                 capacity: int = MG_CAPACITY, weight_col: str | None = None):
+    """Dataset -> approximate top-``k`` (value, count) of ``column`` —
+    heavy hitters via mergeable Misra-Gries summaries, entirely
+    shuffle-free: per-batch exact counts compressed to ``capacity``
+    counters -> per-block merge -> one final merge of <= capacity rows per
+    block.  Estimates UNDERCOUNT by at most N/(capacity+1) (N = total
+    weight), so any value with true share > 1/(capacity+1) survives; with
+    ``capacity >> k`` the top-k set matches the exact top-k whenever the
+    k-th and (k+1)-th true counts differ by more than the bound.  The
+    exact-but-shuffling companion is the docs_top_tokens aggregate;
+    ``weight_col`` accepts pre-aggregated (value, weight) streams."""
+    import pandas as pd
+
+    def batch_sketch(batch: pa.Table) -> pa.Table:
+        vals = batch.column(column).to_pandas()
+        if weight_col is not None:
+            w = batch.column(weight_col).to_pandas()
+            counts = w.groupby(vals, sort=False, dropna=True).sum()
+        else:
+            counts = vals.value_counts(sort=False, dropna=True)
+        keys, cnts = mg_compress(counts.index.to_numpy(dtype=object),
+                                 counts.to_numpy(dtype=np.int64), capacity)
+        return pa.Table.from_arrays(
+            [pa.array(keys.astype(str)), pa.array(cnts, pa.int64())],
+            names=["value", "approx_count"])
+
+    def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df.groupby("value", sort=False)["approx_count"].sum()
+        keys, cnts = mg_compress(counts.index.to_numpy(dtype=object),
+                                 counts.to_numpy(dtype=np.int64), capacity)
+        return pd.DataFrame({"value": keys.astype(str),
+                             "approx_count": cnts})
+
+    merged = (ds.map_batches(batch_sketch, batch_format="pyarrow",
+                             batch_size=65536)
+              .repartition(8)
+              .map_batches(merge_block, batch_format="pandas",
+                           batch_size=None)
+              .repartition(1)
+              .map_batches(merge_block, batch_format="pandas",
+                           batch_size=None))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["approx_count", "value"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    return merged.map_batches(topk, batch_format="pandas", batch_size=None)

@@ -544,3 +544,51 @@ def test_emb_block_pairs_over_cap_bucket_logged(monkeypatch, caplog):
         set(pairs.column("b").to_pylist())
     assert kept == {0, 1, 2, 3, 4}              # first cap members by id
     assert any("MAX_EMB_BUCKET" in r.message for r in caplog.records)
+
+
+def test_mg_compress_bound_and_survivors():
+    """r4: MG compression keeps <= capacity counters, undercounts by at
+    most the subtracted pivot, and never overcounts."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages import sketch
+
+    keys = np.array([f"k{i}" for i in range(10)], dtype=object)
+    counts = np.array([100, 90, 80, 70, 60, 50, 40, 30, 20, 10],
+                      dtype=np.int64)
+    k2, c2 = sketch.mg_compress(keys, counts, capacity=4)
+    assert list(k2) == ["k0", "k1", "k2", "k3"]
+    assert list(c2) == [40, 30, 20, 10]          # each minus pivot 60
+    k3, c3 = sketch.mg_compress(keys, counts, capacity=10)
+    assert list(k3) == list(keys)                # under capacity: exact
+
+
+def test_approx_top_k_heavy_hitters_guarantee(ray_session):
+    """r4: any value with true count > N/(capacity+1) must survive, with
+    estimate within N/(capacity+1) of truth and never above it — checked
+    against exact counts on a skewed stream across several partitions."""
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        approx_top_k,
+    )
+
+    rng = np.random.RandomState(17)
+    heavy = [f"hot{i}" for i in range(5)]
+    stream = []
+    for i, h in enumerate(heavy):
+        stream += [h] * (400 - 40 * i)
+    stream += [f"tail{i}" for i in rng.randint(0, 2000, size=1200)]
+    rng.shuffle(stream)
+    n = len(stream)
+    cap = 64
+    exact = {}
+    for v in stream:
+        exact[v] = exact.get(v, 0) + 1
+    ds = rd.from_items([{"tok": v} for v in stream]).repartition(7)
+    got = approx_top_k(ds, "tok", k=10, capacity=cap).to_pandas()
+    bound = n / (cap + 1)
+    est = dict(zip(got["value"], got["approx_count"]))
+    for h in heavy:
+        assert exact[h] > bound          # test construction sanity
+        assert h in est, f"heavy hitter {h} missing"
+        assert est[h] <= exact[h]
+        assert exact[h] - est[h] <= bound
