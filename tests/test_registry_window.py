@@ -55,6 +55,7 @@ PAST_WINDOW_PINS = {
                                     "tf", "tfidf"]),
     "embeddings_kmeans": (500, ["cluster", "cosine_to_centroid",
                                 "vec_id"]),
+    "docs_top_tokens_approx": (20, ["approx_count", "value"]),
 }
 
 
