@@ -1266,6 +1266,20 @@ def _q_docs_top_tokens_approx(sf_dir: str):
     return approx_top_k(tf_rows, "term", k=20, weight_col="tf")
 
 
+def _q_docs_duplicate_spans(sf_dir: str):
+    """Exact duplicate-substring spans (stages/spans.py — the ExactSubstr
+    dedup signal of Lee et al. 2021): every 32-char window occurring at
+    >= 2 positions corpus-wide, unioned into per-doc merged char spans.
+    SQL-oracled: DuckDB mirrors the definition literally (all substrings
+    -> HAVING count >= 2 -> window-function island merge)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.spans import (
+        duplicate_spans,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_spans(docs, window=32)
+
+
 def _q_embeddings_kmeans(sf_dir: str):
     """Distributed spherical k-means cluster assignments over the
     embeddings table (stages/kmeans.py; fixed 4 rounds, seeded init).
@@ -1647,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_top_terms": _q_docs_tfidf_top_terms,  # oracled (r4)
         "embeddings_kmeans": _q_embeddings_kmeans,   # rows-only (iterative)
         "docs_top_tokens_approx": _q_docs_top_tokens_approx,  # rows-only
+        "docs_duplicate_spans": _q_docs_duplicate_spans,  # oracled (r4)
     }
 
 
@@ -2279,6 +2294,30 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, term, tf, df, tfidf, rank
             FROM ranked WHERE rank <= 5""",
+        "docs_duplicate_spans": r"""
+            WITH wins AS (
+              SELECT doc_id, i AS pos, substr(text, i+1, 32) AS w
+              FROM documents,
+                   LATERAL (SELECT unnest(generate_series(
+                                0, length(text)-32)) AS i) t),
+            dups AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+            marked AS (SELECT doc_id, pos FROM wins
+                       WHERE w IN (SELECT w FROM dups)),
+            flag AS (
+              SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) IS NULL
+                       OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) + 32
+                     THEN 1 ELSE 0 END AS brk
+              FROM marked),
+            isl AS (SELECT doc_id, pos,
+                           sum(brk) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS island
+                    FROM flag)
+            SELECT doc_id, min(pos) AS span_start,
+                   max(pos) + 32 AS span_end
+            FROM isl GROUP BY doc_id, island""",
     }
 
 

@@ -1,0 +1,241 @@
+"""Exact duplicate-substring span detection (ExactSubstr dedup).
+
+The operator the curation family still lacked: find every fixed-length
+character window that occurs at >= 2 positions anywhere in the corpus
+(cross- OR intra-document), and return the per-document UNION of the
+duplicated windows' coverage as merged ``[span_start, span_end)`` char
+spans — the signal behind substring-level training-data dedup (Lee et al.
+2021, "Deduplicating Training Data Makes Language Models Better", the
+suffix-array ExactSubstr method).  A suffix array is a single shared
+index; the distributed equivalent used here is windows-as-rows:
+
+1. **window hashes** — one ``map_batches`` emits ``(h, doc_id, pos)`` per
+   char window, fully vectorized: the whole batch's text is reinterpreted
+   as a uint32 codepoint buffer once, ``sliding_window_view`` + one
+   ``(windows x W) @ weights`` Mersenne31 matmul hashes every window, and
+   per-doc valid positions are selected with repeat/arange index math —
+   no per-character or per-window Python.  Two independent 31-bit hashes
+   combine to 62 bits (same scheme as ``textstats.min_shingle_hash``).
+2. **duplicated-hash set** — ``auto_hash_aggregate`` counts windows per
+   hash (per-block pre-combine bounds the exchange at one row per
+   (block, distinct hash)), keeps counts >= 2, and the surviving hash set
+   is ``ray.put`` once and membership-tested per batch with searchsorted —
+   the decontaminate.py broadcast pattern.  If the duplicated-hash set
+   exceeds ``MAX_BROADCAST_DUP_HASHES`` the operator falls back to the
+   shuffle-based ``semi_join`` automatically (logged) instead of OOMing.
+3. **span union** — marked positions stream through a per-block
+   constant-width interval merge (numpy cumsum islands); only each
+   block's first/last doc can straddle a block boundary, so those docs'
+   spans — O(blocks), independent of data size — are re-merged in a tiny
+   single-partition second pass (the ``sorted_hash_aggregate`` boundary
+   pattern).  NO sort exchange anywhere: window emission keeps every
+   doc's positions contiguous and ascending, filters preserve order, and
+   the merge asserts that invariant per block so a violated assumption
+   fails loudly rather than emitting wrong spans.
+
+Scale shape: the only exchange is the pre-combined hash-count aggregate
+(O(distinct windows per block) rows); marked positions and spans stream.
+Window identity is 62-bit hash equality, not string equality — a
+collision would mark a non-duplicated window; at 2^62 the expected extra
+mark appears around ~2^31 corpus windows per... colliding pair, i.e.
+negligible below ~10^9 distinct windows per corpus and bounded to
+one spurious window span if it ever happens.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+
+from .textstats import _MSH_MOD, _msh_weights
+
+logger = logging.getLogger("ray.data.spans")
+
+#: refuse to broadcast a duplicated-hash set bigger than this (~800 MB of
+#: int64) — beyond it, fall back to the shuffle semi-join path.
+MAX_BROADCAST_DUP_HASHES = 100_000_000
+
+_SPAN_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                          ("span_start", pa.int64()),
+                          ("span_end", pa.int64())])
+
+
+def _window_hash_batch(batch: pa.Table, *, window: int, stride: int,
+                       doc_col: str, text_col: str) -> pa.Table:
+    """(doc_id, text) batch -> (h, doc_id, pos) rows, one per char window
+    starting at pos in {0, stride, 2*stride, ...}, pos + window <= len."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    texts = batch.column(text_col).to_pylist()
+    ids = np.asarray(batch.column(doc_col), dtype=np.int64)
+    lens = np.array([len(t) if t else 0 for t in texts], dtype=np.int64)
+    n_wins = np.where(lens >= window, (lens - window) // stride + 1, 0)
+    total = int(n_wins.sum())
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.int64())] * 3, names=["h", doc_col, "pos"])
+    if total == 0:
+        return empty
+    # one codepoint buffer for the whole batch; the joiner char can never
+    # produce a false window because only within-doc positions are selected
+    big = "\x00".join(t or "" for t in texts)
+    codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32) \
+              .astype(np.int64)
+    doc_starts = np.concatenate([[0], np.cumsum(lens + 1)[:-1]])
+    doc_idx = np.repeat(np.arange(len(texts)), n_wins)
+    win_offsets = np.concatenate([[0], np.cumsum(n_wins)[:-1]])
+    pos = (np.arange(total) - np.repeat(win_offsets, n_wins)) * stride
+    view = sliding_window_view(codes, window)          # (len-W+1, W) view
+    sel = view[doc_starts[doc_idx] + pos]              # (total, W) gather
+    w = _msh_weights(window)                           # (2, W) Mersenne31
+    h2 = (sel @ w.T) % _MSH_MOD                        # (total, 2)
+    h = (h2[:, 0] << 31) | h2[:, 1]                    # 62-bit combined
+    return pa.Table.from_arrays(
+        [pa.array(h, pa.int64()), pa.array(ids[doc_idx], pa.int64()),
+         pa.array(pos, pa.int64())],
+        names=["h", doc_col, "pos"])
+
+
+def _merge_const_width(batch: pa.Table, *, window: int,
+                       doc_col: str) -> pa.Table:
+    """Marked (doc_id, pos) rows -> merged spans, vectorized.  Requires
+    docs contiguous and pos ascending per doc (asserted); intervals are
+    all [pos, pos+window) so the running max end within a doc is just the
+    previous pos + window.  Appends kind=0 for each block's first/last
+    doc's spans (may straddle block boundaries), kind=1 for interior."""
+    n = batch.num_rows
+    if n == 0:
+        return _SPAN_SCHEMA.empty_table().append_column(
+            "__kind", pa.array([], pa.int8()))
+    doc = np.asarray(batch.column(doc_col), dtype=np.int64)
+    pos = np.asarray(batch.column("pos"), dtype=np.int64)
+    same_doc = doc[1:] == doc[:-1]
+    if not np.all(pos[1:][same_doc] > pos[:-1][same_doc]):
+        raise AssertionError(
+            "duplicate_spans: positions not ascending within a doc — the "
+            "doc-contiguous stream invariant was broken upstream")
+    new_island = np.empty(n, dtype=bool)
+    new_island[0] = True
+    new_island[1:] = ~same_doc | (pos[1:] > pos[:-1] + window)
+    starts = np.flatnonzero(new_island)
+    ends = np.concatenate([starts[1:], [n]]) - 1
+    span_doc = doc[starts]
+    kind = np.where((span_doc == doc[0]) | (span_doc == doc[-1]), 0, 1) \
+             .astype(np.int8)
+    return pa.Table.from_arrays(
+        [pa.array(span_doc, pa.int64()),
+         pa.array(pos[starts], pa.int64()),
+         pa.array(pos[ends] + window, pa.int64()),
+         pa.array(kind, pa.int8())],
+        names=["doc_id", "span_start", "span_end", "__kind"])
+
+
+def _merge_variable(df) -> pa.Table:
+    """Boundary pass: re-union spans of block-edge docs (tiny — O(blocks)
+    spans).  Variable widths, so this is the general sweep: sort, then
+    running max of span_end within each doc via grouped cummax.  Returns
+    arrow so the union with the interior stream keeps one schema (pandas
+    blocks null-coerce int columns)."""
+    if len(df) == 0:
+        return _SPAN_SCHEMA.empty_table()
+    df = df.sort_values(["doc_id", "span_start", "span_end"],
+                        kind="mergesort", ignore_index=True)
+    run_end = df.groupby("doc_id", sort=False)["span_end"].cummax() \
+                .shift(1, fill_value=-1)
+    first_of_doc = ~df["doc_id"].duplicated()
+    new_island = first_of_doc | (df["span_start"] > run_end)
+    island = new_island.cumsum()
+    out = df.groupby(island, sort=False).agg(
+        doc_id=("doc_id", "first"), span_start=("span_start", "min"),
+        span_end=("span_end", "max")).reset_index(drop=True)
+    return pa.Table.from_pandas(out, schema=_SPAN_SCHEMA,
+                                preserve_index=False)
+
+
+def duplicate_spans(docs_ds, *, window: int = 32, stride: int = 1,
+                    doc_col: str = "doc_id", text_col: str = "text"):
+    """Dataset of documents -> (doc_id, span_start, span_end) merged char
+    spans covered by duplicated windows.  ``stride`` > 1 subsamples the
+    window start positions (both the duplicate test and the coverage) —
+    the documented knob that trades recall granularity for an O(stride)
+    cut of the emitted-window volume at 100-TB scale."""
+    import ray
+
+    from .groupagg import auto_hash_aggregate
+    from .joins import semi_join
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return _window_hash_batch(batch, window=window, stride=stride,
+                                  doc_col=doc_col, text_col=text_col)
+
+    wins = docs_ds.map_batches(emit, batch_format="pyarrow")
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.select(["h"]).append_column(
+            "n", pa.array(np.ones(batch.num_rows, np.int64), pa.int64()))
+
+    dup_hash_ds = auto_hash_aggregate(wins.map_batches(
+        ones, batch_format="pyarrow"), ["h"], [("n", "sum")]) \
+        .filter(expr="n >= 2")
+
+    # collect the duplicated-hash set for broadcast, bailing to the
+    # shuffle semi-join if it outgrows the broadcast budget
+    parts: list[np.ndarray] = []
+    total = 0
+    overflow = False
+    for b in dup_hash_ds.iter_batches(batch_format="pyarrow",
+                                      batch_size=1 << 20):
+        parts.append(np.asarray(b.column("h"), dtype=np.int64))
+        total += len(parts[-1])
+        if total > MAX_BROADCAST_DUP_HASHES:
+            overflow = True
+            break
+    if overflow:
+        logger.warning(
+            "duplicate_spans: %d+ duplicated hashes exceeds the broadcast "
+            "budget (%d) — falling back to the semi-join path",
+            total, MAX_BROADCAST_DUP_HASHES)
+        # the semi-join exchange orders rows by hash, so restore the
+        # doc-contiguous ascending-pos invariant the merge depends on
+        marked = semi_join(wins, dup_hash_ds, left_key="h", right_key="h",
+                           left_key_nullable=False) \
+            .map_batches(lambda b: b.select([doc_col, "pos"]),
+                         batch_format="pyarrow") \
+            .sort([doc_col, "pos"])
+    else:
+        if not parts or sum(len(p) for p in parts) == 0:
+            # no duplicated window anywhere: return a SCHEMA'D empty
+            # (a fully-filtered pipeline would lose its schema otherwise)
+            return ray.data.from_arrow(_SPAN_SCHEMA.empty_table())
+        dup_sorted = np.sort(np.concatenate(parts))
+        ref = ray.put(dup_sorted)
+
+        def mark(batch: pa.Table) -> pa.Table:
+            dup = ray.get(ref)
+            h = np.asarray(batch.column("h"), dtype=np.int64)
+            if len(dup) == 0:
+                return batch.select([doc_col, "pos"]).slice(0, 0)
+            idx = np.searchsorted(dup, h)
+            hit = (idx < len(dup)) & (dup[np.minimum(idx, len(dup) - 1)]
+                                      == h)
+            return batch.select([doc_col, "pos"]).filter(
+                pa.array(hit, pa.bool_()))
+
+        marked = wins.map_batches(mark, batch_format="pyarrow")
+
+    def block_merge(batch: pa.Table) -> pa.Table:
+        return _merge_const_width(batch, window=window, doc_col=doc_col)
+
+    mixed = marked.map_batches(block_merge, batch_format="pyarrow",
+                               batch_size=None).materialize()
+    interior = mixed.filter(expr="__kind == 1") \
+        .map_batches(lambda b: b.select(["doc_id", "span_start",
+                                         "span_end"]),
+                     batch_format="pyarrow")
+    boundary = (mixed.filter(expr="__kind == 0")
+                .repartition(1)
+                .map_batches(lambda df: _merge_variable(
+                    df[["doc_id", "span_start", "span_end"]]),
+                    batch_format="pandas", batch_size=None))
+    return interior.union(boundary)

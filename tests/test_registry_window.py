@@ -56,6 +56,8 @@ PAST_WINDOW_PINS = {
     "embeddings_kmeans": (500, ["cluster", "cosine_to_centroid",
                                 "vec_id"]),
     "docs_top_tokens_approx": (20, ["approx_count", "value"]),
+    # SQL-oracled past-window (full local gate hash-checks it)
+    "docs_duplicate_spans": (47, ["doc_id", "span_end", "span_start"]),
 }
 
 
