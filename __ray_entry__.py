@@ -1280,6 +1280,19 @@ def _q_docs_duplicate_spans(sf_dir: str):
     return duplicate_spans(docs, window=32)
 
 
+def _q_docs_substring_deduped(sf_dir: str):
+    """Apply the ExactSubstr dedup (stages/spans.remove_duplicate_spans):
+    cut every duplicated 32-char-window span out of each document.  The
+    oracle rebuilds the cleaned text in SQL (string_agg of the inter-span
+    gaps + tail) and md5-compares it bit-for-bit (redact_pii convention)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.spans import (
+        remove_duplicate_spans,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return remove_duplicate_spans(docs, window=32)
+
+
 def _q_embeddings_kmeans(sf_dir: str):
     """Distributed spherical k-means cluster assignments over the
     embeddings table (stages/kmeans.py; fixed 4 rounds, seeded init).
@@ -1662,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans": _q_embeddings_kmeans,   # rows-only (iterative)
         "docs_top_tokens_approx": _q_docs_top_tokens_approx,  # rows-only
         "docs_duplicate_spans": _q_docs_duplicate_spans,  # oracled (r4)
+        "docs_substring_deduped": _q_docs_substring_deduped,  # oracled (r4)
     }
 
 
@@ -2318,6 +2332,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos) AS span_start,
                    max(pos) + 32 AS span_end
             FROM isl GROUP BY doc_id, island""",
+        "docs_substring_deduped": r"""
+            WITH wins AS (
+              SELECT doc_id, i AS pos, substr(text, i+1, 32) AS w
+              FROM documents,
+                   LATERAL (SELECT unnest(generate_series(
+                                0, length(text)-32)) AS i) t),
+            dups AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+            marked AS (SELECT doc_id, pos FROM wins
+                       WHERE w IN (SELECT w FROM dups)),
+            flag AS (
+              SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) IS NULL
+                       OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) + 32
+                     THEN 1 ELSE 0 END AS brk
+              FROM marked),
+            isl AS (SELECT doc_id, pos,
+                           sum(brk) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS island
+                    FROM flag),
+            spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 32 AS e
+                      FROM isl GROUP BY doc_id, island),
+            segs AS (
+              SELECT doc_id, s, e,
+                     coalesce(lag(e) OVER (PARTITION BY doc_id
+                                           ORDER BY s), 0) AS prev_e
+              FROM spans),
+            pieces AS (
+              SELECT d.doc_id,
+                     string_agg(substr(d.text, g.prev_e + 1, g.s - g.prev_e),
+                                '' ORDER BY g.s) AS head,
+                     max(g.e) AS last_e,
+                     sum(g.e - g.s)::BIGINT AS n_chars_removed,
+                     count(*)::BIGINT AS n_spans
+              FROM documents d JOIN segs g USING (doc_id)
+              GROUP BY d.doc_id),
+            cleaned AS (
+              SELECT p.doc_id, p.n_spans, p.n_chars_removed,
+                     p.head || substr(d.text, p.last_e + 1) AS ctext
+              FROM pieces p JOIN documents d USING (doc_id)
+              UNION ALL
+              SELECT doc_id, 0::BIGINT, 0::BIGINT, text FROM documents
+              WHERE doc_id NOT IN (SELECT doc_id FROM spans))
+            SELECT doc_id, n_spans, n_chars_removed,
+                   md5(ctext) AS cleaned_md5
+            FROM cleaned""",
     }
 
 

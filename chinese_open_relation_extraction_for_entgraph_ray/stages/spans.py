@@ -153,17 +153,11 @@ def _merge_variable(df) -> pa.Table:
                                 preserve_index=False)
 
 
-def duplicate_spans(docs_ds, *, window: int = 32, stride: int = 1,
-                    doc_col: str = "doc_id", text_col: str = "text"):
-    """Dataset of documents -> (doc_id, span_start, span_end) merged char
-    spans covered by duplicated windows.  ``stride`` > 1 subsamples the
-    window start positions (both the duplicate test and the coverage) —
-    the documented knob that trades recall granularity for an O(stride)
-    cut of the emitted-window volume at 100-TB scale."""
-    import ray
-
+def _dup_hash_ds(docs_ds, *, window: int, stride: int, doc_col: str,
+                 text_col: str):
+    """(windows dataset, duplicated-hash dataset): every window hash
+    occurring >= 2 times corpus-wide, via the pre-combined aggregate."""
     from .groupagg import auto_hash_aggregate
-    from .joins import semi_join
 
     def emit(batch: pa.Table) -> pa.Table:
         return _window_hash_batch(batch, window=window, stride=stride,
@@ -175,27 +169,55 @@ def duplicate_spans(docs_ds, *, window: int = 32, stride: int = 1,
         return batch.select(["h"]).append_column(
             "n", pa.array(np.ones(batch.num_rows, np.int64), pa.int64()))
 
-    dup_hash_ds = auto_hash_aggregate(wins.map_batches(
+    dup = auto_hash_aggregate(wins.map_batches(
         ones, batch_format="pyarrow"), ["h"], [("n", "sum")]) \
         .filter(expr="n >= 2")
+    return wins, dup
 
-    # collect the duplicated-hash set for broadcast, bailing to the
-    # shuffle semi-join if it outgrows the broadcast budget
+
+def _collect_dup_hashes(dup_hash_ds) -> np.ndarray | None:
+    """Pull the duplicated-hash set to the driver for broadcast; ``None``
+    when it exceeds the broadcast budget (caller picks the shuffle path)."""
     parts: list[np.ndarray] = []
     total = 0
-    overflow = False
     for b in dup_hash_ds.iter_batches(batch_format="pyarrow",
                                       batch_size=1 << 20):
         parts.append(np.asarray(b.column("h"), dtype=np.int64))
         total += len(parts[-1])
         if total > MAX_BROADCAST_DUP_HASHES:
-            overflow = True
-            break
-    if overflow:
+            return None
+    if not parts or total == 0:
+        return np.array([], dtype=np.int64)
+    return np.sort(np.concatenate(parts))
+
+
+def _membership(dup: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Boolean hit mask of ``h`` against the sorted broadcast set."""
+    if len(dup) == 0:
+        return np.zeros(len(h), dtype=bool)
+    idx = np.searchsorted(dup, h)
+    return (idx < len(dup)) & (dup[np.minimum(idx, len(dup) - 1)] == h)
+
+
+def duplicate_spans(docs_ds, *, window: int = 32, stride: int = 1,
+                    doc_col: str = "doc_id", text_col: str = "text"):
+    """Dataset of documents -> (doc_id, span_start, span_end) merged char
+    spans covered by duplicated windows.  ``stride`` > 1 subsamples the
+    window start positions (both the duplicate test and the coverage) —
+    the documented knob that trades recall granularity for an O(stride)
+    cut of the emitted-window volume at 100-TB scale."""
+    import ray
+
+    from .joins import semi_join
+
+    wins, dup_hash_ds = _dup_hash_ds(docs_ds, window=window, stride=stride,
+                                     doc_col=doc_col, text_col=text_col)
+    dup_sorted = _collect_dup_hashes(dup_hash_ds)
+    if dup_sorted is None:
         logger.warning(
-            "duplicate_spans: %d+ duplicated hashes exceeds the broadcast "
+            "duplicate_spans: duplicated-hash set exceeds the broadcast "
             "budget (%d) — falling back to the semi-join path",
-            total, MAX_BROADCAST_DUP_HASHES)
+            MAX_BROADCAST_DUP_HASHES)
         # the semi-join exchange orders rows by hash, so restore the
         # doc-contiguous ascending-pos invariant the merge depends on
         marked = semi_join(wins, dup_hash_ds, left_key="h", right_key="h",
@@ -204,23 +226,17 @@ def duplicate_spans(docs_ds, *, window: int = 32, stride: int = 1,
                          batch_format="pyarrow") \
             .sort([doc_col, "pos"])
     else:
-        if not parts or sum(len(p) for p in parts) == 0:
+        if len(dup_sorted) == 0:
             # no duplicated window anywhere: return a SCHEMA'D empty
             # (a fully-filtered pipeline would lose its schema otherwise)
             return ray.data.from_arrow(_SPAN_SCHEMA.empty_table())
-        dup_sorted = np.sort(np.concatenate(parts))
         ref = ray.put(dup_sorted)
 
         def mark(batch: pa.Table) -> pa.Table:
             dup = ray.get(ref)
             h = np.asarray(batch.column("h"), dtype=np.int64)
-            if len(dup) == 0:
-                return batch.select([doc_col, "pos"]).slice(0, 0)
-            idx = np.searchsorted(dup, h)
-            hit = (idx < len(dup)) & (dup[np.minimum(idx, len(dup) - 1)]
-                                      == h)
             return batch.select([doc_col, "pos"]).filter(
-                pa.array(hit, pa.bool_()))
+                pa.array(_membership(dup, h), pa.bool_()))
 
         marked = wins.map_batches(mark, batch_format="pyarrow")
 
@@ -239,3 +255,79 @@ def duplicate_spans(docs_ds, *, window: int = 32, stride: int = 1,
                     df[["doc_id", "span_start", "span_end"]]),
                     batch_format="pandas", batch_size=None))
     return interior.union(boundary)
+
+
+def remove_duplicate_spans(docs_ds, *, window: int = 32, stride: int = 1,
+                           doc_col: str = "doc_id", text_col: str = "text"):
+    """Apply the ExactSubstr dedup: cut every duplicated-window span out of
+    each document's text (Lee et al. 2021 remove ALL occurrences of a
+    duplicated substring; the retained text is the out-of-span remainder).
+    Returns (doc_id, n_spans, n_chars_removed, cleaned_md5) — the md5
+    stands in for the cleaned text so the DuckDB oracle verifies the cut
+    bit-for-bit without hauling documents through the compare (the
+    redact_pii convention).
+
+    Because every document is one atomic input row, the whole
+    mark -> merge -> cut runs in ONE ``map_batches`` pass against the
+    broadcast duplicated-hash set — no join, no boundary routing.  The
+    per-doc string splice + md5 is a Python loop over DOCS (not windows);
+    marking and span union stay vectorized.  A corpus whose duplicated-
+    hash set exceeds the broadcast budget raises loudly — the shuffle
+    alternative is ``duplicate_spans`` (which falls back to a semi-join
+    automatically) + a ``lookup_join`` of its spans back onto the text.
+    """
+    import hashlib
+
+    import ray
+
+    _, dup_hash_ds = _dup_hash_ds(docs_ds, window=window, stride=stride,
+                                  doc_col=doc_col, text_col=text_col)
+    dup_sorted = _collect_dup_hashes(dup_hash_ds)
+    if dup_sorted is None:
+        raise ValueError(
+            "remove_duplicate_spans: duplicated-hash set exceeds the "
+            f"broadcast budget ({MAX_BROADCAST_DUP_HASHES}) — use "
+            "duplicate_spans() + lookup_join on the text instead")
+    ref = ray.put(dup_sorted)
+
+    def clean_batch(batch: pa.Table) -> pa.Table:
+        dup = ray.get(ref)
+        wt = _window_hash_batch(batch, window=window, stride=stride,
+                                doc_col=doc_col, text_col=text_col)
+        h = np.asarray(wt.column("h"), dtype=np.int64)
+        hit = _membership(dup, h)
+        doc = np.asarray(wt.column(doc_col), dtype=np.int64)[hit]
+        pos = np.asarray(wt.column("pos"), dtype=np.int64)[hit]
+        spans_by_doc: dict[int, list[tuple[int, int]]] = {}
+        if len(doc):
+            new_island = np.empty(len(doc), dtype=bool)
+            new_island[0] = True
+            new_island[1:] = (doc[1:] != doc[:-1]) | \
+                (pos[1:] > pos[:-1] + window)
+            starts = np.flatnonzero(new_island)
+            ends = np.concatenate([starts[1:], [len(doc)]]) - 1
+            for d, s, e in zip(doc[starts], pos[starts],
+                               pos[ends] + window):
+                spans_by_doc.setdefault(int(d), []).append((int(s), int(e)))
+        ids = batch.column(doc_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        n_spans, removed, md5s = [], [], []
+        for did, text in zip(ids, texts):
+            text = text or ""
+            spans = spans_by_doc.get(did, [])
+            kept_parts, prev = [], 0
+            for s, e in spans:
+                kept_parts.append(text[prev:s])
+                prev = e
+            kept_parts.append(text[prev:])
+            cleaned = "".join(kept_parts)
+            n_spans.append(len(spans))
+            removed.append(len(text) - len(cleaned))
+            md5s.append(hashlib.md5(cleaned.encode("utf-8")).hexdigest())
+        return pa.Table.from_arrays(
+            [batch.column(doc_col).cast(pa.int64()),
+             pa.array(n_spans, pa.int64()), pa.array(removed, pa.int64()),
+             pa.array(md5s, pa.string())],
+            names=[doc_col, "n_spans", "n_chars_removed", "cleaned_md5"])
+
+    return docs_ds.map_batches(clean_batch, batch_format="pyarrow")

@@ -114,3 +114,48 @@ def test_duplicate_spans_no_dups_empty(ray_session):
     docs = {1: "abcdefghijklmnopqrstuvwxyz0123456789", 2: "ZYXWVUTSRQPON"}
     got = _run(docs, ray_session, window=30)
     assert got == []
+
+
+def test_remove_duplicate_spans_matches_bruteforce(ray_session):
+    """Cleaned text = out-of-span remainder, verified against the brute
+    spans + literal Python splice per doc."""
+    import hashlib
+
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.spans import (
+        remove_duplicate_spans,
+    )
+
+    docs = _corpus()
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs.items()]) \
+           .repartition(6)
+    out = remove_duplicate_spans(ds, window=20).to_pandas() \
+        .set_index("doc_id").sort_index()
+    spans = brute_spans(docs, window=20)
+    for did, text in docs.items():
+        mine = [(s, e) for d, s, e in spans if d == did]
+        prev, parts = 0, []
+        for s, e in mine:
+            parts.append(text[prev:s])
+            prev = e
+        parts.append(text[prev:])
+        cleaned = "".join(parts)
+        row = out.loc[did]
+        assert row["n_spans"] == len(mine)
+        assert row["n_chars_removed"] == len(text) - len(cleaned)
+        assert row["cleaned_md5"] == \
+            hashlib.md5(cleaned.encode()).hexdigest()
+    assert len(out) == len(docs)      # every doc present, spans or not
+
+
+def test_remove_duplicate_spans_overflow_raises(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages import spans
+
+    monkeypatch.setattr(spans, "MAX_BROADCAST_DUP_HASHES", 1)
+    docs = _corpus()
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs.items()])
+    with pytest.raises(ValueError, match="broadcast budget"):
+        spans.remove_duplicate_spans(ds, window=20)
