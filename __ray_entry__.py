@@ -1293,6 +1293,39 @@ def _q_docs_substring_deduped(sf_dir: str):
     return remove_duplicate_spans(docs, window=32)
 
 
+_MIXTURE_TARGET = {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
+
+
+def _q_docs_resample_mixture(sf_dir: str):
+    """Domain-mixture resampling (stages/mixture.py): downsample per
+    language to hit a 40/20/20/10/10 en/zh/de/fr/es mixture exactly at
+    the largest no-upsampling size; per-group selection is md5-order
+    (the stratified-sample contract).  SQL-oracled via row_number over
+    md5 with the same floor(min c/w) quota arithmetic in doubles."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.mixture import (
+        resample_to_mixture,
+    )
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5((t or "").encode()).hexdigest()
+                for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), batch.column("lang"),
+             pa.array(md5s, pa.string())],
+            names=["doc_id", "lang", "md5"])
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"]) \
+        .map_batches(add_md5, batch_format="pyarrow")
+    return resample_to_mixture(
+        docs, group_col="lang", target=_MIXTURE_TARGET, rank_col="md5",
+        id_col="doc_id",
+        schema=pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]))
+
+
 def _q_embeddings_kmeans(sf_dir: str):
     """Distributed spherical k-means cluster assignments over the
     embeddings table (stages/kmeans.py; fixed 4 rounds, seeded init).
@@ -1676,6 +1709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens_approx": _q_docs_top_tokens_approx,  # rows-only
         "docs_duplicate_spans": _q_docs_duplicate_spans,  # oracled (r4)
         "docs_substring_deduped": _q_docs_substring_deduped,  # oracled (r4)
+        "docs_resample_mixture": _q_docs_resample_mixture,  # oracled (r4)
     }
 
 
@@ -2379,6 +2413,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_spans, n_chars_removed,
                    md5(ctext) AS cleaned_md5
             FROM cleaned""",
+        "docs_resample_mixture": r"""
+            WITH t(lang, w) AS (VALUES
+                ('en', 0.4::DOUBLE), ('zh', 0.2::DOUBLE),
+                ('de', 0.2::DOUBLE), ('fr', 0.1::DOUBLE),
+                ('es', 0.1::DOUBLE)),
+            c AS (SELECT lang, count(*)::DOUBLE AS c
+                  FROM documents GROUP BY 1),
+            nmax AS (SELECT floor(min(c.c / t.w)) AS n
+                     FROM c JOIN t USING (lang)),
+            quota AS (SELECT t.lang,
+                             floor((SELECT n FROM nmax) * t.w)::BIGINT AS q
+                      FROM t),
+            ranked AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY md5(text), doc_id) AS rn
+              FROM documents)
+            SELECT r.doc_id, r.lang
+            FROM ranked r JOIN quota q USING (lang)
+            WHERE r.rn <= q.q""",
     }
 
 

@@ -60,6 +60,7 @@ PAST_WINDOW_PINS = {
     "docs_duplicate_spans": (47, ["doc_id", "span_end", "span_start"]),
     "docs_substring_deduped": (500, ["cleaned_md5", "doc_id",
                                      "n_chars_removed", "n_spans"]),
+    "docs_resample_mixture": (354, ["doc_id", "lang"]),
 }
 
 
