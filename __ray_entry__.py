@@ -1326,6 +1326,37 @@ def _q_docs_resample_mixture(sf_dir: str):
         schema=pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]))
 
 
+def _q_docs_decontaminated_bloom(sf_dir: str):
+    """Bloom-filter decontamination (stages/bloom.py + decontaminate_bloom)
+    — the constant-memory scale path beside SQL-green docs_decontaminated:
+    same eval/train split, eval shingles folded into a distributed
+    OR-merged bitmap, per-batch membership.  Rows-only (Bloom FPs can
+    over-remove at the 1e-4 rate, so no exact SQL mirror); the
+    subset-of-exact and no-false-negative invariants are pinned in
+    tests/test_bloom.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.decontaminate import (
+        decontaminate_bloom,
+    )
+
+    def _split(keep_eval: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            m = pc.equal(
+                pc.subtract(ids, pc.multiply(pc.divide(ids, 20), 20)), 0)
+            return batch.filter(m if keep_eval else pc.invert(m))
+        return f
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    eval_ds = docs.map_batches(_split(True), batch_format="pyarrow")
+    train_ds = docs.map_batches(_split(False), batch_format="pyarrow")
+    return decontaminate_bloom(train_ds, eval_ds) \
+        .map_batches(lambda b: b.select(["doc_id"]),
+                     batch_format="pyarrow")
+
+
 def _q_embeddings_kmeans(sf_dir: str):
     """Distributed spherical k-means cluster assignments over the
     embeddings table (stages/kmeans.py; fixed 4 rounds, seeded init).
@@ -1710,6 +1741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_duplicate_spans": _q_docs_duplicate_spans,  # oracled (r4)
         "docs_substring_deduped": _q_docs_substring_deduped,  # oracled (r4)
         "docs_resample_mixture": _q_docs_resample_mixture,  # oracled (r4)
+        "docs_decontaminated_bloom": _q_docs_decontaminated_bloom,  # rows
     }
 
 

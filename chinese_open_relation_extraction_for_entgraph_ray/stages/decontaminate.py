@@ -127,3 +127,58 @@ def decontaminate(docs_ds, eval_ds, *, k: int = 3, min_overlap: int = 1,
         return batch.filter(pa.array(counts < min_overlap))
 
     return docs_ds.map_batches(keep_clean, batch_format="pyarrow")
+
+
+def _combined_shingle_hashes(texts, k: int):
+    """Per-doc shingle (h1, h2) pairs folded into one int64 stream (for the
+    Bloom path) + doc offsets.  The fold is an odd-multiplier mix, so pair
+    identity survives into 64 bits (collisions ~2^-64)."""
+    h1, h2, offsets = _shingle_hashes(texts, k)
+    combined = (h1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ) ^ h2.astype(np.uint64)
+    return combined.view(np.int64), offsets
+
+
+def decontaminate_bloom(docs_ds, eval_ds, *, k: int = 3,
+                        min_overlap: int = 1, fp_rate: float = 1e-4,
+                        text_col: str = "text"):
+    """Bloom-filter decontamination — the CONSTANT-MEMORY scale path when
+    the eval suite outgrows the exact broadcast set (``eval_shingle_set``
+    refuses beyond MAX_EVAL_SHINGLES; the Bloom bitmap is a fixed
+    ``O(n log 1/p)`` BITS regardless of shingle count, built distributedly
+    and OR-merged).  False positives OVER-count overlaps at ``fp_rate``
+    (a clean doc may be dropped spuriously); false negatives cannot
+    happen, so nothing contaminated survives — the safe direction for
+    decontamination.  Output is therefore a SUBSET of ``decontaminate``'s
+    (pinned by test); with realistic rates the difference is ~fp_rate of
+    borderline docs."""
+    import pyarrow as pa
+    import ray
+
+    from .bloom import _positions, _test_bits, bloom_from_dataset
+
+    def eval_hashes(batch: pa.Table) -> pa.Table:
+        combined, _ = _combined_shingle_hashes(
+            batch.column(text_col).to_pylist(), k)
+        return pa.Table.from_arrays([pa.array(combined, pa.int64())],
+                                    names=["h"])
+
+    ev = eval_ds.map_batches(eval_hashes, batch_format="pyarrow") \
+                .materialize()        # sized once, read once for the build
+    n_expected = max(int(ev.count()), 1)
+    ref, m, kk = bloom_from_dataset(ev, "h", n_expected=n_expected,
+                                    fp_rate=fp_rate)
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        combined, offsets = _combined_shingle_hashes(
+            batch.column(text_col).to_pylist(), k)
+        n_docs = batch.num_rows
+        if len(combined) == 0:
+            return batch
+        hit = _test_bits(bm, _positions(combined, m, kk))
+        doc_of = np.repeat(np.arange(n_docs), np.diff(offsets))
+        counts = np.bincount(doc_of[hit], minlength=n_docs)
+        return batch.filter(pa.array(counts < min_overlap))
+
+    return docs_ds.map_batches(keep_clean, batch_format="pyarrow")

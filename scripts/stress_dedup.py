@@ -86,6 +86,21 @@ def main():
     print(json.dumps({"metric": "minhash_pair_gen_500k", "docs": n_docs,
                       "pairs": n_pairs, "sec": pair_sec}))
 
+    if "--spans" in sys.argv:
+        from chinese_open_relation_extraction_for_entgraph_ray.stages.spans import (
+            duplicate_spans,
+        )
+
+        stride = 1
+        if "--stride" in sys.argv:
+            stride = int(sys.argv[sys.argv.index("--stride") + 1])
+        t0 = time.perf_counter()
+        n_spans = duplicate_spans(docs, window=32, stride=stride).count()
+        span_sec = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"metric": "duplicate_spans_500k", "docs": n_docs,
+                          "stride": stride, "spans": n_spans,
+                          "sec": span_sec}))
+
     if "--curate" in sys.argv:
         from chinese_open_relation_extraction_for_entgraph_ray.pipelines.curate import (
             curate_documents,

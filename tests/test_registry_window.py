@@ -61,6 +61,7 @@ PAST_WINDOW_PINS = {
     "docs_substring_deduped": (500, ["cleaned_md5", "doc_id",
                                      "n_chars_removed", "n_spans"]),
     "docs_resample_mixture": (354, ["doc_id", "lang"]),
+    "docs_decontaminated_bloom": (62, ["doc_id"]),
 }
 
 
