@@ -11,11 +11,12 @@ index; the distributed equivalent used here is windows-as-rows:
 
 1. **window hashes** — one ``map_batches`` emits ``(h, doc_id, pos)`` per
    char window, fully vectorized: the whole batch's text is reinterpreted
-   as a uint32 codepoint buffer once, ``sliding_window_view`` + one
-   ``(windows x W) @ weights`` Mersenne31 matmul hashes every window, and
-   per-doc valid positions are selected with repeat/arange index math —
-   no per-character or per-window Python.  Two independent 31-bit hashes
-   combine to 62 bits (same scheme as ``textstats.min_shingle_hash``).
+   as a uint32 codepoint buffer once, every window's 64-bit polynomial
+   hash comes from PREFIX SUMS in uint64 wraparound arithmetic (odd base,
+   modular-inverse normalization, splitmix64 finalize) — O(chars) work
+   and memory traffic, not O(chars x W); per-doc valid positions are
+   selected with repeat/arange index math.  No per-character,
+   per-window, or per-doc Python.
 2. **duplicated-hash set** — ``auto_hash_aggregate`` counts windows per
    hash (per-block pre-combine bounds the exchange at one row per
    (block, distinct hash)), keeps counts >= 2, and the surviving hash set
@@ -35,11 +36,10 @@ index; the distributed equivalent used here is windows-as-rows:
 
 Scale shape: the only exchange is the pre-combined hash-count aggregate
 (O(distinct windows per block) rows); marked positions and spans stream.
-Window identity is 62-bit hash equality, not string equality — a
-collision would mark a non-duplicated window; at 2^62 the expected extra
-mark appears around ~2^31 corpus windows per... colliding pair, i.e.
-negligible below ~10^9 distinct windows per corpus and bounded to
-one spurious window span if it ever happens.
+Window identity is 64-bit hash equality, not string equality — a
+collision would mark a non-duplicated window (bounded impact: one
+spurious <= window-length span), with pairwise probability ~2^-64 on
+non-adversarial text; negligible below ~10^9 distinct windows.
 """
 
 from __future__ import annotations
@@ -49,9 +49,23 @@ import logging
 import numpy as np
 import pyarrow as pa
 
-from .textstats import _MSH_MOD, _msh_weights
-
 logger = logging.getLogger("ray.data.spans")
+
+# polynomial rolling-hash base, odd so it is invertible mod 2^64 — window
+# hashes come from PREFIX SUMS in uint64 wraparound arithmetic (numpy
+# integer ops wrap like C), O(chars) total instead of the O(chars x W)
+# gather+matmul this replaced (measured 46.6 s -> see BASELINE.md; the
+# emit pass dominated the whole operator).  splitmix64 finalization is
+# bijective, so it changes distribution, never collision structure.
+_RH_BASE = np.uint64(0x9E3779B97F4A7C15 | 1)
+_RH_BASE_INV = np.uint64(pow(int(_RH_BASE), -1, 1 << 64))
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    z = (z + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
 #: refuse to broadcast a duplicated-hash set bigger than this (~800 MB of
 #: int64) — beyond it, fall back to the shuffle semi-join path.
@@ -66,8 +80,6 @@ def _window_hash_batch(batch: pa.Table, *, window: int, stride: int,
                        doc_col: str, text_col: str) -> pa.Table:
     """(doc_id, text) batch -> (h, doc_id, pos) rows, one per char window
     starting at pos in {0, stride, 2*stride, ...}, pos + window <= len."""
-    from numpy.lib.stride_tricks import sliding_window_view
-
     texts = batch.column(text_col).to_pylist()
     ids = np.asarray(batch.column(doc_col), dtype=np.int64)
     lens = np.array([len(t) if t else 0 for t in texts], dtype=np.int64)
@@ -81,19 +93,25 @@ def _window_hash_batch(batch: pa.Table, *, window: int, stride: int,
     # produce a false window because only within-doc positions are selected
     big = "\x00".join(t or "" for t in texts)
     codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32) \
-              .astype(np.int64)
+              .astype(np.uint64)
     doc_starts = np.concatenate([[0], np.cumsum(lens + 1)[:-1]])
     doc_idx = np.repeat(np.arange(len(texts)), n_wins)
     win_offsets = np.concatenate([[0], np.cumsum(n_wins)[:-1]])
     pos = (np.arange(total) - np.repeat(win_offsets, n_wins)) * stride
-    view = sliding_window_view(codes, window)          # (len-W+1, W) view
-    sel = view[doc_starts[doc_idx] + pos]              # (total, W) gather
-    w = _msh_weights(window)                           # (2, W) Mersenne31
-    h2 = (sel @ w.T) % _MSH_MOD                        # (total, 2)
-    h = (h2[:, 0] << 31) | h2[:, 1]                    # 62-bit combined
+    # rolling hash via prefix sums, all uint64 wraparound: term[j] =
+    # c[j] * B^(j+1); P[i] = sum(term[:i]); the window at global start g is
+    # (P[g+W] - P[g]) * B^-(g+1) = sum_j c[g+j] * B^j — one O(chars) pass,
+    # then an O(windows) gather of SCALARS (never the (windows x W) matrix)
+    n = len(codes)
+    pows = np.cumprod(np.full(n, _RH_BASE, dtype=np.uint64))
+    invs = np.cumprod(np.full(n, _RH_BASE_INV, dtype=np.uint64))
+    pref = np.concatenate([np.zeros(1, np.uint64),
+                           np.cumsum(codes * pows)])
+    gp = doc_starts[doc_idx] + pos
+    h = _splitmix64((pref[gp + window] - pref[gp]) * invs[gp])
     return pa.Table.from_arrays(
-        [pa.array(h, pa.int64()), pa.array(ids[doc_idx], pa.int64()),
-         pa.array(pos, pa.int64())],
+        [pa.array(h.view(np.int64), pa.int64()),
+         pa.array(ids[doc_idx], pa.int64()), pa.array(pos, pa.int64())],
         names=["h", doc_col, "pos"])
 
 
