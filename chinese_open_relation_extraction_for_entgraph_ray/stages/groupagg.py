@@ -69,6 +69,21 @@ def _add_key_hash(batch: pa.Table, key_cols: list[str]) -> pa.Table:
     if batch.num_rows == 0:
         return batch.append_column(_KH, pa.array([], pa.int64())) \
                     .append_column(_KL, pa.array([], pa.int64()))
+    if len(key_cols) == 1 and pa.types.is_integer(
+            batch.column(key_cols[0]).type):
+        # single integer key: hash the ints natively — no string
+        # materialization (measured: the cast+join dominated the emit-side
+        # cost of window-hash counting at 134M rows).  polars hashes ints
+        # full-width and nulls to a distinct value, so injectivity and the
+        # null/value distinction of the string encoding are preserved.
+        import polars as pl
+
+        ser = pl.from_arrow(batch.column(key_cols[0]))
+        hi = ser.hash(seed=_HASH_SEED_HI).to_numpy()
+        lo = ser.hash(seed=_HASH_SEED_LO).to_numpy()
+        return batch.append_column(
+            _KH, pa.array(hi.view(np.int64), pa.int64())) \
+            .append_column(_KL, pa.array(lo.view(np.int64), pa.int64()))
     try:
         joined = _joined_key_strings(batch, key_cols)
     except pa.ArrowNotImplementedError:
