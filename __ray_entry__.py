@@ -1357,6 +1357,38 @@ def _q_docs_decontaminated_bloom(sf_dir: str):
                      batch_format="pyarrow")
 
 
+def _q_docs_token_freq_cm(sf_dir: str):
+    """Count-Min point-frequency estimates for the Misra-Gries top-20
+    tokens (sketch composition: MG finds the heavy hitters shuffle-free,
+    CM answers their frequencies from a mergeable (4, 4096) matrix built
+    with one fixed-size row per block).  Rows-only: both sketches carry
+    one-sided error (MG undercounts, CM overcounts) — the bounds are
+    pinned in tests/test_ops_stages.py."""
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        approx_top_k,
+        cm_estimate,
+        count_min_sketch,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.tfidf import (
+        _term_freqs,
+    )
+
+    tf_rows = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda b: _term_freqs(b, "doc_id", "text"),
+                     batch_format="pyarrow")
+    top = approx_top_k(tf_rows, "term", k=20, weight_col="tf") \
+        .to_pandas()                                   # 20 rows — small
+    cm = count_min_sketch(tf_rows, "term", weight_col="tf")
+    est = cm_estimate(cm, top["value"].tolist())
+    return pa.Table.from_arrays(
+        [pa.array(top["value"].tolist(), pa.string()),
+         pa.array(top["approx_count"].to_numpy(), pa.int64()),
+         pa.array(est, pa.int64())],
+        names=["value", "mg_count", "cm_count"])
+
+
 def _q_embeddings_kmeans(sf_dir: str):
     """Distributed spherical k-means cluster assignments over the
     embeddings table (stages/kmeans.py; fixed 4 rounds, seeded init).
@@ -1742,6 +1774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_substring_deduped": _q_docs_substring_deduped,  # oracled (r4)
         "docs_resample_mixture": _q_docs_resample_mixture,  # oracled (r4)
         "docs_decontaminated_bloom": _q_docs_decontaminated_bloom,  # rows
+        "docs_token_freq_cm": _q_docs_token_freq_cm,  # rows-only (sketch)
     }
 
 

@@ -67,7 +67,8 @@ def _timed_queries() -> dict[str, float]:
              "minhash_candidate_pairs", "docs_similar_pairs_exact",
              "similarity_topk",
              "similarity_topk_ivf", "customer_revenue_topk",
-             "events_user_cumulative_value", "docs_top_tokens"]
+             "events_user_cumulative_value", "docs_top_tokens",
+             "docs_duplicate_spans", "docs_resample_mixture"]
     qs = entrymod.queries()
     out = {}
     for name in names:

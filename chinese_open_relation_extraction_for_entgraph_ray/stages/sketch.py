@@ -355,3 +355,73 @@ def approx_top_k(ds, column: str, k: int = 20,
                               kind="mergesort").head(k)
 
     return merged.map_batches(topk, batch_format="pandas", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable point-frequency estimates)
+# ---------------------------------------------------------------------------
+
+CM_WIDTH = 4096
+CM_DEPTH = 4
+_CM_SEEDS = (0x2545F4914F6CDD1D, 0x9E3779B97F4A7C15,
+             0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5)
+
+
+def _cm_cols(values, width: int, depth: int) -> np.ndarray:
+    """(depth, n) column indices for string values — polars full-buffer
+    string hash, then one splitmix-style remix per sketch row (independent
+    seeds), mod width.  Shared by build and estimate so both sides index
+    the same cells."""
+    import polars as pl
+
+    base = pl.Series([("" if v is None else str(v)) for v in values]) \
+        .hash(seed=0).to_numpy().astype(np.uint64)
+    cols = np.empty((depth, len(base)), dtype=np.int64)
+    for d in range(depth):
+        z = base + np.uint64(_CM_SEEDS[d % len(_CM_SEEDS)] + d)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        cols[d] = (z % np.uint64(width)).astype(np.int64)
+    return cols
+
+
+def count_min_sketch(ds, column: str, *, width: int = CM_WIDTH,
+                     depth: int = CM_DEPTH,
+                     weight_col: str | None = None) -> np.ndarray:
+    """Dataset -> (depth, width) Count-Min matrix over ``column``
+    (optionally ``weight_col``-weighted).  Mergeable by ADDITION, so the
+    distributed shape is the sketch-family standard: ONE matrix row per
+    block (vectorized np.add.at per batch), summed on the driver —
+    O(blocks x depth x width x 8) bytes cross the wire, never the values.
+    Guarantees (Cormode & Muthukrishnan 2005): estimates NEVER undercount;
+    overcount <= e/width * N with probability 1 - e^-depth per query."""
+
+    def block_cm(batch: pa.Table) -> pa.Table:
+        cm = np.zeros((depth, width), dtype=np.int64)
+        vals = batch.column(column).to_pylist()
+        if vals:
+            w = (np.asarray(batch.column(weight_col), dtype=np.int64)
+                 if weight_col is not None
+                 else np.ones(len(vals), dtype=np.int64))
+            cols = _cm_cols(vals, width, depth)
+            for d in range(depth):
+                np.add.at(cm[d], cols[d], w)
+        return pa.Table.from_arrays(
+            [pa.array([cm.tobytes()], pa.binary())], names=["cm"])
+
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for b in ds.map_batches(block_cm, batch_format="pyarrow",
+                            batch_size=65536) \
+               .iter_batches(batch_format="pyarrow"):
+        for buf in b.column("cm").to_pylist():
+            merged += np.frombuffer(buf, dtype=np.int64) \
+                        .reshape(depth, width)
+    return merged
+
+
+def cm_estimate(cm: np.ndarray, values) -> np.ndarray:
+    """Point-frequency estimates (min over rows) for ``values``."""
+    depth, width = cm.shape
+    cols = _cm_cols(list(values), width, depth)
+    return np.min(cm[np.arange(depth)[:, None], cols], axis=0)

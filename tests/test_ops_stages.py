@@ -592,3 +592,51 @@ def test_approx_top_k_heavy_hitters_guarantee(ray_session):
         assert h in est, f"heavy hitter {h} missing"
         assert est[h] <= exact[h]
         assert exact[h] - est[h] <= bound
+
+
+def test_count_min_bounds_and_merge(ray_session):
+    """r4: CM estimates never undercount, overcount within the e/width * N
+    bound (generous margin), and the distributed block-merged matrix
+    equals a single-pass build."""
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        cm_estimate,
+        count_min_sketch,
+    )
+
+    rng = np.random.RandomState(29)
+    stream = [f"hot{i}" for i in range(3) for _ in range(500)]
+    stream += [f"t{i}" for i in rng.randint(0, 5000, size=4000)]
+    rng.shuffle(stream)
+    exact = {}
+    for v in stream:
+        exact[v] = exact.get(v, 0) + 1
+    n = len(stream)
+    ds = rd.from_items([{"tok": v} for v in stream]).repartition(6)
+    cm = count_min_sketch(ds, "tok", width=1024, depth=4)
+    assert cm.shape == (4, 1024) and cm[0].sum() == n   # each row sees all
+    probes = list(exact)
+    est = cm_estimate(cm, probes)
+    true = np.array([exact[p] for p in probes])
+    assert (est >= true).all()                          # one-sided error
+    assert (est - true <= np.e / 1024 * n * 4).all()    # bound w/ margin
+    cm1 = count_min_sketch(ds.repartition(1), "tok", width=1024, depth=4)
+    assert (cm == cm1).all()                            # merge == one pass
+
+
+def test_count_min_weighted(ray_session):
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        cm_estimate,
+        count_min_sketch,
+    )
+
+    rows = [{"tok": "a", "w": 10}, {"tok": "b", "w": 3},
+            {"tok": "a", "w": 5}, {"tok": "c", "w": 1}]
+    ds = rd.from_items(rows).repartition(2)
+    cm = count_min_sketch(ds, "tok", width=512, depth=4, weight_col="w")
+    est = cm_estimate(cm, ["a", "b", "c"])
+    assert (est >= np.array([15, 3, 1])).all()
+    assert est.sum() <= 19 * 3 + 19                     # tiny stream: exact-ish

@@ -62,6 +62,7 @@ PAST_WINDOW_PINS = {
                                      "n_chars_removed", "n_spans"]),
     "docs_resample_mixture": (354, ["doc_id", "lang"]),
     "docs_decontaminated_bloom": (62, ["doc_id"]),
+    "docs_token_freq_cm": (20, ["cm_count", "mg_count", "value"]),
 }
 
 
