@@ -1389,6 +1389,20 @@ def _q_docs_token_freq_cm(sf_dir: str):
         names=["value", "mg_count", "cm_count"])
 
 
+def _q_docs_lm_scores(sf_dir: str):
+    """Unigram-LM quality scoring (stages/lm.py, the CCNet-style filter
+    signal): corpus token LM from one pre-combined aggregate, broadcast,
+    per-doc mean token log2-prob.  SQL-oracled (round-4 decimals, the
+    tfidf float convention)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.lm import (
+        score_docs,
+        unigram_lm,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return score_docs(docs, unigram_lm(docs))
+
+
 def _q_embeddings_kmeans(sf_dir: str):
     """Distributed spherical k-means cluster assignments over the
     embeddings table (stages/kmeans.py; fixed 4 rounds, seeded init).
@@ -1775,6 +1789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_resample_mixture": _q_docs_resample_mixture,  # oracled (r4)
         "docs_decontaminated_bloom": _q_docs_decontaminated_bloom,  # rows
         "docs_token_freq_cm": _q_docs_token_freq_cm,  # rows-only (sketch)
+        "docs_lm_scores": _q_docs_lm_scores,  # oracled (r4)
     }
 
 
@@ -2498,6 +2513,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.doc_id, r.lang
             FROM ranked r JOIN quota q USING (lang)
             WHERE r.rn <= q.q""",
+        "docs_lm_scores": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+              FROM documents),
+            cnt AS (SELECT t, count(*)::DOUBLE AS c FROM toks GROUP BY 1),
+            tot AS (SELECT count(*)::DOUBLE AS n FROM toks),
+            per AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     round(avg(ln(cnt.c / (SELECT n FROM tot)) / ln(2)), 4)
+                         AS lm_logp
+              FROM toks JOIN cnt ON toks.t = cnt.t GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+                   p.lm_logp
+            FROM documents d LEFT JOIN per p USING (doc_id)""",
     }
 
 

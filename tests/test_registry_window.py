@@ -63,6 +63,8 @@ PAST_WINDOW_PINS = {
     "docs_resample_mixture": (354, ["doc_id", "lang"]),
     "docs_decontaminated_bloom": (62, ["doc_id"]),
     "docs_token_freq_cm": (20, ["cm_count", "mg_count", "value"]),
+    # SQL-oracled past-window (full local gate hash-checks it)
+    "docs_lm_scores": (500, ["doc_id", "lm_logp", "n_tokens"]),
 }
 
 
