@@ -11,9 +11,10 @@ over-remove a few clean docs, but nothing contaminated survives.
 
 Construction is distributed and mergeable: each block builds its own
 ``m``-bit bitmap with one vectorized numpy pass (k bit positions per
-value via double hashing), blocks emit ONE bitmap row each, and the
-driver ORs them — O(blocks x m/8) bytes through the driver, independent
-of set size.  Membership tests are the same vectorized positions +
+value via double hashing), blocks emit ONE bitmap row each, a
+per-partition OR pre-merges them, and the driver ORs the ~8 survivors —
+O(m/8) bytes through the driver, independent of set size and block
+count.  Membership tests are the same vectorized positions +
 ``bitwise_and`` reduction per batch against the ``ray.put``-broadcast
 bitmap.
 
@@ -90,10 +91,21 @@ def bloom_from_dataset(ds, column: str, *, n_expected: int,
         return pa.Table.from_arrays(
             [pa.array([bm.tobytes()], pa.binary())], names=["bitmap"])
 
+    def or_merge(batch: pa.Table) -> pa.Table:
+        bm = np.zeros(m // 64, dtype=np.uint64)
+        for buf in batch.column("bitmap").to_pylist():
+            bm |= np.frombuffer(buf, dtype=np.uint64)
+        return pa.Table.from_arrays(
+            [pa.array([bm.tobytes()], pa.binary())], names=["bitmap"])
+
+    # two-level merge: per-partition OR first, so only ~8 bitmap rows —
+    # not one per block — reach the driver (the grouped-HLL shape)
     merged = np.zeros(m // 64, dtype=np.uint64)
-    for b in ds.map_batches(block_bloom, batch_format="pyarrow",
-                            batch_size=None) \
-               .iter_batches(batch_format="pyarrow"):
+    pre = ds.map_batches(block_bloom, batch_format="pyarrow",
+                         batch_size=None) \
+            .repartition(8) \
+            .map_batches(or_merge, batch_format="pyarrow", batch_size=None)
+    for b in pre.iter_batches(batch_format="pyarrow"):
         for buf in b.column("bitmap").to_pylist():
             merged |= np.frombuffer(buf, dtype=np.uint64)
     return ray.put(merged), m, k
