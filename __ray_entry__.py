@@ -1431,6 +1431,74 @@ def _q_docs_tfidf_top_terms(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"]), k=5)
 
 
+def _q_orders_rollup(sf_dir: str):
+    """Hierarchical ROLLUP aggregate (stages/rollup.py): revenue + order
+    counts at every (status, priority) prefix level from ONE scan — the
+    coarser levels re-aggregate the previous level's group table
+    (O(groups)), never the input."""
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.rollup import (
+        rollup_aggregate,
+    )
+
+    out = rollup_aggregate(
+        _read(sf_dir, "orders",
+              columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]),
+        ["o_orderstatus", "o_orderpriority"],
+        [("o_totalprice", "sum")], count_as="n_orders")
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("o_totalprice")
+        return batch.set_column(
+            i, "total_price", pc_round_away(batch.column("o_totalprice"), 2))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_events_value_quantiles_by_type(sf_dir: str):
+    """EXACT per-group quantiles (stages/quantile_exact.py — one sort
+    exchange + vectorized per-block selection), the bit-true companion of
+    the mergeable-sketch grouped quantiles; matches SQL quantile_disc
+    element-for-element."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.quantile_exact import (
+        grouped_quantiles,
+    )
+
+    return grouped_quantiles(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        "event_type", "value", [0.25, 0.5, 0.75])
+
+
+def _q_events_funnel(sf_dir: str):
+    """Ordered view->click->purchase funnel (stages/funnel.py): per-user
+    depth via one sort-by-user exchange + per-block pass vectorized
+    ACROSS users, then a constant-size count-per-depth aggregate."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.funnel import (
+        funnel_stage_counts,
+    )
+
+    return funnel_stage_counts(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
+        user_col="user_id", ts_col="ts", type_col="event_type",
+        stages=["view", "click", "purchase"])
+
+
+def _q_embeddings_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup (stages/semdedup.py): spherical k-means
+    clusters + in-cluster exact-cosine greedy min-id survivors.  Rows-only
+    (iterative k-means is not SQL-expressible); the planted-duplicate
+    recall and the in-cluster drop rule are pinned in
+    tests/test_semdedup.py."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.semdedup import (
+        semdedup,
+    )
+
+    return semdedup(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.95, n_clusters=16)
+
+
 def _q_kg_coref_chain_buckets(sf_dir: str):
     """Coref chain-count histogram per conversation incl. the 0 bucket
     (the reference's coref_chain_bucket, main_ner.py:332,380-381; G4
@@ -1790,6 +1858,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminated_bloom": _q_docs_decontaminated_bloom,  # rows
         "docs_token_freq_cm": _q_docs_token_freq_cm,  # rows-only (sketch)
         "docs_lm_scores": _q_docs_lm_scores,  # oracled (r4)
+        "orders_rollup": _q_orders_rollup,  # oracled (r4)
+        "events_value_quantiles_by_type":
+            _q_events_value_quantiles_by_type,  # oracled (r4)
+        "events_funnel": _q_events_funnel,  # oracled (r4)
+        "embeddings_semdedup": _q_embeddings_semdedup,  # rows-only
     }
 
 
@@ -2527,6 +2600,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
                    p.lm_logp
             FROM documents d LEFT JOIN per p USING (doc_id)""",
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "events_value_quantiles_by_type": """
+            SELECT event_type,
+                   quantile_disc(value, 0.25) AS p25,
+                   quantile_disc(value, 0.50) AS p50,
+                   quantile_disc(value, 0.75) AS p75
+            FROM events GROUP BY event_type""",
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts >= s1.t
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+                   GROUP BY e.user_id)
+            SELECT 'view' AS stage, 1::BIGINT AS stage_idx,
+                   count(*)::BIGINT AS n_users FROM s1
+            UNION ALL SELECT 'click', 2, count(*) FROM s2
+            UNION ALL SELECT 'purchase', 3, count(*) FROM s3""",
     }
 
 

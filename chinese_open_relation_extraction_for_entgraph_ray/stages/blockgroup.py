@@ -25,6 +25,24 @@ import pandas as pd
 import pyarrow as pa
 
 
+def arrow_type_of(ds, col: str) -> pa.DataType:
+    """Arrow type of ``col`` in a Dataset — robust to pandas-backed
+    datasets (from_pandas test inputs), whose schema reports numpy dtypes
+    or Python classes instead of ``pa.DataType``.  Python ``object``/
+    ``str`` columns map to ``pa.string()`` (the only object payload this
+    engine stores)."""
+    import numpy as np
+
+    sch = ds.schema()
+    t = sch.types[sch.names.index(col)]
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (TypeError, pa.ArrowNotImplementedError):
+        return pa.string()
+
+
 def _to_arrow(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
     if df is None or len(df) == 0:
         return schema.empty_table()

@@ -65,6 +65,13 @@ PAST_WINDOW_PINS = {
     "docs_token_freq_cm": (20, ["cm_count", "mg_count", "value"]),
     # SQL-oracled past-window (full local gate hash-checks it)
     "docs_lm_scores": (500, ["doc_id", "lm_logp", "n_tokens"]),
+    # SQL-oracled past-window (full local gate hash-checks them)
+    "orders_rollup": (19, ["n_orders", "o_orderpriority", "o_orderstatus",
+                           "total_price"]),
+    "events_value_quantiles_by_type": (5, ["event_type", "p25", "p50",
+                                           "p75"]),
+    "events_funnel": (3, ["n_users", "stage", "stage_idx"]),
+    "embeddings_semdedup": (500, ["cluster", "keep", "vec_id"]),
 }
 
 
