@@ -1499,6 +1499,35 @@ def _q_embeddings_semdedup(sf_dir: str):
         threshold=0.95, n_clusters=16)
 
 
+def _q_events_type_pivot(sf_dir: str):
+    """Long->wide conditional aggregate (stages/pivot.py): per-user
+    counts of every event type + total in ONE pre-combined exchange
+    (indicator columns per batch, single hash aggregate — not one
+    aggregate per pivot value)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.pivot import (
+        pivot_counts,
+    )
+
+    return pivot_counts(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        "user_id", "event_type",
+        ["view", "click", "purchase", "signup", "error"])
+
+
+def _q_events_value_winsorized(sf_dir: str):
+    """Per-type winsorized mean (stages/quantile_exact.winsorized_mean):
+    exact [p05, p95] clamp bounds from one grouped-selection pass, keyed
+    lookup join back to the stream, one pre-combined sum/count
+    aggregate."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.quantile_exact import (
+        winsorized_mean,
+    )
+
+    return winsorized_mean(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        "event_type", "value", lo_q=0.05, hi_q=0.95)
+
+
 def _q_kg_coref_chain_buckets(sf_dir: str):
     """Coref chain-count histogram per conversation incl. the 0 bucket
     (the reference's coref_chain_bucket, main_ner.py:332,380-381; G4
@@ -1626,14 +1655,31 @@ def _q_docs_embed_similar(sf_dir: str):
     return brute_force_top_k(embedded, qvec, k=5)
 
 
-def _q_docs_jaccard_near_dups(sf_dir: str):
-    """n-gram-Jaccard-verified near-dup pairs over MinHash-LSH candidates."""
+# In-process memo of the verified near-dup pair set per (sf_dir, threshold):
+# docs_jaccard_near_dups and docs_dedup_clusters share the identical
+# pair computation over the raw documents table — in the driver's one-process
+# correctness gate the second query reuses the first's materialized pairs
+# (same gate-delivery rationale as _KG_MEMO).
+_PAIRS_MEMO: dict[tuple, Any] = {}
+
+
+def _jaccard_pairs(sf_dir: str, threshold: float = 0.5):
     from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
         jaccard_near_dups,
     )
 
-    return jaccard_near_dups(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.5)
+    key = (sf_dir, threshold)
+    out = _PAIRS_MEMO.get(key)
+    if out is None:
+        out = _PAIRS_MEMO[key] = jaccard_near_dups(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            threshold=threshold).materialize()
+    return out
+
+
+def _q_docs_jaccard_near_dups(sf_dir: str):
+    """n-gram-Jaccard-verified near-dup pairs over MinHash-LSH candidates."""
+    return _jaccard_pairs(sf_dir, threshold=0.5)
 
 
 def _q_docs_similar_pairs_exact(sf_dir: str):
@@ -1659,14 +1705,9 @@ def _q_docs_dedup_clusters(sf_dir: str):
     from chinese_open_relation_extraction_for_entgraph_ray.stages.cluster import (
         dedup_cluster_representatives,
     )
-    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
-        jaccard_near_dups,
-    )
 
-    pairs = jaccard_near_dups(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]),
-        threshold=0.5)
-    return dedup_cluster_representatives(pairs)
+    return dedup_cluster_representatives(_jaccard_pairs(sf_dir,
+                                                        threshold=0.5))
 
 
 def _q_embedding_near_dups(sf_dir: str):
@@ -1863,6 +1904,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_events_value_quantiles_by_type,  # oracled (r4)
         "events_funnel": _q_events_funnel,  # oracled (r4)
         "embeddings_semdedup": _q_embeddings_semdedup,  # rows-only
+        "events_type_pivot": _q_events_type_pivot,  # oracled (r4)
+        "events_value_winsorized": _q_events_value_winsorized,  # oracled
     }
 
 
@@ -2627,6 +2670,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_users FROM s1
             UNION ALL SELECT 'click', 2, count(*) FROM s2
             UNION ALL SELECT 'purchase', 3, count(*) FROM s3""",
+        "events_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'view')
+                       AS n_view,
+                   count(*) FILTER (WHERE event_type = 'click')
+                       AS n_click,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')
+                       AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'error')
+                       AS n_error,
+                   count(*) AS n_total
+            FROM events GROUP BY user_id""",
+        "events_value_winsorized": """
+            WITH q AS (
+              SELECT event_type,
+                     quantile_disc(value, 0.05) AS lo,
+                     quantile_disc(value, 0.95) AS hi
+              FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   round(avg(least(greatest(e.value, q.lo), q.hi)), 4)
+                       AS avg_winsorized,
+                   count(*) AS n
+            FROM events e JOIN q USING (event_type)
+            GROUP BY e.event_type""",
     }
 
 

@@ -84,3 +84,56 @@ def grouped_quantiles(ds, key: str, value: str, qs: list[float],
 
     return sorted_map_groups(ds.select_columns([key, value]), [key],
                              block_fn=block_fn, schema=schema)
+
+
+def winsorized_mean(ds, key: str, value: str, *, lo_q: float = 0.05,
+                    hi_q: float = 0.95, decimals: int = 4):
+    """Per-group mean of ``value`` winsorized (clamped) to the group's
+    exact [lo_q, hi_q] quantiles — the robust-mean building block for
+    outlier-tolerant quality metrics.
+
+    Shape: one :func:`grouped_quantiles` pass (sort exchange) gives the
+    tiny per-group clamp bounds, which attach back to the stream via a
+    keyed lookup join (never a driver-side dict); the clamped sum/count
+    then flow through ONE pre-combined aggregate.  Output:
+    (key, avg_winsorized, n) with the mean rounded away-from-zero to
+    ``decimals`` (the engine's SQL round convention).
+
+    Null convention: ``n`` counts ALL rows (SQL count(*)) and the mean
+    divides by it — on inputs with null ``value`` rows this differs from
+    SQL ``avg`` (which divides by the non-null count); filter nulls
+    upstream if that distinction matters."""
+    import pyarrow.compute as pc
+
+    from ..functions.fputil import pc_round_away
+    from .groupagg import auto_hash_aggregate
+    from .joins import lookup_join
+
+    bounds = grouped_quantiles(ds, key, value, [lo_q, hi_q],
+                               out_names=["__lo", "__hi"])
+    joined = lookup_join(ds.select_columns([key, value]), bounds,
+                         left_key=key, right_key=key,
+                         payload=["__lo", "__hi"], suffix="",
+                         how="inner")
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value), pa.float64())
+        clamped = pc.min_element_wise(
+            pc.max_element_wise(v, t.column("__lo")), t.column("__hi"))
+        ones = pa.array(np.ones(len(t), dtype=np.int64))
+        return pa.Table.from_arrays(
+            [t.column(key), clamped, ones],
+            names=[key, "__sum", "n"])
+
+    agg = auto_hash_aggregate(
+        joined.map_batches(clamp, batch_format="pyarrow"),
+        [key], [("__sum", "sum"), ("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        mean = pc.divide(t.column("__sum"),
+                         pc.cast(t.column("n"), pa.float64()))
+        return pa.Table.from_arrays(
+            [t.column(key), pc_round_away(mean, decimals), t.column("n")],
+            names=[key, "avg_winsorized", "n"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")

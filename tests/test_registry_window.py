@@ -72,6 +72,10 @@ PAST_WINDOW_PINS = {
                                            "p75"]),
     "events_funnel": (3, ["n_users", "stage", "stage_idx"]),
     "embeddings_semdedup": (500, ["cluster", "keep", "vec_id"]),
+    "events_type_pivot": (15, ["n_click", "n_error", "n_purchase",
+                               "n_signup", "n_total", "n_view",
+                               "user_id"]),
+    "events_value_winsorized": (5, ["avg_winsorized", "event_type", "n"]),
 }
 
 

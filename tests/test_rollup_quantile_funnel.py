@@ -248,3 +248,77 @@ def test_semdedup_no_dups_short_circuit(ray_session):
     }))
     out = semdedup(ds, threshold=0.9999, n_clusters=4).to_pandas()
     assert len(out) == 50 and out["keep"].all()
+
+
+# --- pivot --------------------------------------------------------------------
+
+def test_pivot_counts_matches_pandas(ray_session):
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.pivot import (
+        pivot_counts,
+    )
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 20, 300),
+        "c": rng.choice(["x", "y", "z", "other"], 300),
+    })
+    got = pivot_counts(_ds(df), "k", "c", ["x", "y", "z"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    exp = df.assign(**{f"n_{v}": (df["c"] == v).astype("int64")
+                       for v in ["x", "y", "z"]}, n_total=1) \
+        .groupby("k", as_index=False)[["n_x", "n_y", "n_z", "n_total"]] \
+        .sum().sort_values("k").reset_index(drop=True)
+    for c in ["n_x", "n_y", "n_z", "n_total"]:
+        assert got[c].astype("int64").tolist() == exp[c].tolist(), c
+    # 'other' rows count only toward the total
+    assert (got["n_total"] >= got[["n_x", "n_y", "n_z"]].sum(axis=1)).all()
+    with pytest.raises(ValueError):
+        pivot_counts(_ds(df), "k", "c", [])
+
+
+def test_pivot_counts_null_col_rows(ray_session):
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.pivot import (
+        pivot_counts,
+    )
+
+    df = pd.DataFrame({"k": [1, 1, 2], "c": ["x", None, "x"]})
+    got = pivot_counts(_ds(df), "k", "c", ["x"]).to_pandas() \
+        .set_index("k")
+    assert got.loc[1, "n_x"] == 1 and got.loc[1, "n_total"] == 2
+    assert got.loc[2, "n_x"] == 1 and got.loc[2, "n_total"] == 1
+
+
+# --- winsorized mean ------------------------------------------------------------
+
+def test_winsorized_mean_matches_duckdb(ray_session):
+    import duckdb
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.quantile_exact import (
+        winsorized_mean,
+    )
+
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 400),
+        "v": np.concatenate([rng.standard_normal(398) * 10,
+                             [1e6, -1e6]]),   # outliers the clamp removes
+    })
+    import ray.data as rd
+
+    # arrow-backed input: the join path requires Arrow types in the schema
+    got = winsorized_mean(rd.from_arrow(pa.Table.from_pandas(df)),
+                          "k", "v", lo_q=0.05, hi_q=0.95) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    exp = duckdb.connect().execute("""
+        WITH q AS (SELECT k, quantile_disc(v, 0.05) lo,
+                          quantile_disc(v, 0.95) hi FROM df GROUP BY k)
+        SELECT d.k, round(avg(least(greatest(d.v, q.lo), q.hi)), 4)
+                   AS avg_winsorized,
+               count(*) AS n
+        FROM df d JOIN q USING (k) GROUP BY d.k ORDER BY d.k""").df()
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["n"].astype("int64").tolist() == exp["n"].tolist()
+    np.testing.assert_allclose(got["avg_winsorized"], exp["avg_winsorized"],
+                               atol=1e-9)
+    # the outliers must not dominate: winsorized mean is near 0, raw isn't
+    assert got["avg_winsorized"].abs().max() < 20
