@@ -1955,18 +1955,30 @@ def _shingle_cte() -> str:
 
 
 def _jaccard_pairs_sql(threshold: float = 0.5) -> str:
-    """All-pairs exact Jaccard >= threshold over the ``sh`` CTE (quadratic —
-    oracle-scale only; the Ray side is the LSH/inverted-index path)."""
+    """Exact Jaccard >= threshold pairs over the ``sh`` CTE, as an
+    inverted-index join (unnest + equi-join on shingle + group count)
+    rather than the all-pairs ``list_intersect`` cross join — identical
+    pairs (any pair with J > 0 shares >= 1 shingle; the one class with
+    NO shared shingle but J = 1.0 — both shingle sets empty — is added
+    back by the second branch), ~20x faster as a DuckDB oracle, which
+    matters because three gate oracles embed this fragment."""
     return f"""
+        jp_ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        jp_ic AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                  FROM jp_ex x JOIN jp_ex y
+                    ON x.g = y.g AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2),
+        jp_sz AS (SELECT doc_id, len(s) AS n FROM sh),
         pairs AS (
-          SELECT a, b, inter, uni
-          FROM (SELECT x.doc_id AS a, y.doc_id AS b,
-                       len(list_intersect(x.s, y.s)) AS inter,
-                       len(x.s) + len(y.s)
-                           - len(list_intersect(x.s, y.s)) AS uni
-                FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
-          WHERE CASE WHEN uni = 0 THEN 1.0
-                     ELSE inter * 1.0 / uni END >= {threshold})"""
+          SELECT a, b, inter, sx.n + sy.n - inter AS uni
+          FROM jp_ic
+          JOIN jp_sz sx ON sx.doc_id = a
+          JOIN jp_sz sy ON sy.doc_id = b
+          WHERE inter * 1.0 / (sx.n + sy.n - inter) >= {threshold}
+          UNION ALL
+          SELECT x.doc_id, y.doc_id, 0, 0
+          FROM jp_sz x JOIN jp_sz y
+            ON x.n = 0 AND y.n = 0 AND x.doc_id < y.doc_id)"""
 
 
 def _minhash_pairs_sql() -> str:

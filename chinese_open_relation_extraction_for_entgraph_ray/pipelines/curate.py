@@ -89,9 +89,13 @@ def curate_documents(docs_ds, *, jaccard_threshold: float = 0.5,
                          f"got {pairs_mode!r}")
     from ..stages.joins import semi_join
 
+    # materialized: id-only (O(corpus) ids in the object store, not text),
+    # and it opts the semi-join into the broadcast path while the survivor
+    # count fits BROADCAST_KEYS_THRESHOLD — beyond it the sorted-block
+    # exchange engages automatically
     survivors = curate_step1_exact(docs_ds, **filter_kwargs) \
         .map_batches(lambda b: b.select(["keep_doc_id"]),
-                     batch_format="pyarrow")
+                     batch_format="pyarrow").materialize()
     kept = semi_join(docs_ds, survivors,
                      left_key="doc_id", right_key="keep_doc_id") \
         .materialize()   # consumed twice: near-dup candidate gen + anti-join

@@ -34,17 +34,68 @@ import pyarrow as pa
 logger = logging.getLogger(__name__)
 
 
+#: Pair count at or below which the closure runs as a LOCAL union-find on
+#: the collected pairs instead of iterative distributed rounds.  The pair
+#: stream is already bounded by VERIFIED duplicate pairs (the callers
+#: materialize and anti-join it on the same grounds), so collecting it is
+#: the standard broadcast-small-side trade — while each distributed round
+#: costs a fixed ~10 Dataset ops regardless of size.  Identical outputs
+#: are pinned by an A/B pytest.  At 64 B/pair this is ~64 MB of driver
+#: heap; raise/lower to taste, or pass local_threshold=0 to force the
+#: distributed path.
+LOCAL_CC_THRESHOLD = 1_000_000
+
+
+def _local_components(pairs_ds, a: str, b: str):
+    """Vectorized min-label propagation over the collected pair set (the
+    small-side path): the SAME update rule as the distributed rounds
+    (neighbor min + pointer jump), run as numpy passes — returns the same
+    (node, component=min-id) Dataset.  Labels only decrease and the
+    fixpoint forces every edge's endpoints equal, so the converged label
+    is exactly the component's minimum node id."""
+    import numpy as np
+    import ray.data as rd
+
+    parts = [pa.table({"a": t.column(a).cast(pa.int64()),
+                       "b": t.column(b).cast(pa.int64())})
+             for t in pairs_ds.iter_batches(batch_format="pyarrow")]
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    tbl = pa.concat_tables(parts or [empty], promote_options="default")
+    av = tbl.column("a").to_numpy(zero_copy_only=False)
+    bv = tbl.column("b").to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([av, bv]), return_inverse=True)
+    ia, ib = inv[:len(av)], inv[len(av):]
+    labels = np.arange(len(nodes))
+    while True:
+        prev = labels.copy()
+        np.minimum.at(labels, ia, prev[ib])   # neighbor hop (both ways)
+        np.minimum.at(labels, ib, prev[ia])
+        labels = np.minimum(labels, labels[labels])   # pointer jump
+        if np.array_equal(labels, prev):
+            break
+    return rd.from_arrow(pa.table({"node": nodes,
+                                   "component": nodes[labels]}))
+
+
 def connected_components(pairs_ds, *, a: str = "a", b: str = "b",
-                         max_iters: int = 20):
+                         max_iters: int = 20,
+                         local_threshold: int = LOCAL_CC_THRESHOLD):
     """(a, b) pair Dataset -> (node, component) Dataset, component = the
     minimum node id in the node's connected component.
 
     Only nodes that appear in at least one pair are returned (isolated
-    nodes have no duplicate to resolve).  Raises RuntimeError if
-    ``max_iters`` rounds don't converge (pointer jumping makes that
-    ~2^max_iters-long chains — unreachable in practice)."""
+    nodes have no duplicate to resolve).  Pair sets at or below
+    ``local_threshold`` take the local union-find path (see
+    ``LOCAL_CC_THRESHOLD``); larger ones run the distributed min-label +
+    pointer-jumping rounds.  Raises RuntimeError if ``max_iters`` rounds
+    don't converge (pointer jumping makes that ~2^max_iters-long chains —
+    unreachable in practice)."""
     from .groupagg import auto_hash_aggregate
     from .joins import lookup_join
+
+    if local_threshold and pairs_ds.count() <= local_threshold:
+        return _local_components(pairs_ds, a, b)
 
     # symmetric neighbor stream (src, dst): each edge in both directions
     def sym(batch: pa.Table) -> pa.Table:

@@ -192,16 +192,187 @@ def lookup_join(left_ds, right_ds, *, left_key: str, right_key: str,
                                   suffix=suffix, mode=how)
 
 
+#: Right-side row count at or below which ``semi_join`` broadcasts the key
+#: set (ray.put once, vectorized membership in every task) instead of the
+#: sorted-block exchange.  1e7 int64 keys = 80 MB in the object store —
+#: read zero-copy by every task, never re-shipped per batch.  The sort
+#: path engages automatically beyond it.
+BROADCAST_KEYS_THRESHOLD = 10_000_000
+
+
 def semi_join(left_ds, right_ds, *, left_key: str, right_key: str,
-              anti: bool = False, left_key_nullable: bool = True):
+              anti: bool = False, left_key_nullable: bool = True,
+              broadcast_threshold: int = BROADCAST_KEYS_THRESHOLD):
     """Keep left rows whose key does (semi) / does not (anti) appear in the
     right side — the distributed replacement for take_all() + is_in.
     ``left_key_nullable=False`` skips the anti mode's null-key second scan
-    when the caller guarantees a non-null key (e.g. a computed hash)."""
+    when the caller guarantees a non-null key (e.g. a computed hash).
+
+    When the right side is already MATERIALIZED and small
+    (<= ``broadcast_threshold`` rows, e.g. a verified near-dup drop set),
+    its distinct keys are broadcast once via ``ray.put`` and membership is
+    a vectorized sorted-array search inside ``map_batches`` — ONE pass
+    over the left side, no exchange at all.  Only a materialized right
+    side is auto-detected (its count is O(1) block metadata; counting a
+    lazy right would cost a full extra execution) — ``.materialize()`` the
+    right side to opt in.  SQL null semantics are preserved on both
+    paths: a null left key is in no set (dropped by semi, kept by anti);
+    null right keys match nothing.  Pass ``broadcast_threshold=0`` to
+    force the sorted-block exchange."""
+    from ray.data.dataset import MaterializedDataset
+
+    if (broadcast_threshold and isinstance(right_ds, MaterializedDataset)
+            and right_ds.count() <= broadcast_threshold):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.compute as pc
+        import ray
+
+        keys = pd.concat(
+            [b[right_key] for b in
+             right_ds.select_columns([right_key])
+             .iter_batches(batch_format="pandas")]
+            or [pd.Series([], dtype=object)], ignore_index=True).dropna()
+        key_ref = ray.put(np.sort(keys.unique()))
+
+        def member_filter(batch: pa.Table) -> pa.Table:
+            sorted_keys = ray.get(key_ref)
+            col = batch.column(left_key)
+            n_null = col.null_count
+            if n_null and not left_key_nullable:
+                # same loud contract as the sorted-block path: a violated
+                # non-null guarantee must never pass silently
+                raise ValueError(
+                    f"left_key_nullable=False but {n_null} null "
+                    f"{left_key!r} value(s) observed — the non-null "
+                    f"guarantee is violated")
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            hit = np.zeros(len(batch), dtype=bool)
+            if len(sorted_keys):
+                # drop_null (not vals[valid]) keeps the exact int64 dtype:
+                # to_numpy on a null-bearing int column upcasts to float64,
+                # which is lossy beyond 2^53 (hash keys)
+                v = pc.drop_null(col).to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(sorted_keys, v)
+                pos = np.minimum(pos, len(sorted_keys) - 1)
+                hit[valid] = sorted_keys[pos] == v
+            return batch.filter(pa.array(~hit if anti else hit))
+
+        return left_ds.map_batches(member_filter, batch_format="pyarrow")
     return _sorted_block_equijoin(left_ds, right_ds, left_key=left_key,
                                   right_key=right_key, payload=[],
                                   suffix="", mode="anti" if anti else "semi",
                                   left_key_nullable=left_key_nullable)
+
+
+def outer_join(left_ds, right_ds, *, left_key: str, right_key: str,
+               left_payload: list[str], right_payload: list[str],
+               key_out: str | None = None, suffix: str = "_r"):
+    """Distributed FULL OUTER equi-join (completes the inner/left/semi/anti
+    family): every left row, every right row, matched where the keys are
+    equal — SQL ``FULL OUTER JOIN ... USING (key)`` with the key coalesced
+    into ONE output column (``key_out``, default the left key name).
+
+    Output schema: ``key_out`` + ``left_payload`` (null on right-only rows)
+    + ``right_payload`` renamed ``<col><suffix>`` on name clash (null on
+    left-only rows).  Duplicate keys on either side multiply matches
+    exactly as in SQL (pandas outer merge per block).  Null join keys
+    follow SQL: they match nothing and are kept one-sided — both sides are
+    materialized internally and re-scanned once for their null-key rows
+    (the cost of exact null semantics; the main path stays one sort
+    exchange, the same sorted-block pattern as the other modes)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ls, rs = left_ds.schema(), right_ds.schema()
+    if ls is None or rs is None:
+        raise ValueError("outer_join requires known schemas on both sides")
+    left_type = dict(zip(ls.names, ls.types))
+    right_type = dict(zip(rs.names, rs.types))
+    key_out = key_out or left_key
+    key_type = left_type[left_key]
+    lp_out = list(left_payload)
+    rp_out = [f"{c}{suffix}" if c in ([key_out] + lp_out) else c
+              for c in right_payload]
+    out_schema = pa.schema(
+        [(key_out, key_type)]
+        + [(c, left_type[c]) for c in lp_out]
+        + [(oc, right_type[c]) for c, oc in zip(right_payload, rp_out)])
+    order = [_JK, _JSIDE] + lp_out + rp_out
+    out_cols = [key_out] + lp_out + rp_out
+
+    def tag(batch: pa.Table, *, side: int) -> pa.Table:
+        k, pay, pay_out, other, other_t = (
+            (left_key, lp_out, lp_out, rp_out, right_type)
+            if side else (right_key, right_payload, rp_out, lp_out,
+                          left_type))
+        batch = batch.filter(pc.is_valid(batch.column(k)))
+        n = batch.num_rows
+        cols = {_JK: batch.column(k).cast(key_type),
+                _JSIDE: pa.array([side] * n, pa.int8())}
+        for c, oc in zip(pay, pay_out):
+            cols[oc] = batch.column(c)
+        for oc in other:
+            src = right_payload[rp_out.index(oc)] if side else oc
+            typ = other_t[src]
+            cols[oc] = pa.nulls(n, typ)
+        return pa.Table.from_arrays([cols[c] for c in order], names=order)
+
+    def block_join(df: pd.DataFrame, skip_edges: bool = True) -> pa.Table:
+        if len(df) and skip_edges:
+            jk = df[_JK].to_numpy()
+            df = df[~((jk == jk[0]) | (jk == jk[-1]))]
+        if not len(df):
+            return out_schema.empty_table()
+        lefts = df[df[_JSIDE] == 1][[_JK] + lp_out]
+        rights = df[df[_JSIDE] == 0][[_JK] + rp_out]
+        out = lefts.merge(rights, on=_JK, how="outer")
+        out = out.rename(columns={_JK: key_out})[out_cols]
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
+
+    def edge_filter(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        jk = batch.column(_JK)
+        return batch.filter(pc.or_(pc.equal(jk, jk[0]),
+                                   pc.equal(jk, jk[n - 1])))
+
+    def null_rows(batch: pa.Table, *, side: int) -> pa.Table:
+        k = left_key if side else right_key
+        batch = batch.filter(pc.is_null(batch.column(k)))
+        n = batch.num_rows
+        arrays = [pa.nulls(n, key_type)]
+        if side:
+            arrays += [batch.column(c) for c in lp_out]
+            arrays += [pa.nulls(n, right_type[c]) for c in right_payload]
+        else:
+            arrays += [pa.nulls(n, left_type[c]) for c in lp_out]
+            arrays += [batch.column(c) for c in right_payload]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    # both sides are consumed twice (main scan + null-key scan): pin them
+    left_ds = left_ds.materialize()
+    right_ds = right_ds.materialize()
+    tagged = (left_ds.map_batches(lambda b: tag(b, side=1),
+                                  batch_format="pyarrow")
+              .union(right_ds.map_batches(lambda b: tag(b, side=0),
+                                          batch_format="pyarrow")))
+    sorted_ds = tagged.sort([_JK, _JSIDE]).materialize()
+    inner = sorted_ds.map_batches(block_join, batch_format="pandas",
+                                  batch_size=None)
+    edges = (sorted_ds
+             .map_batches(edge_filter, batch_format="pyarrow",
+                          batch_size=None)
+             .repartition(1)
+             .map_batches(lambda df: block_join(df, skip_edges=False),
+                          batch_format="pandas", batch_size=None))
+    nulls = (left_ds.map_batches(lambda b: null_rows(b, side=1),
+                                 batch_format="pyarrow")
+             .union(right_ds.map_batches(lambda b: null_rows(b, side=0),
+                                         batch_format="pyarrow")))
+    return inner.union(edges).union(nulls)
 
 
 def asof_join(left_ds, right_ds, *, by: str, ts: str,

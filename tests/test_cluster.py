@@ -31,7 +31,10 @@ CASES = [
 
 
 @pytest.mark.parametrize("pairs", CASES)
-def test_connected_components_match_union_find(ray_session, pairs):
+@pytest.mark.parametrize("local_threshold", [0, 10 ** 6],
+                         ids=["distributed", "local"])
+def test_connected_components_match_union_find(ray_session, pairs,
+                                               local_threshold):
     import ray.data as rd
 
     from chinese_open_relation_extraction_for_entgraph_ray.stages.cluster import (
@@ -40,9 +43,32 @@ def test_connected_components_match_union_find(ray_session, pairs):
 
     ds = rd.from_items([{"a": a, "b": b} for a, b in pairs]).repartition(3)
     got = {r["node"]: r["component"]
-           for r in connected_components(ds).take_all()}
+           for r in connected_components(
+               ds, local_threshold=local_threshold).take_all()}
     want = _union_find(pairs)
     assert got == want
+
+
+def test_connected_components_local_vs_distributed_random(ray_session):
+    """A/B: the local union-find fast path and the distributed rounds give
+    identical components on a random graph with chains and cliques."""
+    import numpy as np
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.cluster import (
+        connected_components,
+    )
+
+    rng = np.random.RandomState(7)
+    pairs = [(int(a), int(b))
+             for a, b in rng.randint(0, 400, size=(300, 2)) if a != b]
+    ds = rd.from_items([{"a": a, "b": b} for a, b in pairs]).repartition(4)
+    local = {r["node"]: r["component"]
+             for r in connected_components(ds).take_all()}
+    dist = {r["node"]: r["component"]
+            for r in connected_components(
+                ds, local_threshold=0).take_all()}
+    assert local == dist == _union_find(pairs)
 
 
 def test_dedup_cluster_representatives_chain(ray_session):
