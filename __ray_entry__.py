@@ -1528,6 +1528,146 @@ def _q_events_value_winsorized(sf_dir: str):
         "event_type", "value", lo_q=0.05, hi_q=0.95)
 
 
+def _q_events_value_deciles(sf_dir: str):
+    """SQL ntile(10) window (stages/window.py): per-type value deciles
+    made unique by the event_id tiebreak, summarized per (type, tile) —
+    one sort exchange + one pre-combined aggregate."""
+    import pyarrow as pa
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.window import (
+        grouped_rank_ntile,
+    )
+
+    ranked = grouped_rank_ntile(
+        _read(sf_dir, "events",
+              columns=["event_type", "value", "event_id"]),
+        "event_type", "value", "event_id", n_tiles=10)
+    agg = auto_hash_aggregate(
+        ranked.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("event_type"), t.column("tile"),
+                 t.column("value"), t.column("value"),
+                 pa.array(np.ones(len(t), dtype=np.int64))],
+                names=["event_type", "tile", "min_v", "max_v", "n"]),
+            batch_format="pyarrow"),
+        ["event_type", "tile"],
+        [("min_v", "min"), ("max_v", "max"), ("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("event_type"), t.column("tile"),
+             pa.array(np_round_away(
+                 t.column("min_v").to_numpy(zero_copy_only=False), 4)),
+             pa.array(np_round_away(
+                 t.column("max_v").to_numpy(zero_copy_only=False), 4)),
+             t.column("n").cast(pa.int64())],
+            names=["event_type", "tile", "min_v", "max_v", "n"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_users_view_purchase_outer(sf_dir: str):
+    """FULL OUTER equi-join (stages/joins.outer_join): per-user view
+    counts vs purchase counts, unmatched users kept on BOTH sides with
+    null counts."""
+    import pyarrow as pa
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        outer_join,
+    )
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def counts(kind: str, out: str):
+        ds = events.filter(expr=f"event_type == '{kind}'")
+        return auto_hash_aggregate(
+            ds.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t.column("user_id"),
+                     pa.array([1] * len(t), pa.int64())],
+                    names=["user_id", out]),
+                batch_format="pyarrow"),
+            ["user_id"], [(out, "sum")])
+
+    return outer_join(counts("view", "n_view"),
+                      counts("purchase", "n_purchase"),
+                      left_key="user_id", right_key="user_id",
+                      left_payload=["n_view"],
+                      right_payload=["n_purchase"])
+
+
+def _q_docs_char_entropy(sf_dir: str):
+    """Per-doc character-distribution Shannon entropy
+    (stages/textstats.char_entropy) — the gibberish/boilerplate quality
+    cue; single vectorized map, no exchange."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (
+        char_entropy,
+    )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(char_entropy, batch_format="pyarrow")
+
+
+def _q_events_zscore_stats(sf_dir: str):
+    """Grouped z-score standardization (stages/standardize.py): per-type
+    moments from one pre-combined aggregate, joined back, z per row —
+    summarized as per-type (mean |z|, min z, max z, n)."""
+    import pyarrow as pa
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.standardize import (
+        grouped_zscore,
+    )
+
+    zs = grouped_zscore(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        "event_type", "value")
+    prepped = zs.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("event_type"), pc.abs(t.column("z")),
+             t.column("z"), t.column("z"),
+             pa.array(np.ones(len(t), dtype=np.int64))],
+            names=["event_type", "abs_z", "min_z", "max_z", "n"]),
+        batch_format="pyarrow")
+    agg = auto_hash_aggregate(
+        prepped, ["event_type"],
+        [("abs_z", "sum"), ("min_z", "min"), ("max_z", "max"),
+         ("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        mean_abs = (t.column("abs_z").to_numpy(zero_copy_only=False)
+                    / np.maximum(n, 1))
+        return pa.Table.from_arrays(
+            [t.column("event_type"),
+             pa.array(np_round_away(mean_abs, 4)),
+             pa.array(np_round_away(
+                 t.column("min_z").to_numpy(zero_copy_only=False), 4)),
+             pa.array(np_round_away(
+                 t.column("max_z").to_numpy(zero_copy_only=False), 4)),
+             t.column("n").cast(pa.int64())],
+            names=["event_type", "mean_abs_z", "min_z", "max_z", "n"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_kg_coref_chain_buckets(sf_dir: str):
     """Coref chain-count histogram per conversation incl. the 0 bucket
     (the reference's coref_chain_bucket, main_ner.py:332,380-381; G4
@@ -1906,6 +2046,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_semdedup": _q_embeddings_semdedup,  # rows-only
         "events_type_pivot": _q_events_type_pivot,  # oracled (r4)
         "events_value_winsorized": _q_events_value_winsorized,  # oracled
+        "events_value_deciles": _q_events_value_deciles,  # oracled (r4)
+        "users_view_purchase_outer":
+            _q_users_view_purchase_outer,  # oracled (r4)
+        "docs_char_entropy": _q_docs_char_entropy,  # oracled (r4)
+        "events_zscore_stats": _q_events_zscore_stats,  # oracled (r4)
     }
 
 
@@ -2707,6 +2852,44 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_winsorized,
                    count(*) AS n
             FROM events e JOIN q USING (event_type)
+            GROUP BY e.event_type""",
+        "events_value_deciles": """
+            WITH r AS (
+              SELECT event_type, value,
+                     ntile(10) OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS tile
+              FROM events)
+            SELECT event_type, tile,
+                   round(min(value), 4) AS min_v,
+                   round(max(value), 4) AS max_v,
+                   count(*) AS n
+            FROM r GROUP BY event_type, tile""",
+        "users_view_purchase_outer": """
+            SELECT coalesce(v.user_id, p.user_id) AS user_id,
+                   v.n_view, p.n_purchase
+            FROM (SELECT user_id, count(*) AS n_view FROM events
+                  WHERE event_type = 'view' GROUP BY user_id) v
+            FULL JOIN (SELECT user_id, count(*) AS n_purchase FROM events
+                       WHERE event_type = 'purchase'
+                       GROUP BY user_id) p
+              ON v.user_id = p.user_id""",
+        "docs_char_entropy": """
+            SELECT doc_id, round(entropy(c), 4) AS char_entropy
+            FROM (SELECT doc_id, unnest(split(text, '')) AS c
+                  FROM documents)
+            GROUP BY doc_id""",
+        "events_zscore_stats": """
+            WITH m AS (
+              SELECT event_type, avg(value) AS mu,
+                     stddev_pop(value) AS sd
+              FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   round(avg(abs((e.value - m.mu) / m.sd)), 4)
+                       AS mean_abs_z,
+                   round(min((e.value - m.mu) / m.sd), 4) AS min_z,
+                   round(max((e.value - m.mu) / m.sd), 4) AS max_z,
+                   count(*) AS n
+            FROM events e JOIN m USING (event_type)
             GROUP BY e.event_type""",
     }
 

@@ -76,6 +76,12 @@ PAST_WINDOW_PINS = {
                                "n_signup", "n_total", "n_view",
                                "user_id"]),
     "events_value_winsorized": (5, ["avg_winsorized", "event_type", "n"]),
+    "events_value_deciles": (50, ["event_type", "max_v", "min_v", "n",
+                                  "tile"]),
+    "users_view_purchase_outer": (15, ["n_purchase", "n_view", "user_id"]),
+    "docs_char_entropy": (500, ["char_entropy", "doc_id"]),
+    "events_zscore_stats": (5, ["event_type", "max_z", "mean_abs_z",
+                                "min_z", "n"]),
 }
 
 
