@@ -1668,6 +1668,56 @@ def _q_events_zscore_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_events_props_field_stats(sf_dir: str):
+    """Vectorized JSON field extraction (stages/jsonx.py, polars
+    json_path_match over the Arrow buffer — no per-row json.loads), then
+    typed per-type stats in one pre-combined exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.jsonx import (
+        extract_json_fields,
+    )
+
+    ds = extract_json_fields(
+        _read(sf_dir, "events", columns=["event_type", "props"]),
+        "props", [("$.k", "k", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = t.column("k")
+        return pa.Table.from_arrays(
+            [t.column("event_type"),
+             pa.array(np.ones(len(t), dtype=np.int64)),
+             pc.cast(pc.is_valid(k), pa.int64()),
+             k, k, k],
+            names=["event_type", "n", "n_k", "sum_k", "min_k", "max_k"])
+
+    return auto_hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        [("n", "sum"), ("n_k", "sum"), ("sum_k", "sum"),
+         ("min_k", "min"), ("max_k", "max")])
+
+
+def _q_lineitem_qty_price_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs extended price
+    (stages/standardize.grouped_corr) — one pre-combined moment exchange;
+    Pearson r is scale-invariant, so it equals SQL sample corr()."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.standardize import (
+        grouped_corr,
+    )
+
+    return grouped_corr(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity", "l_extendedprice"]),
+        "l_returnflag", "l_quantity", "l_extendedprice")
+
+
 def _q_kg_coref_chain_buckets(sf_dir: str):
     """Coref chain-count histogram per conversation incl. the 0 bucket
     (the reference's coref_chain_bucket, main_ner.py:332,380-381; G4
@@ -2051,6 +2101,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_users_view_purchase_outer,  # oracled (r4)
         "docs_char_entropy": _q_docs_char_entropy,  # oracled (r4)
         "events_zscore_stats": _q_events_zscore_stats,  # oracled (r4)
+        "events_props_field_stats":
+            _q_events_props_field_stats,  # oracled (r4)
+        "lineitem_qty_price_corr":
+            _q_lineitem_qty_price_corr,  # oracled (r4)
     }
 
 
@@ -2891,6 +2945,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events e JOIN m USING (event_type)
             GROUP BY e.event_type""",
+        "events_props_field_stats": """
+            SELECT event_type, count(*) AS n, count(k) AS n_k,
+                   sum(k)::BIGINT AS sum_k, min(k) AS min_k,
+                   max(k) AS max_k
+            FROM (SELECT event_type,
+                         json_extract(props, '$.k')::BIGINT AS k
+                  FROM events)
+            GROUP BY event_type""",
+        "lineitem_qty_price_corr": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4) AS corr,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag""",
     }
 
 

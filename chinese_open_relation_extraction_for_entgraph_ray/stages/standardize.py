@@ -60,6 +60,55 @@ def grouped_moments(ds, key: str, value: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_corr(ds, key: str, x: str, y: str, *, decimals: int = 4):
+    """Per-group Pearson correlation of two numeric columns — ONE
+    pre-combined (sum x, sum y, sum x², sum y², sum xy, n) exchange, then
+    r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)) on the
+    tiny group table.  Output: (key, corr, n), corr rounded away-from-zero
+    to ``decimals``; null when a side is constant (SQL ``corr`` parity).
+    Rows where either side is null are excluded (SQL pairwise semantics)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        xv = pc.cast(t.column(x), pa.float64())
+        yv = pc.cast(t.column(y), pa.float64())
+        ok = pc.and_(pc.is_valid(xv), pc.is_valid(yv))
+        xv = pc.if_else(ok, xv, pa.scalar(0.0))
+        yv = pc.if_else(ok, yv, pa.scalar(0.0))
+        return pa.Table.from_arrays(
+            [t.column(key), xv, yv, pc.multiply(xv, xv),
+             pc.multiply(yv, yv), pc.multiply(xv, yv),
+             pc.cast(ok, pa.int64())],
+            names=[key, "__sx", "__sy", "__sxx", "__syy", "__sxy", "n"])
+
+    agg = auto_hash_aggregate(
+        ds.select_columns([key, x, y]).map_batches(
+            partials, batch_format="pyarrow"),
+        [key], [("__sx", "sum"), ("__sy", "sum"), ("__sxx", "sum"),
+                ("__syy", "sum"), ("__sxy", "sum"), ("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        from ..functions.fputil import np_round_away
+
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t.column("__sx").to_numpy(zero_copy_only=False)
+        sy = t.column("__sy").to_numpy(zero_copy_only=False)
+        sxx = t.column("__sxx").to_numpy(zero_copy_only=False)
+        syy = t.column("__syy").to_numpy(zero_copy_only=False)
+        sxy = t.column("__sxy").to_numpy(zero_copy_only=False)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        denom = np.sqrt(np.maximum(vx, 0.0) * np.maximum(vy, 0.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = (n * sxy - sx * sy) / denom
+        r = np.where(denom > 0, r, np.nan)
+        return pa.Table.from_arrays(
+            [t.column(key), pa.array(np_round_away(r, decimals)),
+             t.column("n").cast(pa.int64())],
+            names=[key, "corr", "n"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def grouped_zscore(ds, key: str, value: str, *, out: str = "z"):
     """All input rows + a float64 ``out`` column: (value - group mean) /
     group stddev_pop; 0.0 where the group's stddev is 0 (constant or

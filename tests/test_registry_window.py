@@ -82,6 +82,9 @@ PAST_WINDOW_PINS = {
     "docs_char_entropy": (500, ["char_entropy", "doc_id"]),
     "events_zscore_stats": (5, ["event_type", "max_z", "mean_abs_z",
                                 "min_z", "n"]),
+    "events_props_field_stats": (5, ["event_type", "max_k", "min_k", "n",
+                                     "n_k", "sum_k"]),
+    "lineitem_qty_price_corr": (3, ["corr", "l_returnflag", "n"]),
 }
 
 

@@ -169,3 +169,61 @@ def test_semi_join_broadcast_matches_sort_path(ray_session, anti):
     srt = semi_join(lds, rds, left_key="k", right_key="rk", anti=anti,
                     broadcast_threshold=0).to_pandas()
     assert sorted(bc["x"]) == sorted(srt["x"])
+
+
+# --- grouped_corr ------------------------------------------------------------
+
+def test_grouped_corr_matches_duckdb(ray_session):
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.standardize import (
+        grouped_corr,
+    )
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 400),
+        "x": rng.standard_normal(400),
+    })
+    df["y"] = 0.6 * df["x"] + rng.standard_normal(400) * 0.5
+    df.loc[::53, "y"] = None                  # pairwise-null exclusion
+    got = grouped_corr(_ds(df), "k", "x", "y").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("df", df)
+    exp = con.execute("""
+        SELECT k, round(corr(x, y), 4) AS corr,
+               count(*) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS n
+        FROM df GROUP BY k ORDER BY k""").df()
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["n"].astype("int64").tolist() == exp["n"].tolist()
+    np.testing.assert_allclose(got["corr"], exp["corr"], atol=1e-9)
+
+
+def test_grouped_corr_constant_side_is_null(ray_session):
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.standardize import (
+        grouped_corr,
+    )
+
+    df = pd.DataFrame({"k": ["c"] * 5, "x": [1.0] * 5,
+                       "y": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    got = grouped_corr(_ds(df), "k", "x", "y").to_pandas()
+    assert got["corr"].isna().all()
+
+
+# --- json field extraction ------------------------------------------------
+
+def test_json_field_extraction(ray_session):
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.jsonx import (
+        extract_json_fields,
+    )
+
+    df = pd.DataFrame({"id": [1, 2, 3, 4],
+                       "props": ['{"k": 87, "s": "x"}', '{"k": 0}',
+                                 None, '{}']})
+    got = extract_json_fields(_ds(df), "props",
+                              [("$.k", "k", pa.int64()),
+                               ("$.s", "s", None)]) \
+        .to_pandas().sort_values("id")
+    assert got["k"].tolist()[:2] == [87, 0]
+    assert got["k"].isna().tolist() == [False, False, True, True]
+    assert got["s"].tolist()[0] == "x"
+    assert got["s"].isna().tolist() == [False, True, True, True]
