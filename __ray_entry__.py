@@ -1938,6 +1938,23 @@ def _q_embedding_near_dups(sf_dir: str):
     return embedding_near_dups(aug, threshold=0.8, n_vectors=2 * base.count())
 
 
+def _q_embeddings_cosine_pairs_exact(sf_dir: str):
+    """EXACT all-pairs cosine >= 0.45 over the raw embeddings table
+    (stages/similarity.cosine_pairs_exact): broadcast-matrix GEMM per batch,
+    strict upper triangle, no shuffle — the recall-proof, SQL-oracled
+    complement to the LSH embedding_near_dups path (threshold 0.45 because
+    the synthetic table's max organic off-diagonal cosine is ~0.51; the
+    nearest pair sits 5.5e-4 from the threshold at sf0.01, far beyond
+    float64 GEMM error)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
+        cosine_pairs_exact,
+    )
+
+    return cosine_pairs_exact(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.45)
+
+
 def _q_similarity_topk_ivf(sf_dir: str):
     """IVF (spherical-kmeans cells, nprobe probing) approximate top-k — the
     scale path beside the brute-force baseline."""
@@ -2105,6 +2122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_events_props_field_stats,  # oracled (r4)
         "lineitem_qty_price_corr":
             _q_lineitem_qty_price_corr,  # oracled (r4)
+        "embeddings_cosine_pairs_exact":
+            _q_embeddings_cosine_pairs_exact,  # oracled (r4)
     }
 
 
@@ -2958,6 +2977,17 @@ def oracle_sql() -> dict[str, str]:
                    round(corr(l_quantity, l_extendedprice), 4) AS corr,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag""",
+        # exact all-pairs cosine: DuckDB computes dot/(|a||b|) in DOUBLE,
+        # the engine dot-products individually normalized float64 rows —
+        # identical to ~1e-15, rounded to 6 dp on both sides (round() is
+        # half-away-from-zero in DuckDB, np_round_away on the engine side)
+        "embeddings_cosine_pairs_exact": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.45""",
     }
 
 

@@ -426,3 +426,81 @@ def embedding_norms(batch: pa.Table) -> pa.Table:
         [batch.column("vec_id"), batch.column("label"),
          pa.array(norms, pa.float64())],
         names=["vec_id", "label", "l2_norm"])
+
+
+# ---------------------------------------------------------------------------
+# Exact all-pairs cosine — the recall-proof complement to embedding_near_dups
+# (LSH), mirroring what dedup.similar_pairs_exact is to the MinHash path.
+
+# Broadcast bound: ids (8 B) + 64-dim float64 (512 B) per vector -> ~1 GB at
+# the cap.  Beyond it this op is the WRONG tool (O(n^2) FLOPs by definition);
+# the scale paths are embedding_near_dups (hyperplane LSH) and semdedup
+# (cluster-then-compare) — refuse loudly rather than degrade silently.
+MAX_EXACT_VECTORS = 2_000_000
+
+
+def _broadcast_normalized(embeddings_ds):
+    """One (sorted ids, row-normalized float64 matrix) pair for the whole
+    dataset, shipped via ``ray.put`` (broadcast once into the object store,
+    zero-copy read in every task) — the decontaminate.py small-side pattern."""
+    import ray
+
+    ids_parts: list[np.ndarray] = []
+    emb_parts: list[np.ndarray] = []
+    total = 0
+    for batch in embeddings_ds.iter_batches(batch_format="pyarrow",
+                                            batch_size=None):
+        if batch.num_rows == 0:
+            continue
+        total += batch.num_rows
+        if total > MAX_EXACT_VECTORS:
+            raise ValueError(
+                f"cosine_pairs_exact: >{MAX_EXACT_VECTORS} vectors — the "
+                "exact all-pairs matrix no longer fits a broadcast; use "
+                "embedding_near_dups (LSH) or semdedup instead")
+        ids_parts.append(np.asarray(batch.column("vec_id"), dtype=np.int64))
+        emb_parts.append(normalize(_embedding_matrix(batch)))
+    if not ids_parts:
+        return ray.put((np.zeros(0, dtype=np.int64),
+                        np.zeros((0, 0), dtype=np.float64)))
+    ids = np.concatenate(ids_parts)
+    mat = np.vstack(emb_parts)
+    order = np.argsort(ids)    # deterministic layout regardless of block order
+    return ray.put((ids[order], np.ascontiguousarray(mat[order])))
+
+
+def cosine_pairs_exact(embeddings_ds, threshold: float = 0.45,
+                       round_digits: int = 6):
+    """EXACT cosine-similarity pairs (id_a < id_b, cos >= threshold) over the
+    full embedding table: the whole normalized matrix is broadcast once, and
+    each batch does ONE float64 GEMM against it plus a vectorized
+    threshold-and-strict-upper-triangle mask — no per-pair Python, no
+    shuffle.  Deliberately quadratic (it is the exactness oracle for the LSH
+    path); MAX_EXACT_VECTORS bounds the broadcast loudly.  Cosines are
+    computed on individually normalized float64 rows, matching DuckDB's
+    ``list_cosine_similarity`` on DOUBLE[] to ~1e-15."""
+    import ray
+
+    # materialize once: the broadcast pass and the pair pass both consume the
+    # input, and a nondeterministic upstream must not make them disagree
+    # (same rationale as joins.py's left-side materialization)
+    src = embeddings_ds.materialize()
+    ref = _broadcast_normalized(src)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, mat = ray.get(ref)    # zero-copy object-store read
+        ids_b = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        emb = normalize(_embedding_matrix(batch))
+        if len(ids_b) == 0 or len(ids_all) == 0:
+            cos = np.zeros((len(ids_b), len(ids_all)))
+        else:
+            cos = emb @ mat.T
+        keep = (cos >= threshold) & (ids_b[:, None] < ids_all[None, :])
+        r, c = np.nonzero(keep)
+        return pa.Table.from_arrays(
+            [pa.array(ids_b[r], pa.int64()),
+             pa.array(ids_all[c], pa.int64()),
+             pa.array(np_round_away(cos[r, c], round_digits), pa.float64())],
+            names=["id_a", "id_b", "cos"])
+
+    return src.map_batches(pairs, batch_format="pyarrow")

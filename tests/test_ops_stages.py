@@ -640,3 +640,58 @@ def test_count_min_weighted(ray_session):
     est = cm_estimate(cm, ["a", "b", "c"])
     assert (est >= np.array([15, 3, 1])).all()
     assert est.sum() <= 19 * 3 + 19                     # tiny stream: exact-ish
+
+
+def test_cosine_pairs_exact_vs_numpy_and_lsh_soundness(ray_session):
+    """cosine_pairs_exact must equal the brute-force numpy pair set, and the
+    LSH path (embedding_near_dups) must be SOUND against it: every LSH pair
+    appears in the exact set with the same (6 dp) cosine, and LSH recall on
+    the clearly-near pairs (cos >= 0.95) is high."""
+    import ray.data
+
+    rng = np.random.RandomState(42)
+    n, dim, planted = 80, 16, 10
+    base = rng.standard_normal((n, dim))
+    dup = base[:planted] + 0.05 * rng.standard_normal((planted, dim))
+    ids = np.concatenate([np.arange(n), 1000 + np.arange(planted)])
+    mat = np.vstack([base, dup])
+    tbl = pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()),
+         pa.array([r.tolist() for r in mat], pa.list_(pa.float64()))],
+        names=["vec_id", "embedding"])
+    ds = ray.data.from_arrow(tbl).repartition(4)
+
+    exact = similarity.cosine_pairs_exact(ds, threshold=0.8).to_pandas()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    ref = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and cos[i, j] >= 0.8:
+                ref[(ids[i], ids[j])] = cos[i, j]
+    got = dict(zip(zip(exact.id_a, exact.id_b), exact.cos))
+    assert set(got) == set(ref) and len(got) >= planted
+    for k, v in got.items():
+        assert abs(v - ref[k]) < 1e-6
+
+    lsh = similarity.embedding_near_dups(
+        ds, threshold=0.8, n_vectors=len(ids)).to_pandas()
+    lsh_pairs = dict(zip(zip(lsh.a, lsh.b), lsh.cosine_sim))
+    assert set(lsh_pairs) <= set(got), "LSH emitted a pair the exact op lacks"
+    for k, v in lsh_pairs.items():    # LSH rounds to 4 dp, exact to 6 dp
+        assert abs(v - got[k]) < 1e-4
+    sure = {k for k, v in got.items() if v >= 0.95}
+    found = sure & set(lsh_pairs)
+    assert len(found) >= 0.9 * len(sure), (len(found), len(sure))
+
+
+def test_cosine_pairs_exact_vector_cap(ray_session, monkeypatch):
+    import ray.data
+
+    monkeypatch.setattr(similarity, "MAX_EXACT_VECTORS", 3)
+    tbl = pa.Table.from_arrays(
+        [pa.array([1, 2, 3, 4], pa.int64()),
+         pa.array([[1.0, 0.0]] * 4, pa.list_(pa.float64()))],
+        names=["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="all-pairs"):
+        similarity.cosine_pairs_exact(ray.data.from_arrow(tbl))

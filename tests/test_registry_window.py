@@ -85,6 +85,8 @@ PAST_WINDOW_PINS = {
     "events_props_field_stats": (5, ["event_type", "max_k", "min_k", "n",
                                      "n_k", "sum_k"]),
     "lineitem_qty_price_corr": (3, ["corr", "l_returnflag", "n"]),
+    # SQL-oracled past-window (full local gate hash-checks it)
+    "embeddings_cosine_pairs_exact": (7, ["cos", "id_a", "id_b"]),
 }
 
 
