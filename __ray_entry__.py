@@ -2013,12 +2013,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     no CORRECTNESS row).  Ordering contract (position 50 is exactly
     multimodal_features — the window is FULL; adding an in-window query
     means moving another one out):
-    1. every SQL-oracled query first (44 — rows+schema+hash checks; r4
+    1. every SQL-oracled query first (45 — rows+schema+hash checks; r4
        upgraded simhash_near_dups + minhash_candidate_pairs to exact SQL
-       mirrors and added graph_pagerank),
-    2. then the 6 flagship rows-only pipelines (KG outputs, coref/M18,
-       embedding near-dups, multimodal plumbing) so all land inside the
-       50-row window,
+       mirrors and added graph_pagerank + embeddings_cosine_pairs_exact),
+    2. then the 5 flagship rows-only pipelines (KG outputs, coref/M18,
+       multimodal plumbing) so all land inside the 50-row window,
     3. past the window: companion probes whose operator is already covered
        by an in-window or SQL-green query (e.g. similarity_topk_ivf beside
        SQL-green similarity_topk; kg_pagerank beside SQL-green
@@ -2071,14 +2070,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": _q_simhash_near_dups,     # oracled r4
         "minhash_candidate_pairs": _q_minhash_pairs,   # oracled r4
         "graph_pagerank": _q_graph_pagerank,           # new r4
+        "embeddings_cosine_pairs_exact":
+            _q_embeddings_cosine_pairs_exact,          # new r4
         # --- flagship rows-only (inside the 50-row window) ---------------
         "kg_triples": _q_kg_triples,
         "kg_edges": _q_kg_edges,
         "kg_coref_delta": _q_kg_coref_delta,
         "kg_mentions_corefed": _q_kg_mentions_corefed,
-        "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_features": _q_multimodal_features,
         # --- past the window: companion/variant probes (pytest-pinned) ---
+        # embedding_near_dups: LSH probe beside the in-window SQL-green
+        # embeddings_cosine_pairs_exact (soundness-proved against it in
+        # tests/test_ops_stages.py)
+        "embedding_near_dups": _q_embedding_near_dups,
         "kg_rejected_turns": _q_kg_rejected_turns,
         "kg_pagerank": _q_kg_pagerank,
         "kg_sentences": _q_kg_sentences,
@@ -2122,8 +2126,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_events_props_field_stats,  # oracled (r4)
         "lineitem_qty_price_corr":
             _q_lineitem_qty_price_corr,  # oracled (r4)
-        "embeddings_cosine_pairs_exact":
-            _q_embeddings_cosine_pairs_exact,  # oracled (r4)
     }
 
 
