@@ -1718,6 +1718,75 @@ def _q_lineitem_qty_price_corr(sf_dir: str):
         "l_returnflag", "l_quantity", "l_extendedprice")
 
 
+def _q_events_value_lag_delta(sf_dir: str):
+    """Windowed LAG delta (SQL ``value - lag(value) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id)``): per-event change vs the user's
+    previous event — the vectorized sorted-block path (one sort + grouped
+    shift per block, zero per-user Python).  First event per user is
+    dropped (NULL delta in SQL)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+
+    def lag_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["value"].shift(1) \
+                .to_numpy(dtype=np.float64)
+        keep = ~np.isnan(prev)
+        delta = g["value"].to_numpy(dtype=np.float64)[keep] - prev[keep]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[keep],
+            "user_id": g["user_id"].to_numpy()[keep],
+            "delta": np_round_away(delta, 2),
+        })
+
+    return sorted_map_groups(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                         "value"]),
+        ["user_id"], block_fn=lag_block,
+        schema=pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                          ("delta", pa.float64())]))
+
+
+def _q_docs_bm25_topk(sf_dir: str):
+    """BM25 top-20 ranked retrieval (stages/bm25.py) against the
+    deterministic data-derived query (3 highest-collection-frequency
+    terms): in-batch tf, two scalar corpus stats, |query|-row broadcast
+    df, one keyed doc-length join, grouped score sum, global top-k on the
+    ROUNDED score so the DuckDB mirror reproduces the ordering."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.bm25 import (
+        bm25_topk,
+    )
+
+    return bm25_topk(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), k=20)
+
+
+def _q_docs_edit_distance_pairs(sf_dir: str):
+    """Character-level verification of the exact near-dup pairs
+    (stages/editdist.py): byte-level Levenshtein (DuckDB's convention)
+    between the 64-char prefixes of each Jaccard>=0.5 pair — two keyed
+    prefix lookups + an O(prefix^2) DP per pair, cost independent of
+    corpus size."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        similar_pairs_exact,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.editdist import (
+        edit_distance_pairs,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return edit_distance_pairs(similar_pairs_exact(docs, threshold=0.5),
+                               docs, prefix_chars=64)
+
+
 def _q_kg_coref_chain_buckets(sf_dir: str):
     """Coref chain-count histogram per conversation incl. the 0 bucket
     (the reference's coref_chain_bucket, main_ner.py:332,380-381; G4
@@ -2022,7 +2091,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
        by an in-window or SQL-green query (e.g. similarity_topk_ivf beside
        SQL-green similarity_topk; kg_pagerank beside SQL-green
        graph_pagerank; kg_rejected_turns, whose preprocess filter gates
-       every in-window kg_* output) — all pinned by
+       every in-window kg_* output) plus the late-r4 SQL-oracled additions
+       (events_value_lag_delta, docs_bm25_topk, docs_edit_distance_pairs —
+       hash-checked by the full local gate) — all pinned by
        tests/test_registry_window.py at sf0.001."""
     return {
         # --- SQL-oracled (rows + schema + value hash vs DuckDB) ----------
@@ -2126,6 +2197,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_events_props_field_stats,  # oracled (r4)
         "lineitem_qty_price_corr":
             _q_lineitem_qty_price_corr,  # oracled (r4)
+        "events_value_lag_delta": _q_events_value_lag_delta,  # oracled (r4)
+        "docs_bm25_topk": _q_docs_bm25_topk,  # oracled (r4)
+        "docs_edit_distance_pairs":
+            _q_docs_edit_distance_pairs,  # oracled (r4)
     }
 
 
@@ -2983,6 +3058,64 @@ def oracle_sql() -> dict[str, str]:
         # the engine dot-products individually normalized float64 rows —
         # identical to ~1e-15, rounded to 6 dp on both sides (round() is
         # half-away-from-zero in DuckDB, np_round_away on the engine side)
+        "events_value_lag_delta": """
+            SELECT event_id, user_id, round(delta, 2) AS delta
+            FROM (SELECT event_id, user_id,
+                         value - lag(value) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                             AS delta
+                  FROM events)
+            WHERE delta IS NOT NULL""",
+        # BM25 (k1=1.2, b=0.75, Lucene +1-in-log idf), query = the 3
+        # highest-collection-frequency terms (ties lexical), ranking on the
+        # 4-dp rounded score — mirrors stages/bm25.py step for step.
+        "docs_bm25_topk": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+            nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            ad AS (SELECT (SELECT coalesce(sum(tf), 0)::DOUBLE FROM tf)
+                          / (SELECT n FROM nd) AS avgdl),
+            q AS (SELECT term FROM tf GROUP BY term
+                  ORDER BY sum(tf) DESC, term LIMIT 3),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                   WHERE term IN (SELECT term FROM q) GROUP BY 1),
+            parts AS (
+              SELECT tf.doc_id,
+                     ln(((SELECT n FROM nd) - df.df + 0.5)
+                        / (df.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                                         / (SELECT avgdl FROM ad))) AS part
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id))
+            SELECT doc_id, round(sum(part), 4) AS bm25
+            FROM parts GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id LIMIT 20""",
+        # byte-level levenshtein (DuckDB's convention) over 64-char
+        # (code-point) prefixes of the exact Jaccard>=0.5 pairs.
+        "docs_edit_distance_pairs": f"""
+            WITH src_docs AS (SELECT doc_id, text FROM documents),
+            {_shingle_cte()},
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            inter_t AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                               count(*) AS n
+                        FROM ex x JOIN ex y
+                          ON x.g = y.g AND x.doc_id < y.doc_id
+                        GROUP BY 1, 2),
+            sz AS (SELECT doc_id, len(s) AS ns FROM sh),
+            pr AS (SELECT a, b,
+                          round(n * 1.0 / (sa.ns + sb.ns - n), 4) AS jaccard
+                   FROM inter_t JOIN sz sa ON inter_t.a = sa.doc_id
+                                JOIN sz sb ON inter_t.b = sb.doc_id
+                   WHERE n * 1.0 / (sa.ns + sb.ns - n) >= 0.5)
+            SELECT a, b, jaccard,
+                   levenshtein(substr(da.text, 1, 64),
+                               substr(db.text, 1, 64)) AS lev
+            FROM pr JOIN documents da ON pr.a = da.doc_id
+                    JOIN documents db ON pr.b = db.doc_id""",
         "embeddings_cosine_pairs_exact": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings)

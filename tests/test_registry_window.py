@@ -89,6 +89,10 @@ PAST_WINDOW_PINS = {
     # (soundness + recall proved against it in tests/test_ops_stages.py);
     # 500 = the planted near-dup pairs, all recovered
     "embedding_near_dups": (500, ["a", "b", "cosine_sim"]),
+    # SQL-oracled past-window (full local gate hash-checks them)
+    "events_value_lag_delta": (985, ["delta", "event_id", "user_id"]),
+    "docs_bm25_topk": (20, ["bm25", "doc_id"]),
+    "docs_edit_distance_pairs": (28, ["a", "b", "jaccard", "lev"]),
 }
 
 
