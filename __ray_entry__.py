@@ -1787,6 +1787,31 @@ def _q_docs_edit_distance_pairs(sf_dir: str):
                                docs, prefix_chars=64)
 
 
+def _q_events_cohort_retention(sf_dir: str):
+    """Cohort-retention triangle (stages/retention.py): users cohorted by
+    first-event week, per-(cohort_week, activity_week) active-user counts —
+    three shrinking pre-combined exchanges, output bounded at #weeks^2
+    rows regardless of corpus size."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.retention import (
+        cohort_retention,
+    )
+
+    return cohort_retention(_read(sf_dir, "events",
+                                  columns=["user_id", "ts"]))
+
+
+def _q_docs_normalized(sf_dir: str):
+    """Canonical text normalization (stages/textstats.normalize_text):
+    NFC + utf8proc lowercase + RE2 whitespace collapse + trim; md5 of the
+    normalized text lets the oracle verify the transform bit-for-bit."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (
+        normalize_text,
+    )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(normalize_text, batch_format="pyarrow")
+
+
 def _q_kg_coref_chain_buckets(sf_dir: str):
     """Coref chain-count histogram per conversation incl. the 0 bucket
     (the reference's coref_chain_bucket, main_ner.py:332,380-381; G4
@@ -2092,9 +2117,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
        SQL-green similarity_topk; kg_pagerank beside SQL-green
        graph_pagerank; kg_rejected_turns, whose preprocess filter gates
        every in-window kg_* output) plus the late-r4 SQL-oracled additions
-       (events_value_lag_delta, docs_bm25_topk, docs_edit_distance_pairs —
-       hash-checked by the full local gate) — all pinned by
-       tests/test_registry_window.py at sf0.001."""
+       (events_value_lag_delta, docs_bm25_topk, docs_edit_distance_pairs,
+       events_cohort_retention, docs_normalized — hash-checked by the full
+       local gate) — all pinned by tests/test_registry_window.py at
+       sf0.001."""
     return {
         # --- SQL-oracled (rows + schema + value hash vs DuckDB) ----------
         "transcripts_turn_stats": _q_transcripts_turn_stats,
@@ -2201,6 +2227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_topk": _q_docs_bm25_topk,  # oracled (r4)
         "docs_edit_distance_pairs":
             _q_docs_edit_distance_pairs,  # oracled (r4)
+        "events_cohort_retention":
+            _q_events_cohort_retention,  # oracled (r4)
+        "docs_normalized": _q_docs_normalized,  # oracled (r4)
     }
 
 
@@ -3116,6 +3145,25 @@ def oracle_sql() -> dict[str, str]:
                                substr(db.text, 1, 64)) AS lev
             FROM pr JOIN documents da ON pr.a = da.doc_id
                     JOIN documents db ON pr.b = db.doc_id""",
+        "events_cohort_retention": """
+            WITH aw AS (SELECT DISTINCT user_id,
+                               date_trunc('week', ts) AS activity_week
+                        FROM events),
+            fw AS (SELECT user_id, min(activity_week) AS cohort_week
+                   FROM aw GROUP BY 1)
+            SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+                   strftime(activity_week, '%Y-%m-%d') AS activity_week,
+                   count(*) AS n_users
+            FROM aw JOIN fw USING (user_id)
+            GROUP BY 1, 2""",
+        "docs_normalized": r"""
+            SELECT doc_id,
+                   length(norm) AS n_chars_norm,
+                   md5(norm) AS norm_md5
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(lower(nfc_normalize(text)),
+                                             '\s+', ' ', 'g')) AS norm
+                  FROM documents)""",
         "embeddings_cosine_pairs_exact": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings)

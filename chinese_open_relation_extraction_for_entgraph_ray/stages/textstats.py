@@ -231,3 +231,36 @@ def char_entropy(batch: pa.Table, *, decimals: int = 4) -> pa.Table:
         [pa.array(doc_ids[nonempty]),
          pa.array(np_round_away(ent[nonempty], decimals))],
         names=["doc_id", "char_entropy"])
+
+
+def normalize_text(batch: pa.Table) -> pa.Table:
+    """Canonical text normalization — the standard pre-dedup cleanup pass
+    (NFC unicode form, lowercase, whitespace-run collapse, edge trim) that
+    makes byte-level dedup keys stable across encoding/casing variants of
+    the same content.
+
+    Vectorization: lowercase is ``pc.utf8_lower`` (utf8proc — the SAME
+    simple case mapping DuckDB's ``lower()`` uses, unlike Python
+    ``str.lower``'s full mapping, which diverges on e.g. U+0130), the
+    whitespace collapse is one RE2 replace, trim is one kernel.  NFC runs
+    through C-level ``unicodedata.normalize`` per row — the one step with
+    no Arrow kernel; it is a no-op pass-through on already-NFC corpora.
+    Returns (doc_id, n_chars_norm, norm_md5): the md5 lets the DuckDB
+    oracle (``md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+',
+    ' ', 'g')))``) verify the full transform bit-for-bit without hauling
+    documents through the compare."""
+    import unicodedata
+
+    nfc = pa.array(
+        [unicodedata.normalize("NFC", t) if t else ""
+         for t in batch.column("text").to_pylist()], pa.string())
+    low = pc.utf8_lower(nfc)
+    collapsed = pc.replace_substring_regex(low, r"\s+", " ")
+    out = pc.utf8_trim(collapsed, " ")
+    md5s = [hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in out.to_pylist()]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"),
+         pc.utf8_length(out).cast(pa.int64()),
+         pa.array(md5s, pa.string())],
+        names=["doc_id", "n_chars_norm", "norm_md5"])

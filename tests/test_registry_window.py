@@ -93,6 +93,9 @@ PAST_WINDOW_PINS = {
     "events_value_lag_delta": (985, ["delta", "event_id", "user_id"]),
     "docs_bm25_topk": (20, ["bm25", "doc_id"]),
     "docs_edit_distance_pairs": (28, ["a", "b", "jaccard", "lev"]),
+    "events_cohort_retention": (5, ["activity_week", "cohort_week",
+                                    "n_users"]),
+    "docs_normalized": (500, ["doc_id", "n_chars_norm", "norm_md5"]),
 }
 
 
