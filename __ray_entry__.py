@@ -206,6 +206,61 @@ def _q_transcripts_mention_labels(sf_dir: str):
             .aggregate(Sum("n_mentions", alias_name="n_mentions")))
 
 
+def _q_transcripts_entity_cooccurrence(sf_dir: str):
+    """Entity co-occurrence edges from raw turn text — the SQL-checkable
+    slice of KG edge construction: distinct gazetteer mentions per turn,
+    all (a < b) pairs within the turn, global pair counts.  Vectorized
+    per batch (polars extract_all -> explode -> self-join per row index);
+    one pre-combined exchange for the final counts.  Both sides scan with
+    the identical longest-first alternation regex (RE2/Rust-regex
+    leftmost-preference parity, same contract as
+    transcripts_mention_labels)."""
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    label_of = _mention_surface_label()
+    alt = "|".join(re.escape(s)
+                   for s in sorted(label_of, key=len, reverse=True))
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        empty = pa.schema([("a", pa.string()), ("b", pa.string()),
+                           ("n_cooccur", pa.int64())]).empty_table()
+        if batch.num_rows == 0:
+            return empty
+        ex = (pl.DataFrame({"text": pl.from_arrow(
+                  pa.compute.fill_null(batch.column("text"), "")
+                  .combine_chunks())})
+              .with_row_index("i")
+              .with_columns(pl.col("text").str.extract_all(alt)
+                            .alias("ents"))
+              .select(["i", "ents"]).explode("ents")
+              .drop_nulls("ents").unique(["i", "ents"]))
+        if ex.height == 0:
+            return empty
+        j = ex.join(ex, on="i").filter(pl.col("ents")
+                                       < pl.col("ents_right"))
+        out = (j.group_by(["ents", "ents_right"]).len()
+               .rename({"ents": "a", "ents_right": "b",
+                        "len": "n_cooccur"})
+               .with_columns(pl.col("n_cooccur").cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema(
+            [("a", pa.string()), ("b", pa.string()),
+             ("n_cooccur", pa.int64())]))
+
+    return auto_hash_aggregate(
+        rd.read_parquet(_transcripts_dir(sf_dir), columns=["text"])
+        .map_batches(pair_counts, batch_format="pyarrow"),
+        ["a", "b"], [("n_cooccur", "sum")])
+
+
 def _q_transcripts_conversation_text(sf_dir: str):
     """Ordered conversation assembly: turns re-sorted by turn_idx inside the
     group (NEVER by block order) -> newline-joined conversation text.  The
@@ -262,6 +317,123 @@ def _q_transcripts_turn_stats(sf_dir: str):
         .map_batches(prep, batch_format="pyarrow"),
         ["conv_id"],
         [("n_turns", "sum"), ("first_turn", "min"), ("last_turn", "max")])
+
+
+def _q_transcripts_tool_stats(sf_dir: str):
+    """Per-tool usage across agent transcripts: call count + distinct
+    conversations — the two-level distinct-count pattern (distinct
+    (tool, conv) pre-aggregate carries the call count, so ONE scan feeds
+    both figures; same shrinking-exchange shape as cohort retention)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        tool = batch.column("tool")
+        mask = pc.and_(pc.is_valid(tool), pc.not_equal(tool, ""))
+        batch = batch.filter(mask)
+        return pa.Table.from_arrays(
+            [batch.column("tool"), batch.column("conv_id"),
+             pa.array(np.ones(batch.num_rows, dtype=np.int64))],
+            names=["tool", "conv_id", "n_calls"])
+
+    per_conv = auto_hash_aggregate(
+        rd.read_parquet(_transcripts_dir(sf_dir),
+                        columns=["tool", "conv_id"])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["tool", "conv_id"], [("n_calls", "sum")])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("tool"), t.column("n_calls"),
+             pa.array(np.ones(t.num_rows, dtype=np.int64))],
+            names=["tool", "n_calls", "n_convs"])
+
+    return auto_hash_aggregate(
+        per_conv.map_batches(ones, batch_format="pyarrow"),
+        ["tool"], [("n_calls", "sum"), ("n_convs", "sum")])
+
+
+def _q_transcripts_turn_latency(sf_dir: str):
+    """Per-conversation inter-turn latency (SQL LAG over (conv, turn_idx)):
+    gap count / total / max in exact integer microseconds — sorted-block
+    grouped shift + in-block aggregate; single-turn conversations emit no
+    row (NULL-gap parity with the SQL mirror)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+
+    def gaps_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        us = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        prev = pd.Series(us).groupby(g["conv_id"].to_numpy(),
+                                     sort=False).shift(1)
+        d = us - prev.to_numpy()
+        keep = ~np.isnan(prev.to_numpy())
+        out = pd.DataFrame({"conv_id": g["conv_id"].to_numpy()[keep],
+                            "d": d[keep].astype(np.int64)})
+        agg = out.groupby("conv_id", sort=False)["d"] \
+                 .agg(["count", "sum", "max"]).reset_index()
+        agg.columns = ["conv_id", "n_gaps", "sum_gap_us", "max_gap_us"]
+        return agg
+
+    return sorted_map_groups(
+        rd.read_parquet(_transcripts_dir(sf_dir),
+                        columns=["conv_id", "turn_idx", "ts"]),
+        ["conv_id"], block_fn=gaps_block,
+        schema=pa.schema([("conv_id", pa.string()),
+                          ("n_gaps", pa.int64()),
+                          ("sum_gap_us", pa.int64()),
+                          ("max_gap_us", pa.int64())]))
+
+
+def _q_transcripts_conversation_dedup(sf_dir: str):
+    """Conversation-level exact dedup: assemble each conversation in stable
+    turn order (the north-rule ordering contract), key on the md5 of the
+    joined text, keep min(conv_id) per content group — the transcript
+    analog of docs_exact_dedup (the sf0.01 synthetic corpus has 145
+    duplicate conversations, so the op is non-degenerate).  Assembly
+    reuses the sorted-block grouped apply; survivor selection is one
+    pre-combined min aggregate over (md5 -> conv_id)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    def hash_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        joined = g.groupby("conv_id", sort=False)["text"].agg("\n".join)
+        return pd.DataFrame({
+            "h": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                  for t in joined],
+            "conv_id": joined.index,
+        })
+
+    hashed = sorted_map_groups(
+        rd.read_parquet(_transcripts_dir(sf_dir),
+                        columns=["conv_id", "turn_idx", "text"]),
+        ["conv_id"], block_fn=hash_block,
+        schema=pa.schema([("h", pa.string()), ("conv_id", pa.string())]))
+    survivors = auto_hash_aggregate(hashed, ["h"], [("conv_id", "min")])
+    return survivors.select_columns(["conv_id"])
 
 
 def _q_transcripts_role_counts(sf_dir: str):
@@ -2118,9 +2290,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
        graph_pagerank; kg_rejected_turns, whose preprocess filter gates
        every in-window kg_* output) plus the late-r4 SQL-oracled additions
        (events_value_lag_delta, docs_bm25_topk, docs_edit_distance_pairs,
-       events_cohort_retention, docs_normalized — hash-checked by the full
-       local gate) — all pinned by tests/test_registry_window.py at
-       sf0.001."""
+       events_cohort_retention, docs_normalized, transcripts_tool_stats,
+       transcripts_turn_latency, transcripts_conversation_dedup —
+       hash-checked by the full local gate) — all pinned by
+       tests/test_registry_window.py at sf0.001."""
     return {
         # --- SQL-oracled (rows + schema + value hash vs DuckDB) ----------
         "transcripts_turn_stats": _q_transcripts_turn_stats,
@@ -2230,6 +2403,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention":
             _q_events_cohort_retention,  # oracled (r4)
         "docs_normalized": _q_docs_normalized,  # oracled (r4)
+        "transcripts_tool_stats":
+            _q_transcripts_tool_stats,  # oracled (r4)
+        "transcripts_turn_latency":
+            _q_transcripts_turn_latency,  # oracled (r4)
+        "transcripts_conversation_dedup":
+            _q_transcripts_conversation_dedup,  # oracled (r4)
+        "transcripts_entity_cooccurrence":
+            _q_transcripts_entity_cooccurrence,  # oracled (r4)
     }
 
 
@@ -2252,6 +2433,27 @@ def _mention_labels_sql(tglob: str) -> str:
         FROM (SELECT unnest(regexp_extract_all(text, '{alt}')) AS surface
               FROM read_parquet('{tglob}'))
         GROUP BY 1"""
+
+
+def _cooccurrence_sql(tglob: str) -> str:
+    """Per-turn entity pair counts with the SAME longest-first alternation
+    regex as the Ray side (see _q_transcripts_entity_cooccurrence)."""
+    import re as _re
+
+    label_of = _mention_surface_label()
+    alt = "|".join(_re.escape(s)
+                   for s in sorted(label_of, key=len, reverse=True))
+    return f"""
+        WITH m AS (SELECT row_number() OVER () AS i,
+                          list_distinct(regexp_extract_all(text, '{alt}'))
+                              AS ents
+                   FROM read_parquet('{tglob}')),
+        e1 AS (SELECT i, unnest(ents) AS a FROM m),
+        e2 AS (SELECT i, unnest(ents) AS b FROM m)
+        SELECT a, b, count(*)::BIGINT AS n_cooccur
+        FROM e1 JOIN e2 USING (i)
+        WHERE a < b
+        GROUP BY 1, 2"""
 
 
 from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (  # noqa: E402
@@ -2552,6 +2754,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT role, count(*) AS n_turns
             FROM read_parquet('{tglob}') GROUP BY role""",
         "transcripts_mention_labels": _mention_labels_sql(tglob),
+        "transcripts_conversation_dedup": f"""
+            SELECT min(conv_id) AS conv_id
+            FROM (SELECT conv_id,
+                         md5(string_agg(text, chr(10) ORDER BY turn_idx))
+                             AS h
+                  FROM read_parquet('{tglob}') GROUP BY conv_id)
+            GROUP BY h""",
+        "transcripts_entity_cooccurrence": _cooccurrence_sql(tglob),
+        "transcripts_tool_stats": f"""
+            WITH a AS (SELECT tool, conv_id, count(*)::BIGINT AS n_calls
+                       FROM read_parquet('{tglob}')
+                       WHERE tool IS NOT NULL AND tool <> ''
+                       GROUP BY 1, 2)
+            SELECT tool, sum(n_calls)::BIGINT AS n_calls,
+                   count(*)::BIGINT AS n_convs
+            FROM a GROUP BY tool""",
+        "transcripts_turn_latency": f"""
+            WITH g AS (SELECT conv_id,
+                              epoch_us(ts) - lag(epoch_us(ts))
+                                  OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS d
+                       FROM read_parquet('{tglob}'))
+            SELECT conv_id, count(d)::BIGINT AS n_gaps,
+                   sum(d)::BIGINT AS sum_gap_us, max(d) AS max_gap_us
+            FROM g WHERE d IS NOT NULL GROUP BY conv_id""",
         "transcripts_conversation_text": f"""
             SELECT conv_id, count(*) AS n_turns,
                    string_agg(text, chr(10) ORDER BY turn_idx) AS conversation

@@ -96,6 +96,11 @@ PAST_WINDOW_PINS = {
     "events_cohort_retention": (5, ["activity_week", "cohort_week",
                                     "n_users"]),
     "docs_normalized": (500, ["doc_id", "n_chars_norm", "norm_md5"]),
+    "transcripts_tool_stats": (4, ["n_calls", "n_convs", "tool"]),
+    "transcripts_turn_latency": (83, ["conv_id", "max_gap_us", "n_gaps",
+                                      "sum_gap_us"]),
+    "transcripts_conversation_dedup": (188, ["conv_id"]),
+    "transcripts_entity_cooccurrence": (1225, ["a", "b", "n_cooccur"]),
 }
 
 
@@ -126,7 +131,10 @@ def test_past_window_queries_pinned(ray_session):
         rows, cols = PAST_WINDOW_PINS[name]
         assert sorted(df.columns) == cols, name
         assert len(df) == rows, f"{name}: {len(df)} rows != pinned {rows}"
-    assert time.time() - t0 < 120, "past-window sweep wall-time blowup"
+    # budget ~2.5x the measured sweep (46 queries, ~105 s at 4 CPUs on the
+    # r4 degraded host) — catches order-of-magnitude blowups, tolerates
+    # the documented 3x host noise
+    assert time.time() - t0 < 260, "past-window sweep wall-time blowup"
 
 
 @pytest.mark.slow
