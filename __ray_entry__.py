@@ -261,6 +261,37 @@ def _q_transcripts_entity_cooccurrence(sf_dir: str):
         ["a", "b"], [("n_cooccur", "sum")])
 
 
+def _q_transcripts_entity_degree(sf_dir: str):
+    """Entity-graph degree table from the co-occurrence edges: per entity,
+    distinct-neighbor count and total co-occurrence weight — the standard
+    first look at a KG's connectivity/hub structure.  Edges are distinct
+    (a, b) pairs by construction, so degree is ONE exploded pre-combined
+    aggregate over both endpoints (no second distinct pass)."""
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    edges = _q_transcripts_entity_cooccurrence(sf_dir)
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = t.num_rows
+        ent = pa.concat_arrays([t.column("a").combine_chunks(),
+                                t.column("b").combine_chunks()])
+        w = pa.concat_arrays(
+            [t.column("n_cooccur").combine_chunks()] * 2)
+        return pa.Table.from_arrays(
+            [ent, pa.array(np.ones(2 * n, dtype=np.int64)), w],
+            names=["entity", "degree", "weight"])
+
+    return auto_hash_aggregate(
+        edges.map_batches(both_ends, batch_format="pyarrow"),
+        ["entity"], [("degree", "sum"), ("weight", "sum")])
+
+
 def _q_transcripts_conversation_text(sf_dir: str):
     """Ordered conversation assembly: turns re-sorted by turn_idx inside the
     group (NEVER by block order) -> newline-joined conversation text.  The
@@ -1927,6 +1958,41 @@ def _q_events_value_lag_delta(sf_dir: str):
                           ("delta", pa.float64())]))
 
 
+def _q_events_value_moving_avg(sf_dir: str):
+    """ROWS-frame window (SQL AVG OVER ... ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW): per-event trailing-4 mean within the user's ordered
+    stream — completes the window family (cumulative, LAG, rank/ntile,
+    and now a bounded frame) via the same one-sort sorted-block path."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+
+    def roll_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        m = (g.groupby("user_id", sort=False)["value"]
+             .rolling(4, min_periods=1).mean()
+             .reset_index(drop=True).to_numpy(dtype=np.float64))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "moving_avg": np_round_away(m, 4),
+        })
+
+    return sorted_map_groups(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                         "value"]),
+        ["user_id"], block_fn=roll_block,
+        schema=pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                          ("moving_avg", pa.float64())]))
+
+
 def _q_docs_bm25_topk(sf_dir: str):
     """BM25 top-20 ranked retrieval (stages/bm25.py) against the
     deterministic data-derived query (3 highest-collection-frequency
@@ -2289,11 +2355,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
        SQL-green similarity_topk; kg_pagerank beside SQL-green
        graph_pagerank; kg_rejected_turns, whose preprocess filter gates
        every in-window kg_* output) plus the late-r4 SQL-oracled additions
-       (events_value_lag_delta, docs_bm25_topk, docs_edit_distance_pairs,
-       events_cohort_retention, docs_normalized, transcripts_tool_stats,
-       transcripts_turn_latency, transcripts_conversation_dedup —
-       hash-checked by the full local gate) — all pinned by
-       tests/test_registry_window.py at sf0.001."""
+       (LAG delta, BM25, edit-distance pairs, cohort retention, text
+       normalization, moving average, and the transcript-analytics set:
+       tool stats, turn latency, conversation dedup, entity
+       co-occurrence + degree — hash-checked by the full local gate) —
+       all pinned by tests/test_registry_window.py at sf0.001."""
     return {
         # --- SQL-oracled (rows + schema + value hash vs DuckDB) ----------
         "transcripts_turn_stats": _q_transcripts_turn_stats,
@@ -2411,6 +2477,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_transcripts_conversation_dedup,  # oracled (r4)
         "transcripts_entity_cooccurrence":
             _q_transcripts_entity_cooccurrence,  # oracled (r4)
+        "transcripts_entity_degree":
+            _q_transcripts_entity_degree,  # oracled (r4)
+        "events_value_moving_avg":
+            _q_events_value_moving_avg,  # oracled (r4)
     }
 
 
@@ -2762,6 +2832,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM read_parquet('{tglob}') GROUP BY conv_id)
             GROUP BY h""",
         "transcripts_entity_cooccurrence": _cooccurrence_sql(tglob),
+        "transcripts_entity_degree": f"""
+            WITH edges AS ({_cooccurrence_sql(tglob)})
+            SELECT entity, count(*)::BIGINT AS degree,
+                   sum(n_cooccur)::BIGINT AS weight
+            FROM (SELECT a AS entity, n_cooccur FROM edges
+                  UNION ALL
+                  SELECT b AS entity, n_cooccur FROM edges)
+            GROUP BY entity""",
+        "events_value_moving_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN 3 PRECEDING
+                                          AND CURRENT ROW), 4)
+                       AS moving_avg
+            FROM events""",
         "transcripts_tool_stats": f"""
             WITH a AS (SELECT tool, conv_id, count(*)::BIGINT AS n_calls
                        FROM read_parquet('{tglob}')

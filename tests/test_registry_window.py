@@ -101,6 +101,9 @@ PAST_WINDOW_PINS = {
                                       "sum_gap_us"]),
     "transcripts_conversation_dedup": (188, ["conv_id"]),
     "transcripts_entity_cooccurrence": (1225, ["a", "b", "n_cooccur"]),
+    "transcripts_entity_degree": (60, ["degree", "entity", "weight"]),
+    "events_value_moving_avg": (1000, ["event_id", "moving_avg",
+                                       "user_id"]),
 }
 
 
