@@ -261,6 +261,69 @@ def _q_transcripts_entity_cooccurrence(sf_dir: str):
         ["a", "b"], [("n_cooccur", "sum")])
 
 
+def _q_transcripts_entity_pmi(sf_dir: str):
+    """Pointwise mutual information per co-occurring entity pair —
+    the classic collocation/association score over the KG edge list:
+    pmi = ln(n_cooccur * T / (cnt_a * cnt_b)) with T = total turns and
+    cnt(e) = turns containing e.  Per-entity counts are GAZETTEER-bounded
+    (~60 rows), so they broadcast as a plain dict instead of a join; the
+    edge list streams through one vectorized scoring pass."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    label_of = _mention_surface_label()
+    alt = "|".join(re.escape(s)
+                   for s in sorted(label_of, key=len, reverse=True))
+
+    turns = rd.read_parquet(_transcripts_dir(sf_dir), columns=["text"])
+    n_turns = float(turns.count())
+
+    def ent_rows(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ex = (pl.DataFrame({"text": pl.from_arrow(
+                  pa.compute.fill_null(batch.column("text"), "")
+                  .combine_chunks())})
+              .with_row_index("i")
+              .with_columns(pl.col("text").str.extract_all(alt)
+                            .alias("ents"))
+              .select(["i", "ents"]).explode("ents")
+              .drop_nulls("ents").unique(["i", "ents"]))
+        return pa.Table.from_arrays(
+            [pa.array(ex["ents"].to_list(), pa.string()),
+             pa.array(np.ones(ex.height, dtype=np.int64))],
+            names=["entity", "cnt"])
+
+    cnt = {r["entity"]: float(r["cnt"]) for r in auto_hash_aggregate(
+        turns.map_batches(ent_rows, batch_format="pyarrow"),
+        ["entity"], [("cnt", "sum")]).take_all()}
+
+    edges = _q_transcripts_entity_cooccurrence(sf_dir)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("a", pa.string()), ("b", pa.string()),
+                              ("n_cooccur", pa.int64()),
+                              ("pmi", pa.float64())]).empty_table()
+        ca = np.array([cnt[x] for x in t.column("a").to_pylist()])
+        cb = np.array([cnt[x] for x in t.column("b").to_pylist()])
+        n = t.column("n_cooccur").to_numpy().astype(np.float64)
+        pmi = np_round_away(np.log(n * n_turns / (ca * cb)), 4)
+        return t.append_column("pmi", pa.array(pmi, pa.float64()))
+
+    return edges.map_batches(score, batch_format="pyarrow")
+
+
 def _q_transcripts_entity_degree(sf_dir: str):
     """Entity-graph degree table from the co-occurrence edges: per entity,
     distinct-neighbor count and total co-occurrence weight — the standard
@@ -2481,6 +2544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_transcripts_entity_degree,  # oracled (r4)
         "events_value_moving_avg":
             _q_events_value_moving_avg,  # oracled (r4)
+        "transcripts_entity_pmi":
+            _q_transcripts_entity_pmi,  # oracled (r4)
     }
 
 
@@ -2832,6 +2897,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM read_parquet('{tglob}') GROUP BY conv_id)
             GROUP BY h""",
         "transcripts_entity_cooccurrence": _cooccurrence_sql(tglob),
+        "transcripts_entity_pmi": f"""
+            WITH m AS (SELECT row_number() OVER () AS i,
+                              list_distinct(regexp_extract_all(text,
+                                  '{"|".join(__import__("re").escape(s) for s in sorted(_mention_surface_label(), key=len, reverse=True))}'))
+                                  AS ents
+                       FROM read_parquet('{tglob}')),
+            t AS (SELECT count(*)::DOUBLE AS n FROM m),
+            ex AS (SELECT i, unnest(ents) AS e FROM m),
+            cnt AS (SELECT e, count(*)::DOUBLE AS c FROM ex GROUP BY e),
+            edges AS (SELECT x.e AS a, y.e AS b, count(*)::BIGINT
+                          AS n_cooccur
+                      FROM ex x JOIN ex y ON x.i = y.i AND x.e < y.e
+                      GROUP BY 1, 2)
+            SELECT a, b, n_cooccur,
+                   round(ln(n_cooccur * (SELECT n FROM t)
+                            / (ca.c * cb.c)), 4) AS pmi
+            FROM edges JOIN cnt ca ON edges.a = ca.e
+                       JOIN cnt cb ON edges.b = cb.e""",
         "transcripts_entity_degree": f"""
             WITH edges AS ({_cooccurrence_sql(tglob)})
             SELECT entity, count(*)::BIGINT AS degree,

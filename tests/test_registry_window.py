@@ -104,6 +104,7 @@ PAST_WINDOW_PINS = {
     "transcripts_entity_degree": (60, ["degree", "entity", "weight"]),
     "events_value_moving_avg": (1000, ["event_id", "moving_avg",
                                        "user_id"]),
+    "transcripts_entity_pmi": (1225, ["a", "b", "n_cooccur", "pmi"]),
 }
 
 
