@@ -355,6 +355,44 @@ def _q_transcripts_entity_degree(sf_dir: str):
         ["entity"], [("degree", "sum"), ("weight", "sum")])
 
 
+def _q_transcripts_role_transitions(sf_dir: str):
+    """Role-transition Markov counts (user->assistant, assistant->tool,
+    ...): the structural signature of agent transcripts — one sorted-block
+    grouped shift per conversation, then a constant-size (|roles|^2)
+    pre-combined count exchange."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    def trans_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        prev = g.groupby("conv_id", sort=False)["role"].shift(1)
+        keep = prev.notna().to_numpy()
+        out = pd.DataFrame({"from_role": prev.to_numpy()[keep],
+                            "to_role": g["role"].to_numpy()[keep]})
+        agg = (out.groupby(["from_role", "to_role"], sort=False)
+               .size().rename("n").reset_index())
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
+
+    pairs = sorted_map_groups(
+        rd.read_parquet(_transcripts_dir(sf_dir),
+                        columns=["conv_id", "turn_idx", "role"]),
+        ["conv_id"], block_fn=trans_block,
+        schema=pa.schema([("from_role", pa.string()),
+                          ("to_role", pa.string()), ("n", pa.int64())]))
+    return auto_hash_aggregate(pairs, ["from_role", "to_role"],
+                               [("n", "sum")])
+
+
 def _q_transcripts_conversation_text(sf_dir: str):
     """Ordered conversation assembly: turns re-sorted by turn_idx inside the
     group (NEVER by block order) -> newline-joined conversation text.  The
@@ -2546,6 +2584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_events_value_moving_avg,  # oracled (r4)
         "transcripts_entity_pmi":
             _q_transcripts_entity_pmi,  # oracled (r4)
+        "transcripts_role_transitions":
+            _q_transcripts_role_transitions,  # oracled (r4)
     }
 
 
@@ -2897,6 +2937,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM read_parquet('{tglob}') GROUP BY conv_id)
             GROUP BY h""",
         "transcripts_entity_cooccurrence": _cooccurrence_sql(tglob),
+        "transcripts_role_transitions": f"""
+            WITH g AS (SELECT conv_id, role,
+                              lag(role) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx) AS prev
+                       FROM read_parquet('{tglob}'))
+            SELECT prev AS from_role, role AS to_role,
+                   count(*)::BIGINT AS n
+            FROM g WHERE prev IS NOT NULL GROUP BY 1, 2""",
         "transcripts_entity_pmi": f"""
             WITH m AS (SELECT row_number() OVER () AS i,
                               list_distinct(regexp_extract_all(text,

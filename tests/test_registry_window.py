@@ -105,6 +105,7 @@ PAST_WINDOW_PINS = {
     "events_value_moving_avg": (1000, ["event_id", "moving_avg",
                                        "user_id"]),
     "transcripts_entity_pmi": (1225, ["a", "b", "n_cooccur", "pmi"]),
+    "transcripts_role_transitions": (3, ["from_role", "n", "to_role"]),
 }
 
 
