@@ -2094,6 +2094,20 @@ def _q_events_value_moving_avg(sf_dir: str):
                           ("moving_avg", pa.float64())]))
 
 
+def _q_docs_bigram_pmi(sf_dir: str):
+    """Bigram collocation PMI (stages/collocation.py) — the UNBOUNDED-
+    vocabulary complement to the gazetteer-bounded entity PMI: unigram
+    counts attach through two keyed lookup joins (never a broadcast);
+    min_count prunes the count-1 tail before the joins."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.collocation import (
+        bigram_pmi,
+    )
+
+    return bigram_pmi(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        min_count=5)
+
+
 def _q_docs_bm25_topk(sf_dir: str):
     """BM25 top-20 ranked retrieval (stages/bm25.py) against the
     deterministic data-derived query (3 highest-collection-frequency
@@ -2586,6 +2600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_transcripts_entity_pmi,  # oracled (r4)
         "transcripts_role_transitions":
             _q_transcripts_role_transitions,  # oracled (r4)
+        "docs_bigram_pmi": _q_docs_bigram_pmi,  # oracled (r4)
     }
 
 
@@ -3567,6 +3582,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(sum(part), 4) AS bm25
             FROM parts GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id LIMIT 20""",
+        "docs_bigram_pmi": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS t
+                          FROM documents),
+            uni AS (SELECT unnest(t) AS w FROM toks),
+            ucnt AS (SELECT w, count(*)::DOUBLE AS c FROM uni GROUP BY w),
+            tt AS (SELECT count(*)::DOUBLE AS n FROM uni),
+            big AS (SELECT t[i] AS w1, t[i + 1] AS w2
+                    FROM toks,
+                         LATERAL (SELECT unnest(generate_series(
+                              1, len(t) - 1)) AS i) s),
+            bcnt AS (SELECT w1, w2, count(*)::BIGINT AS n
+                     FROM big GROUP BY 1, 2),
+            bt AS (SELECT count(*)::DOUBLE AS n FROM big)
+            SELECT w1, w2, n,
+                   round(ln((n / (SELECT n FROM bt))
+                            / ((c1.c / (SELECT n FROM tt))
+                               * (c2.c / (SELECT n FROM tt)))), 4) AS pmi
+            FROM bcnt JOIN ucnt c1 ON bcnt.w1 = c1.w
+                      JOIN ucnt c2 ON bcnt.w2 = c2.w
+            WHERE n >= 5""",
         # byte-level levenshtein (DuckDB's convention) over 64-char
         # (code-point) prefixes of the exact Jaccard>=0.5 pairs.
         "docs_edit_distance_pairs": f"""

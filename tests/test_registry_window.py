@@ -106,6 +106,7 @@ PAST_WINDOW_PINS = {
                                        "user_id"]),
     "transcripts_entity_pmi": (1225, ["a", "b", "n_cooccur", "pmi"]),
     "transcripts_role_transitions": (3, ["from_role", "n", "to_role"]),
+    "docs_bigram_pmi": (900, ["n", "pmi", "w1", "w2"]),
 }
 
 
