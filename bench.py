@@ -141,8 +141,32 @@ def main():
     ray.shutdown()
 
 
+def _host_conditions() -> dict:
+    """Loadavg + 2s steal/idle sample, so every scaling record documents
+    the external-tenancy conditions it ran under (BASELINE.md: the only
+    sub-0.8 efficiency readings ever observed coincide with measured
+    external load on this shared VM)."""
+    import time
+
+    def cpu_ticks():
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+
+    with open("/proc/loadavg") as f:
+        load1 = float(f.read().split()[0])
+    a = cpu_ticks()
+    time.sleep(2)
+    b = cpu_ticks()
+    d = [y - x for x, y in zip(a, b)]
+    tot = max(sum(d), 1)
+    return {"load1": load1,
+            "idle_pct": round(100 * d[3] / tot, 1),
+            "steal_pct": round(100 * d[7] / tot, 1) if len(d) > 7 else 0.0}
+
+
 def scaling():
     """Same pipeline at num_cpus=8 and 32 in fresh processes."""
+    pre = _host_conditions()
     results = {}
     for ncpu in (8, 32):
         # per-query timings don't enter the efficiency ratio — skip them in
@@ -164,6 +188,7 @@ def scaling():
         "triples_per_sec_8cpu": tput8, "triples_per_sec_32cpu": tput32,
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
+        "host_pre": pre, "host_post": _host_conditions(),
     }))
 
 
