@@ -393,6 +393,100 @@ def _q_transcripts_role_transitions(sf_dir: str):
                                [("n", "sum")])
 
 
+def _q_transcripts_predicate_entailment(sf_dir: str):
+    """Entailment-Graph local score over SQL-derivable transcript triples —
+    the downstream consumer the reference feeds (its corpus exists to build
+    Chinese Entailment Graphs, reference README.md:3-9): cosine similarity
+    between predicates over their argument-pair count vectors.  Predicate
+    here is the turn's (role:tool) — the SQL-checkable proxy whose
+    extraction a DuckDB oracle can mirror exactly; the REAL cascade
+    predicates run through the same stage in kg_predicate_similarity.
+    Triple = (entity_a, role:tool, entity_b) per distinct in-turn entity
+    pair (same gazetteer alternation as transcripts_entity_cooccurrence);
+    the similarity math is stages/entgraph.predicate_similarity (two
+    pre-combined aggregates + one inverted-index pair sort + two keyed
+    lookup joins — no broadcast of the unbounded predicate vocabulary)."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.entgraph import (
+        predicate_similarity,
+    )
+
+    label_of = _mention_surface_label()
+    alt = "|".join(re.escape(s)
+                   for s in sorted(label_of, key=len, reverse=True))
+
+    def triples(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        empty = pa.schema([("pred", pa.string()), ("subj", pa.string()),
+                           ("obj", pa.string())]).empty_table()
+        if batch.num_rows == 0:
+            return empty
+        pred = pc.binary_join_element_wise(
+            pc.fill_null(batch.column("role"), ""),
+            pc.fill_null(batch.column("tool"), ""), ":")
+        ex = (pl.DataFrame(
+                  {"pred": pl.from_arrow(pred.combine_chunks()),
+                   "text": pl.from_arrow(
+                       pc.fill_null(batch.column("text"), "")
+                       .combine_chunks())})
+              .with_row_index("i")
+              .with_columns(pl.col("text").str.extract_all(alt)
+                            .alias("ents"))
+              .select(["i", "pred", "ents"]).explode("ents")
+              .drop_nulls("ents").unique(["i", "ents"]))
+        if ex.height == 0:
+            return empty
+        j = (ex.join(ex.select(["i", "ents"]), on="i")
+             .filter(pl.col("ents") < pl.col("ents_right"))
+             .select(["pred", "ents", "ents_right"])
+             .rename({"ents": "subj", "ents_right": "obj"}))
+        return j.to_arrow().cast(pa.schema(
+            [("pred", pa.string()), ("subj", pa.string()),
+             ("obj", pa.string())]))
+
+    return predicate_similarity(
+        rd.read_parquet(_transcripts_dir(sf_dir),
+                        columns=["role", "tool", "text"])
+        .map_batches(triples, batch_format="pyarrow"))
+
+
+def _q_kg_predicate_similarity(sf_dir: str):
+    """The same Entailment-Graph local score over the REAL cascade output:
+    features are LINKED argument pairs (subj_ent, obj_ent) of the triples
+    table — the exact EntGraph construction step (predicates sharing
+    entity-pair contexts are entailment candidates).  Iterative/cascade
+    provenance makes it rows-only; the math is SQL-proved by
+    transcripts_predicate_entailment.  min_shared=2 prunes the one-shared-
+    context noise tail; max_feature_df caps hub entity pairs (logged)."""
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.entgraph import (
+        predicate_similarity,
+    )
+
+    triples = _kg(sf_dir)["triples"]
+
+    def linked(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(pc.is_valid(batch.column("subj_ent")),
+                    pc.is_valid(batch.column("obj_ent")))
+        t = batch.filter(m)
+        return pa.Table.from_arrays(
+            [t.column("pred"), t.column("subj_ent"), t.column("obj_ent")],
+            names=["pred", "subj", "obj"])
+
+    return predicate_similarity(
+        triples.map_batches(linked, batch_format="pyarrow"),
+        min_shared=2, max_feature_df=10_000)
+
+
 def _q_transcripts_conversation_text(sf_dir: str):
     """Ordered conversation assembly: turns re-sorted by turn_idx inside the
     group (NEVER by block order) -> newline-joined conversation text.  The
@@ -2601,6 +2695,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_role_transitions":
             _q_transcripts_role_transitions,  # oracled (r4)
         "docs_bigram_pmi": _q_docs_bigram_pmi,  # oracled (r4)
+        "transcripts_predicate_entailment":
+            _q_transcripts_predicate_entailment,  # oracled (r4)
+        "kg_predicate_similarity": _q_kg_predicate_similarity,
     }
 
 
@@ -2978,6 +3075,33 @@ def oracle_sql() -> dict[str, str]:
                             / (ca.c * cb.c)), 4) AS pmi
             FROM edges JOIN cnt ca ON edges.a = ca.e
                        JOIN cnt cb ON edges.b = cb.e""",
+        "transcripts_predicate_entailment": f"""
+            WITH m AS (SELECT row_number() OVER () AS i,
+                              role || ':' || tool AS pred,
+                              list_distinct(regexp_extract_all(text,
+                                  '{"|".join(__import__("re").escape(s) for s in sorted(_mention_surface_label(), key=len, reverse=True))}'))
+                                  AS ents
+                       FROM read_parquet('{tglob}')),
+            e1 AS (SELECT i, pred, unnest(ents) AS a FROM m),
+            e2 AS (SELECT i, unnest(ents) AS b FROM m),
+            feat AS (SELECT pred, a AS subj, b AS obj,
+                            count(*)::BIGINT AS cnt
+                     FROM e1 JOIN e2 USING (i) WHERE a < b
+                     GROUP BY 1, 2, 3),
+            nrm AS (SELECT pred, sum(cnt * cnt)::BIGINT AS sq
+                    FROM feat GROUP BY 1),
+            dots AS (SELECT x.pred AS pred_a, y.pred AS pred_b,
+                            sum(x.cnt * y.cnt)::BIGINT AS dot,
+                            count(*)::BIGINT AS n_shared
+                     FROM feat x JOIN feat y
+                       ON x.subj = y.subj AND x.obj = y.obj
+                      AND x.pred < y.pred
+                     GROUP BY 1, 2)
+            SELECT pred_a, pred_b, n_shared, dot,
+                   round(dot / sqrt(nx.sq::DOUBLE * ny.sq::DOUBLE), 4)
+                       AS cosine
+            FROM dots JOIN nrm nx ON nx.pred = pred_a
+                      JOIN nrm ny ON ny.pred = pred_b""",
         "transcripts_entity_degree": f"""
             WITH edges AS ({_cooccurrence_sql(tglob)})
             SELECT entity, count(*)::BIGINT AS degree,

@@ -107,6 +107,13 @@ PAST_WINDOW_PINS = {
     "transcripts_entity_pmi": (1225, ["a", "b", "n_cooccur", "pmi"]),
     "transcripts_role_transitions": (3, ["from_role", "n", "to_role"]),
     "docs_bigram_pmi": (900, ["n", "pmi", "w1", "w2"]),
+    # SQL-oracled past-window (full local gate hash-checks it)
+    "transcripts_predicate_entailment": (15, ["cosine", "dot", "n_shared",
+                                              "pred_a", "pred_b"]),
+    # EntGraph local score over the REAL cascade triples (rows-only;
+    # math SQL-proved by transcripts_predicate_entailment)
+    "kg_predicate_similarity": (51, ["cosine", "dot", "n_shared",
+                                     "pred_a", "pred_b"]),
 }
 
 
