@@ -393,28 +393,18 @@ def _q_transcripts_role_transitions(sf_dir: str):
                                [("n", "sum")])
 
 
-def _q_transcripts_predicate_entailment(sf_dir: str):
-    """Entailment-Graph local score over SQL-derivable transcript triples —
-    the downstream consumer the reference feeds (its corpus exists to build
-    Chinese Entailment Graphs, reference README.md:3-9): cosine similarity
-    between predicates over their argument-pair count vectors.  Predicate
-    here is the turn's (role:tool) — the SQL-checkable proxy whose
-    extraction a DuckDB oracle can mirror exactly; the REAL cascade
-    predicates run through the same stage in kg_predicate_similarity.
-    Triple = (entity_a, role:tool, entity_b) per distinct in-turn entity
-    pair (same gazetteer alternation as transcripts_entity_cooccurrence);
-    the similarity math is stages/entgraph.predicate_similarity (two
-    pre-combined aggregates + one inverted-index pair sort + two keyed
-    lookup joins — no broadcast of the unbounded predicate vocabulary)."""
+def _proxy_pred_triples(sf_dir: str):
+    """SQL-derivable (pred, subj, obj) triple stream over the transcripts:
+    pred = the turn's role:tool, (subj, obj) = every distinct in-turn
+    gazetteer entity pair (same alternation as
+    transcripts_entity_cooccurrence).  The SQL-checkable proxy feeding the
+    EntGraph score queries; the REAL cascade predicates run through the
+    same stages in kg_predicate_similarity / kg_predicate_binc."""
     import re
 
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
-
-    from chinese_open_relation_extraction_for_entgraph_ray.stages.entgraph import (
-        predicate_similarity,
-    )
 
     label_of = _mention_surface_label()
     alt = "|".join(re.escape(s)
@@ -450,25 +440,17 @@ def _q_transcripts_predicate_entailment(sf_dir: str):
             [("pred", pa.string()), ("subj", pa.string()),
              ("obj", pa.string())]))
 
-    return predicate_similarity(
-        rd.read_parquet(_transcripts_dir(sf_dir),
-                        columns=["role", "tool", "text"])
-        .map_batches(triples, batch_format="pyarrow"))
+    return (rd.read_parquet(_transcripts_dir(sf_dir),
+                            columns=["role", "tool", "text"])
+            .map_batches(triples, batch_format="pyarrow"))
 
 
-def _q_kg_predicate_similarity(sf_dir: str):
-    """The same Entailment-Graph local score over the REAL cascade output:
-    features are LINKED argument pairs (subj_ent, obj_ent) of the triples
-    table — the exact EntGraph construction step (predicates sharing
-    entity-pair contexts are entailment candidates).  Iterative/cascade
-    provenance makes it rows-only; the math is SQL-proved by
-    transcripts_predicate_entailment.  min_shared=2 prunes the one-shared-
-    context noise tail; max_feature_df caps hub entity pairs (logged)."""
+def _linked_cascade_triples(sf_dir: str):
+    """(pred, subj, obj) over the REAL cascade output: features are LINKED
+    argument pairs (subj_ent, obj_ent) of the triples table — the exact
+    EntGraph construction input (predicates sharing entity-pair contexts
+    are entailment candidates)."""
     import pyarrow as pa
-
-    from chinese_open_relation_extraction_for_entgraph_ray.stages.entgraph import (
-        predicate_similarity,
-    )
 
     triples = _kg(sf_dir)["triples"]
 
@@ -482,9 +464,64 @@ def _q_kg_predicate_similarity(sf_dir: str):
             [t.column("pred"), t.column("subj_ent"), t.column("obj_ent")],
             names=["pred", "subj", "obj"])
 
+    return triples.map_batches(linked, batch_format="pyarrow")
+
+
+def _q_transcripts_predicate_entailment(sf_dir: str):
+    """Entailment-Graph local score over SQL-derivable transcript triples —
+    the downstream consumer the reference feeds (its corpus exists to build
+    Chinese Entailment Graphs, reference README.md:3-9): cosine similarity
+    between predicates over their argument-pair count vectors
+    (stages/entgraph.predicate_similarity — two pre-combined aggregates +
+    one inverted-index pair sort + two keyed lookup joins, no broadcast of
+    the unbounded predicate vocabulary)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.entgraph import (
+        predicate_similarity,
+    )
+
+    return predicate_similarity(_proxy_pred_triples(sf_dir))
+
+
+def _q_transcripts_predicate_binc(sf_dir: str):
+    """DIRECTIONAL entailment scores over the same proxy triples: Weeds
+    precision, Lin similarity and BInc (sqrt(Lin * WeedsPrec)) — the edge
+    weights entailment-graph construction ranks candidates by (Szpektor &
+    Dagan 2008; Hosseini et al. 2018 local scores).  Exact int64
+    numerators/denominators make it bit-comparable to the DuckDB oracle."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.entgraph import (
+        entailment_scores,
+    )
+
+    return entailment_scores(_proxy_pred_triples(sf_dir))
+
+
+def _q_kg_predicate_similarity(sf_dir: str):
+    """The Entailment-Graph local cosine over the REAL cascade output.
+    Iterative/cascade provenance makes it rows-only; the math is SQL-proved
+    by transcripts_predicate_entailment.  min_shared=2 prunes the
+    one-shared-context noise tail; max_feature_df caps hub entity pairs
+    (logged)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.entgraph import (
+        predicate_similarity,
+    )
+
     return predicate_similarity(
-        triples.map_batches(linked, batch_format="pyarrow"),
-        min_shared=2, max_feature_df=10_000)
+        _linked_cascade_triples(sf_dir), min_shared=2,
+        max_feature_df=10_000)
+
+
+def _q_kg_predicate_binc(sf_dir: str):
+    """Directional Weeds/Lin/BInc over the REAL cascade triples — the
+    candidate entailment edges (pred_a -> pred_b ranked by binc_ab) the
+    reference's corpus exists to produce.  Rows-only (cascade provenance);
+    the math is SQL-proved by transcripts_predicate_binc."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.entgraph import (
+        entailment_scores,
+    )
+
+    return entailment_scores(
+        _linked_cascade_triples(sf_dir), min_shared=2,
+        max_feature_df=10_000)
 
 
 def _q_transcripts_conversation_text(sf_dir: str):
@@ -2698,6 +2735,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_predicate_entailment":
             _q_transcripts_predicate_entailment,  # oracled (r4)
         "kg_predicate_similarity": _q_kg_predicate_similarity,
+        "transcripts_predicate_binc":
+            _q_transcripts_predicate_binc,  # oracled (r4)
+        "kg_predicate_binc": _q_kg_predicate_binc,
     }
 
 
@@ -3102,6 +3142,39 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine
             FROM dots JOIN nrm nx ON nx.pred = pred_a
                       JOIN nrm ny ON ny.pred = pred_b""",
+        "transcripts_predicate_binc": f"""
+            WITH m AS (SELECT row_number() OVER () AS i,
+                              role || ':' || tool AS pred,
+                              list_distinct(regexp_extract_all(text,
+                                  '{"|".join(__import__("re").escape(s) for s in sorted(_mention_surface_label(), key=len, reverse=True))}'))
+                                  AS ents
+                       FROM read_parquet('{tglob}')),
+            e1 AS (SELECT i, pred, unnest(ents) AS a FROM m),
+            e2 AS (SELECT i, unnest(ents) AS b FROM m),
+            feat AS (SELECT pred, a AS subj, b AS obj,
+                            count(*)::BIGINT AS cnt
+                     FROM e1 JOIN e2 USING (i) WHERE a < b
+                     GROUP BY 1, 2, 3),
+            tot AS (SELECT pred, sum(cnt)::BIGINT AS tot
+                    FROM feat GROUP BY 1),
+            shr AS (SELECT x.pred AS pred_a, y.pred AS pred_b,
+                           sum(x.cnt)::BIGINT AS sa,
+                           sum(y.cnt)::BIGINT AS sb,
+                           count(*)::BIGINT AS n_shared
+                    FROM feat x JOIN feat y
+                      ON x.subj = y.subj AND x.obj = y.obj
+                     AND x.pred < y.pred
+                    GROUP BY 1, 2)
+            SELECT pred_a, pred_b, n_shared,
+                   round(sa / ta.tot::DOUBLE, 4) AS weeds_ab,
+                   round(sb / tb.tot::DOUBLE, 4) AS weeds_ba,
+                   round((sa + sb) / (ta.tot + tb.tot)::DOUBLE, 4) AS lin,
+                   round(sqrt(((sa + sb) / (ta.tot + tb.tot)::DOUBLE)
+                              * (sa / ta.tot::DOUBLE)), 4) AS binc_ab,
+                   round(sqrt(((sa + sb) / (ta.tot + tb.tot)::DOUBLE)
+                              * (sb / tb.tot::DOUBLE)), 4) AS binc_ba
+            FROM shr JOIN tot ta ON ta.pred = pred_a
+                     JOIN tot tb ON tb.pred = pred_b""",
         "transcripts_entity_degree": f"""
             WITH edges AS ({_cooccurrence_sql(tglob)})
             SELECT entity, count(*)::BIGINT AS degree,

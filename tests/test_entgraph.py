@@ -12,6 +12,7 @@ import pytest
 import ray.data as rd
 
 from chinese_open_relation_extraction_for_entgraph_ray.stages.entgraph import (
+    entailment_scores,
     predicate_similarity,
 )
 
@@ -104,6 +105,72 @@ def test_empty_and_degenerate(ray_session):
     df1 = pd.DataFrame({"pred": ["a"] * 3, "subj": list("xyz"),
                         "obj": list("uvw")})
     assert _run(df1).empty
+
+
+def _round4(x: float) -> float:
+    return float(np.sign(x) * np.floor(abs(x) * 1e4 + 0.5) / 1e4)
+
+
+def _brute_entailment(df: pd.DataFrame, min_shared: int = 1) -> pd.DataFrame:
+    feat = (df.groupby(["pred", "subj", "obj"]).size()
+            .rename("cnt").reset_index())
+    vec = {p: {(r.subj, r.obj): r.cnt for r in g.itertuples()}
+           for p, g in feat.groupby("pred")}
+    tot = {p: sum(v.values()) for p, v in vec.items()}
+    rows = []
+    for a, b in itertools.combinations(sorted(vec), 2):
+        shared = set(vec[a]) & set(vec[b])
+        if len(shared) < max(min_shared, 1):
+            continue
+        sa = sum(vec[a][f] for f in shared)
+        sb = sum(vec[b][f] for f in shared)
+        w_ab, w_ba = sa / tot[a], sb / tot[b]
+        lin = (sa + sb) / (tot[a] + tot[b])
+        rows.append((a, b, len(shared), _round4(w_ab), _round4(w_ba),
+                     _round4(lin), _round4(np.sqrt(lin * w_ab)),
+                     _round4(np.sqrt(lin * w_ba))))
+    return (pd.DataFrame(rows, columns=["pred_a", "pred_b", "n_shared",
+                                        "weeds_ab", "weeds_ba", "lin",
+                                        "binc_ab", "binc_ba"])
+            .sort_values(["pred_a", "pred_b"]).reset_index(drop=True))
+
+
+def test_entailment_matches_brute_force(ray_session):
+    df = _random_triples(seed=23)
+    got = (entailment_scores(rd.from_pandas(df)).to_pandas()
+           .sort_values(["pred_a", "pred_b"]).reset_index(drop=True)
+           [["pred_a", "pred_b", "n_shared", "weeds_ab", "weeds_ba",
+             "lin", "binc_ab", "binc_ba"]])
+    exp = _brute_entailment(df)
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+
+def test_entailment_directionality(ray_session):
+    """A predicate whose ENTIRE vector is shared scores WeedsPrec = 1 in
+    its direction (the textbook inclusion case: 'p entails q' when p's
+    contexts are a subset of q's), while the broader predicate scores
+    below 1 in the reverse direction."""
+    narrow = pd.DataFrame({"pred": ["nar"] * 2, "subj": ["s1", "s2"],
+                           "obj": ["o1", "o2"]})
+    broad = pd.DataFrame({"pred": ["brd"] * 4,
+                          "subj": ["s1", "s2", "s3", "s4"],
+                          "obj": ["o1", "o2", "o3", "o4"]})
+    out = entailment_scores(
+        rd.from_pandas(pd.concat([narrow, broad], ignore_index=True))
+    ).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["pred_a"], row["pred_b"]) == ("brd", "nar")
+    assert row["weeds_ba"] == 1.0          # nar -> brd : full inclusion
+    assert row["weeds_ab"] == 0.5          # brd -> nar : half the mass
+    assert row["lin"] == pytest.approx(4 / 6, abs=1e-4)
+    assert row["binc_ba"] > row["binc_ab"]
+
+
+def test_entailment_empty(ray_session):
+    df = pd.DataFrame({"pred": ["a", "b"], "subj": ["x", "y"],
+                       "obj": ["u", "v"]})
+    assert entailment_scores(rd.from_pandas(df)).count() == 0
 
 
 def test_duplicate_triples_raise_counts(ray_session):

@@ -114,6 +114,13 @@ PAST_WINDOW_PINS = {
     # math SQL-proved by transcripts_predicate_entailment)
     "kg_predicate_similarity": (51, ["cosine", "dot", "n_shared",
                                      "pred_a", "pred_b"]),
+    # directional Weeds/Lin/BInc (SQL-oracled proxy + cascade rows-only)
+    "transcripts_predicate_binc": (15, ["binc_ab", "binc_ba", "lin",
+                                        "n_shared", "pred_a", "pred_b",
+                                        "weeds_ab", "weeds_ba"]),
+    "kg_predicate_binc": (51, ["binc_ab", "binc_ba", "lin", "n_shared",
+                               "pred_a", "pred_b", "weeds_ab",
+                               "weeds_ba"]),
 }
 
 
