@@ -510,6 +510,38 @@ def _q_kg_predicate_similarity(sf_dir: str):
         max_feature_df=10_000)
 
 
+def _q_transcripts_predicate_clusters(sf_dir: str):
+    """Paraphrase clusters: predicates whose local cosine >= 0.5 collapse
+    into connected components — the cluster step of entailment-graph
+    construction (predicates in one cluster act as a single relation
+    node).  Edges are the SQL-proved predicate_similarity output filtered
+    on the ROUNDED cosine (mirrorable bit-for-bit); components via
+    stages/cluster.connected_components_str (hash-int rounds inside,
+    min-STRING representative outside, so the recursive-CTE oracle
+    matches exactly).  keep marks the representative."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.cluster import (
+        connected_components_str,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.entgraph import (
+        predicate_similarity,
+    )
+
+    pairs = predicate_similarity(_proxy_pred_triples(sf_dir)).filter(
+        expr="cosine >= 0.5")
+    comp = connected_components_str(pairs, a="pred_a", b="pred_b")
+
+    def mark(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("node"), batch.column("component"))
+        return pa.Table.from_arrays(
+            [batch.column("node"), batch.column("component"), keep],
+            names=["pred", "cluster", "keep"])
+
+    return comp.map_batches(mark, batch_format="pyarrow")
+
+
 def _q_kg_predicate_binc(sf_dir: str):
     """Directional Weeds/Lin/BInc over the REAL cascade triples — the
     candidate entailment edges (pred_a -> pred_b ranked by binc_ab) the
@@ -2738,6 +2770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_predicate_binc":
             _q_transcripts_predicate_binc,  # oracled (r4)
         "kg_predicate_binc": _q_kg_predicate_binc,
+        "transcripts_predicate_clusters":
+            _q_transcripts_predicate_clusters,  # oracled (r4)
     }
 
 
@@ -3175,6 +3209,43 @@ def oracle_sql() -> dict[str, str]:
                               * (sb / tb.tot::DOUBLE)), 4) AS binc_ba
             FROM shr JOIN tot ta ON ta.pred = pred_a
                      JOIN tot tb ON tb.pred = pred_b""",
+        "transcripts_predicate_clusters": f"""
+            WITH RECURSIVE
+            m AS (SELECT row_number() OVER () AS i,
+                         role || ':' || tool AS pred,
+                         list_distinct(regexp_extract_all(text,
+                             '{"|".join(__import__("re").escape(s) for s in sorted(_mention_surface_label(), key=len, reverse=True))}'))
+                             AS ents
+                  FROM read_parquet('{tglob}')),
+            e1 AS (SELECT i, pred, unnest(ents) AS a FROM m),
+            e2 AS (SELECT i, unnest(ents) AS b FROM m),
+            feat AS (SELECT pred, a AS subj, b AS obj,
+                            count(*)::BIGINT AS cnt
+                     FROM e1 JOIN e2 USING (i) WHERE a < b
+                     GROUP BY 1, 2, 3),
+            nrm AS (SELECT pred, sum(cnt * cnt)::BIGINT AS sq
+                    FROM feat GROUP BY 1),
+            dots AS (SELECT x.pred AS pred_a, y.pred AS pred_b,
+                            sum(x.cnt * y.cnt)::BIGINT AS dot
+                     FROM feat x JOIN feat y
+                       ON x.subj = y.subj AND x.obj = y.obj
+                      AND x.pred < y.pred
+                     GROUP BY 1, 2),
+            sim AS (SELECT pred_a, pred_b
+                    FROM dots JOIN nrm nx ON nx.pred = pred_a
+                              JOIN nrm ny ON ny.pred = pred_b
+                    WHERE round(dot / sqrt(nx.sq::DOUBLE * ny.sq::DOUBLE),
+                                4) >= 0.5),
+            edges AS (SELECT pred_a AS u, pred_b AS v FROM sim
+                      UNION SELECT pred_b, pred_a FROM sim),
+            reach(node, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT reach.node, e.v FROM reach JOIN edges e
+                ON reach.r = e.u)
+            SELECT node AS pred, min(r) AS cluster,
+                   (node = min(r)) AS keep
+            FROM reach GROUP BY node""",
         "transcripts_entity_degree": f"""
             WITH edges AS ({_cooccurrence_sql(tglob)})
             SELECT entity, count(*)::BIGINT AS degree,

@@ -78,6 +78,30 @@ def _local_components(pairs_ds, a: str, b: str):
                                    "component": nodes[labels]}))
 
 
+def _exact_label_sum(labels_ds) -> int:
+    """Exact (arbitrary-precision) sum of the int64 ``label`` column — the
+    convergence fingerprint of the min-label rounds.  Labels only ever
+    DECREASE, so an unchanged exact sum == fixpoint; a plain int64
+    ``Dataset.sum`` silently wraps when ids are full-range 63-bit hashes
+    (sum(node_ids) >= 2^63 already at 2 nodes), which can terminate the
+    rounds early and fragment components.  Splitting each label into three
+    22-bit limbs keeps every distributed partial sum exact in int64 up to
+    ~2^41 nodes, and the limb sums recombine into one Python int."""
+    import numpy as np
+
+    def limbs(t: pa.Table) -> pa.Table:
+        v = t.column("label").to_numpy().astype(np.uint64)
+        return pa.table({
+            "lo": pa.array([int((v & 0x3F_FFFF).sum(dtype=np.uint64))]),
+            "mid": pa.array([int(((v >> 22) & 0x3F_FFFF)
+                                 .sum(dtype=np.uint64))]),
+            "hi": pa.array([int((v >> 44).sum(dtype=np.uint64))])})
+
+    s = labels_ds.map_batches(limbs, batch_format="pyarrow").sum(
+        ["hi", "mid", "lo"])
+    return (s["sum(hi)"] << 44) + (s["sum(mid)"] << 22) + s["sum(lo)"]
+
+
 def connected_components(pairs_ds, *, a: str = "a", b: str = "b",
                          max_iters: int = 20,
                          local_threshold: int = LOCAL_CC_THRESHOLD):
@@ -127,17 +151,11 @@ def connected_components(pairs_ds, *, a: str = "a", b: str = "b",
 
     if labels.count() == 0:
         # explicit empty-input short-circuit (sum() on an empty Dataset
-        # returns None; relying on None == None to converge was implicit).
-        # Node-id magnitude bound for the sum-based convergence test below:
-        # labels only ever DECREASE, so sum-unchanged == fixpoint as long as
-        # the int64 sum is exact — i.e. sum(node_ids) < 2^63, guaranteed for
-        # ids < 2^63 / n_nodes; salt-free 63-bit ids over ~2^40 nodes are
-        # out of that bound — rehash ids to a smaller dense domain first if
-        # your ids are full-range hashes.
+        # returns None; relying on None == None to converge was implicit)
         return labels.map_batches(
             lambda t: t.rename_columns(["node", "component"]),
             batch_format="pyarrow")
-    prev_sum = labels.sum("label")
+    prev_sum = _exact_label_sum(labels)
     for it in range(max_iters):
         # ONE lookup per round answers both rules: a query row (src, dst)
         # asks "attach labels(src), deliver it to dst".
@@ -154,7 +172,7 @@ def connected_components(pairs_ds, *, a: str = "a", b: str = "b",
                 [t.column("dst"), t.column("label_q")],
                 names=["node", "label"]), batch_format="pyarrow")
         labels = _grouped_min(labels.union(cand)).materialize()
-        cur_sum = labels.sum("label")
+        cur_sum = _exact_label_sum(labels)
         if cur_sum == prev_sum:      # labels only decrease -> fixpoint
             logger.info("connected_components converged in %d rounds",
                         it + 1)
@@ -166,6 +184,85 @@ def connected_components(pairs_ds, *, a: str = "a", b: str = "b",
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "component"]),
         batch_format="pyarrow")
+
+
+def connected_components_str(pairs_ds, *, a: str = "a", b: str = "b",
+                             **cc_kwargs):
+    """Connected components over STRING-keyed pairs (predicates, URLs,
+    entity surfaces): ``(a, b)`` string pair Dataset -> ``(node,
+    component)`` Dataset where ``component`` is the lexicographically
+    MINIMUM string in the node's component — hash-free output, so a SQL
+    recursive-CTE oracle mirrors it exactly.
+
+    Internally the rounds run on int64 ids: endpoints are hashed with the
+    engine's polars 64-bit key convention (same trade as the semi-join
+    fkeys — collision odds ~ n^2 / 2^64 over the VERIFIED pair set, which
+    is output-sized), :func:`connected_components` propagates min-hash
+    labels, and two output-sized keyed passes map the hash labels back to
+    min-string representatives (a grouped min per component + one lookup
+    join).  All extra work is O(pairs) — the quadratic part stays inside
+    the int rounds."""
+    import numpy as np
+
+    from .groupagg import auto_hash_aggregate
+    from .joins import lookup_join
+
+    def add_hashes(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ha = (pl.from_arrow(batch.column(a).combine_chunks())
+              .hash(seed=311).to_numpy().view(np.int64))
+        hb = (pl.from_arrow(batch.column(b).combine_chunks())
+              .hash(seed=311).to_numpy().view(np.int64))
+        # clear the sign bit: the sum-based convergence test needs
+        # same-sign ids, and the min-label semantics don't care
+        return pa.Table.from_arrays(
+            [batch.column(a), batch.column(b),
+             pa.array(ha & 0x7FFF_FFFF_FFFF_FFFF, pa.int64()),
+             pa.array(hb & 0x7FFF_FFFF_FFFF_FFFF, pa.int64())],
+            names=["str_a", "str_b", "ha", "hb"])
+
+    hashed = pairs_ds.map_batches(add_hashes,
+                                  batch_format="pyarrow").materialize()
+    if hashed.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema([("node", pa.string()),
+                                        ("component", pa.string())])
+                             .empty_table())
+    comp = connected_components(hashed.select_columns(["ha", "hb"]),
+                                a="ha", b="hb", **cc_kwargs)
+
+    # (node_hash, node_str) vocabulary from both endpoint columns
+    def endpoints(batch: pa.Table) -> pa.Table:
+        sa = batch.column("str_a").combine_chunks()
+        sb = batch.column("str_b").combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([batch.column("ha").combine_chunks(),
+                               batch.column("hb").combine_chunks()]),
+             pa.concat_arrays([sa, sb])],
+            names=["node", "node_str"])
+
+    vocab = auto_hash_aggregate(
+        hashed.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"], [("node_str", "min")]).materialize()
+
+    named = lookup_join(comp, vocab, left_key="node", right_key="node",
+                        payload=["node_str"], suffix="_v")
+    reprs = auto_hash_aggregate(
+        named.select_columns(["component", "node_str_v"]),
+        ["component"], [("node_str_v", "min")])
+
+    out = lookup_join(named, reprs, left_key="component",
+                      right_key="component", payload=["node_str_v"],
+                      suffix="_r")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("node_str_v"), batch.column("node_str_v_r")],
+            names=["node", "component"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def dedup_cluster_representatives(pairs_ds, *, a: str = "a", b: str = "b"):

@@ -125,26 +125,34 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
                        for c in payload]
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    def block_join(df: pd.DataFrame, skip_edges: bool = True) -> pa.Table:
-        if len(df):
-            if skip_edges:
-                # keys are non-null by construction (nulls split out at
-                # tagging), so == comparisons are reliable here
-                jk = df[_JK].to_numpy()
-                df = df[~((jk == jk[0]) | (jk == jk[-1]))]
-        if not len(df):
+    def block_join(batch: pa.Table, skip_edges: bool = True) -> pa.Table:
+        # stays in Arrow/polars end to end: a pandas round-trip would
+        # coerce int64-with-nulls to float64 and silently corrupt values
+        # above 2^53 — fatal for full-range 64-bit hash keys/payloads
+        import polars as pl
+
+        if batch.num_rows and skip_edges:
+            # keys are non-null by construction (nulls split out at
+            # tagging), so equality comparisons are reliable here
+            jk = batch.column(_JK)
+            batch = batch.filter(pc.and_(
+                pc.not_equal(jk, jk[0]),
+                pc.not_equal(jk, jk[batch.num_rows - 1])))
+        if batch.num_rows == 0:
             return out_schema.empty_table()
-        lefts = df[df[_JSIDE] == 1]
-        rights = df[df[_JSIDE] == 0]
+        side = batch.column(_JSIDE)
+        lefts = batch.filter(pc.equal(side, 1))
+        rights = batch.filter(pc.equal(side, 0))
         if mode in ("semi", "anti"):
-            m = lefts[_JK].isin(rights[_JK].unique())
-            out = lefts[m if mode == "semi" else ~m][left_cols]
+            out = pl.from_arrow(lefts.select(left_cols + [_JK])).join(
+                pl.from_arrow(rights.select([_JK])).unique(),
+                on=_JK, how=mode).select(left_cols)
         else:
-            out = lefts[left_cols + [_JK]].merge(
-                rights[[_JK] + payload_out], on=_JK,
-                how="inner" if mode == "inner" else "left")[out_cols]
-        return pa.Table.from_pandas(out, schema=out_schema,
-                                    preserve_index=False)
+            out = pl.from_arrow(lefts.select(left_cols + [_JK])).join(
+                pl.from_arrow(rights.select([_JK] + payload_out)),
+                on=_JK, how="inner" if mode == "inner" else "left",
+            ).select(out_cols)
+        return out.to_arrow().cast(out_schema)
 
     def edge_filter(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -164,14 +172,14 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow"))
     sorted_ds = tagged.sort([_JK, _JSIDE]).materialize()
-    inner = sorted_ds.map_batches(block_join, batch_format="pandas",
+    inner = sorted_ds.map_batches(block_join, batch_format="pyarrow",
                                   batch_size=None)
     edges = (sorted_ds
              .map_batches(edge_filter, batch_format="pyarrow",
                           batch_size=None)
              .repartition(1)
-             .map_batches(lambda df: block_join(df, skip_edges=False),
-                          batch_format="pandas", batch_size=None))
+             .map_batches(lambda t: block_join(t, skip_edges=False),
+                          batch_format="pyarrow", batch_size=None))
     out = inner.union(edges)
     if mode in ("left", "anti") and left_key_nullable:
         # null left keys are kept by these modes (with null payload for
@@ -318,18 +326,26 @@ def outer_join(left_ds, right_ds, *, left_key: str, right_key: str,
             cols[oc] = pa.nulls(n, typ)
         return pa.Table.from_arrays([cols[c] for c in order], names=order)
 
-    def block_join(df: pd.DataFrame, skip_edges: bool = True) -> pa.Table:
-        if len(df) and skip_edges:
-            jk = df[_JK].to_numpy()
-            df = df[~((jk == jk[0]) | (jk == jk[-1]))]
-        if not len(df):
+    def block_join(batch: pa.Table, skip_edges: bool = True) -> pa.Table:
+        # Arrow/polars end to end (a pandas round-trip would coerce
+        # int64-with-nulls to float64, corrupting values above 2^53)
+        import polars as pl
+
+        if batch.num_rows and skip_edges:
+            jk = batch.column(_JK)
+            batch = batch.filter(pc.and_(
+                pc.not_equal(jk, jk[0]),
+                pc.not_equal(jk, jk[batch.num_rows - 1])))
+        if batch.num_rows == 0:
             return out_schema.empty_table()
-        lefts = df[df[_JSIDE] == 1][[_JK] + lp_out]
-        rights = df[df[_JSIDE] == 0][[_JK] + rp_out]
-        out = lefts.merge(rights, on=_JK, how="outer")
-        out = out.rename(columns={_JK: key_out})[out_cols]
-        return pa.Table.from_pandas(out, schema=out_schema,
-                                    preserve_index=False)
+        side = batch.column(_JSIDE)
+        lefts = batch.filter(pc.equal(side, 1)).select([_JK] + lp_out)
+        rights = batch.filter(pc.equal(side, 0)).select([_JK] + rp_out)
+        out = (pl.from_arrow(lefts)
+               .join(pl.from_arrow(rights), on=_JK, how="full",
+                     coalesce=True)
+               .rename({_JK: key_out}).select(out_cols))
+        return out.to_arrow().cast(out_schema)
 
     def edge_filter(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -360,14 +376,14 @@ def outer_join(left_ds, right_ds, *, left_key: str, right_key: str,
               .union(right_ds.map_batches(lambda b: tag(b, side=0),
                                           batch_format="pyarrow")))
     sorted_ds = tagged.sort([_JK, _JSIDE]).materialize()
-    inner = sorted_ds.map_batches(block_join, batch_format="pandas",
+    inner = sorted_ds.map_batches(block_join, batch_format="pyarrow",
                                   batch_size=None)
     edges = (sorted_ds
              .map_batches(edge_filter, batch_format="pyarrow",
                           batch_size=None)
              .repartition(1)
-             .map_batches(lambda df: block_join(df, skip_edges=False),
-                          batch_format="pandas", batch_size=None))
+             .map_batches(lambda t: block_join(t, skip_edges=False),
+                          batch_format="pyarrow", batch_size=None))
     nulls = (left_ds.map_batches(lambda b: null_rows(b, side=1),
                                  batch_format="pyarrow")
              .union(right_ds.map_batches(lambda b: null_rows(b, side=0),

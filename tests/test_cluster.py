@@ -71,6 +71,41 @@ def test_connected_components_local_vs_distributed_random(ray_session):
     assert local == dist == _union_find(pairs)
 
 
+@pytest.mark.parametrize("local_threshold", [0, 10 ** 6],
+                         ids=["distributed", "local"])
+def test_connected_components_str_matches_union_find(ray_session,
+                                                     local_threshold):
+    """String-keyed CC: hash-int rounds inside, min-STRING representative
+    outside — parity with a string union-find on chains/stars/dups."""
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.cluster import (
+        connected_components_str,
+    )
+
+    pairs = ([("p.a", "p.b"), ("p.b", "p.c"), ("p.c", "p.d")]
+             + [("hub", f"leaf{i}") for i in range(5)]
+             + [("x", "y"), ("y", "x"), ("lone1", "lone2")])
+    ds = rd.from_items([{"a": a, "b": b} for a, b in pairs]).repartition(3)
+    got = {r["node"]: r["component"]
+           for r in connected_components_str(
+               ds, local_threshold=local_threshold).take_all()}
+    assert got == _union_find(pairs)
+
+
+def test_connected_components_str_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.cluster import (
+        connected_components_str,
+    )
+
+    empty = rd.from_arrow(pa.table({"a": pa.array([], pa.string()),
+                                    "b": pa.array([], pa.string())}))
+    assert connected_components_str(empty).count() == 0
+
+
 def test_dedup_cluster_representatives_chain(ray_session):
     """The cluster closer keeps exactly one doc per component — including
     on chains where pairwise b-dropping over-keeps."""

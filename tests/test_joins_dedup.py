@@ -397,3 +397,54 @@ def test_similar_pairs_exact_random_corpora(ray_session, seed):
                 if J >= 0.4:
                     want.add((i, j))
     assert got == want
+
+
+def test_joins_preserve_full_range_int64(ray_session):
+    """Keys AND payloads above 2^53 must survive every join mode exactly.
+
+    Regression: the block-join pass used pandas batches; the tagged union
+    has nulls in the other side's columns, so Arrow->pandas coerced int64
+    to float64 and silently rounded full-range 64-bit hash ids (~512 ULP
+    at 2^62) — fragmenting connected components over hashed string keys."""
+    import numpy as np
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        outer_join,
+    )
+
+    rng = np.random.RandomState(5)
+    keys = np.unique(rng.randint(2 ** 60, 2 ** 62, size=30).astype(np.int64))
+    pay = rng.randint(2 ** 60, 2 ** 62, size=len(keys)).astype(np.int64)
+    right = rd.from_arrow(pa.table({"k": keys, "v": pay})).repartition(3)
+    # left: every key twice + some misses (also > 2^53)
+    lk = np.concatenate([keys, keys, keys + 1])
+    left = rd.from_arrow(pa.table({"k": lk})).repartition(4)
+
+    j = lookup_join(left, right, left_key="k", right_key="k",
+                    payload=["v"]).to_pandas()
+    want = dict(zip(keys.tolist(), pay.tolist()))
+    assert len(j) == 2 * len(keys)
+    assert all(want[k] == v for k, v in zip(j["k"], j["v_r"]))
+
+    # nullable int64 output: compare via rows (a pandas conversion would
+    # itself coerce to float64 — the very bug this test pins)
+    lj = lookup_join(left, right, left_key="k", right_key="k",
+                     payload=["v"], how="left").take_all()
+    assert len(lj) == len(lk)
+    matched = [r for r in lj if r["v_r"] is not None]
+    assert len(matched) == 2 * len(keys)
+    assert all(want[r["k"]] == r["v_r"] for r in matched)
+
+    semi = semi_join(left, right, left_key="k", right_key="k",
+                     broadcast_threshold=0).to_pandas()
+    assert sorted(semi["k"]) == sorted(np.concatenate([keys, keys]).tolist())
+
+    oj = outer_join(rd.from_arrow(pa.table({"k": keys[:20], "a": pay[:20]})),
+                    rd.from_arrow(pa.table({"k": keys[10:], "b": pay[10:]})),
+                    left_key="k", right_key="k",
+                    left_payload=["a"], right_payload=["b"]).take_all()
+    assert len(oj) == len(keys)
+    both = [r for r in oj if r["a"] is not None and r["b"] is not None]
+    assert sorted(r["k"] for r in both) == sorted(keys[10:20].tolist())
+    assert all(want[r["k"]] == r["b"] for r in both)

@@ -121,6 +121,8 @@ PAST_WINDOW_PINS = {
     "kg_predicate_binc": (51, ["binc_ab", "binc_ba", "lin", "n_shared",
                                "pred_a", "pred_b", "weeds_ab",
                                "weeds_ba"]),
+    # paraphrase clusters: one cosine>=0.5 edge at sf0.001 -> 2 nodes
+    "transcripts_predicate_clusters": (2, ["cluster", "keep", "pred"]),
 }
 
 
