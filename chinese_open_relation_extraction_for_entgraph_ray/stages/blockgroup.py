@@ -51,7 +51,8 @@ def _to_arrow(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
 
 
 def sorted_map_groups(ds, keys: list[str], fn=None, *, schema: pa.Schema,
-                      block_fn=None, null_keys: str = "error"):
+                      block_fn=None, null_keys: str = "error",
+                      arrow_blocks: bool = False):
     """Apply a per-group computation per distinct ``keys`` tuple; returns a
     Dataset with ``schema``.
 
@@ -82,9 +83,20 @@ def sorted_map_groups(ds, keys: list[str], fn=None, *, schema: pa.Schema,
       null-bearing tuples are separate groups via ``dropna=False``; a
       ``block_fn`` receives them as one ordinary block and must handle
       null keys itself).  Costs a second scan of ``ds``.
+
+    ``arrow_blocks`` (block_fn only): pass ``block_fn`` zero-copy
+    ``pyarrow.Table`` blocks instead of pandas DataFrames (it may return
+    either).  REQUIRED when the block holds int64 columns with nulls whose
+    values can exceed 2^53 — the pandas conversion coerces such columns to
+    float64 and silently rounds them (the tagged-union shape of
+    ``asof_join``, whose per-side null columns poison the other side's
+    ints).
     """
     if (fn is None) == (block_fn is None):
         raise ValueError("pass exactly one of fn / block_fn")
+    if arrow_blocks and block_fn is None:
+        raise ValueError("arrow_blocks=True requires block_fn (the fn "
+                         "path is pandas-per-group by definition)")
     if null_keys not in ("error", "drop", "separate"):
         raise ValueError(f"null_keys must be error/drop/separate, "
                          f"got {null_keys!r}")
@@ -147,6 +159,36 @@ def sorted_map_groups(ds, keys: list[str], fn=None, *, schema: pa.Schema,
 
     import pyarrow.compute as pc
 
+    def _result_to_arrow(out) -> pa.Table:
+        """block_fn result (pa.Table or pandas DataFrame or None) ->
+        schema-cast Arrow table."""
+        if out is None or len(out) == 0:
+            return schema.empty_table()
+        if isinstance(out, pa.Table):
+            return out.select(schema.names).cast(schema)
+        return _to_arrow(out, schema)
+
+    def inner_scan_arrow(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return schema.empty_table()
+        is_first = is_last = None
+        for k in keys:
+            col = batch.column(k)
+            f = pc.equal(col, col[0])
+            l = pc.equal(col, col[n - 1])
+            is_first = f if is_first is None else pc.and_(is_first, f)
+            is_last = l if is_last is None else pc.and_(is_last, l)
+        inner = batch.filter(pc.invert(pc.or_(is_first, is_last)))
+        if inner.num_rows == 0:
+            return schema.empty_table()
+        return _result_to_arrow(block_fn(inner))
+
+    def edge_apply_arrow(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        return _result_to_arrow(block_fn(batch))
+
     def _valid_mask(batch: pa.Table):
         m = None
         for k in keys:
@@ -169,21 +211,22 @@ def sorted_map_groups(ds, keys: list[str], fn=None, *, schema: pa.Schema,
     def keep_nulls(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.invert(_valid_mask(batch)))
 
+    scan, edge, fmt = ((inner_scan_arrow, edge_apply_arrow, "pyarrow")
+                       if arrow_blocks else
+                       (inner_scan, edge_apply, "pandas"))
     sorted_ds = ds.map_batches(guard, batch_format="pyarrow") \
                   .sort(keys).materialize()
-    inner_ds = sorted_ds.map_batches(inner_scan, batch_format="pandas",
+    inner_ds = sorted_ds.map_batches(scan, batch_format=fmt,
                                      batch_size=None)
     edge_ds = (sorted_ds
                .map_batches(edge_filter, batch_format="pyarrow",
                             batch_size=None)
                .repartition(1)
-               .map_batches(edge_apply, batch_format="pandas",
-                            batch_size=None))
+               .map_batches(edge, batch_format=fmt, batch_size=None))
     out = inner_ds.union(edge_ds)
     if null_keys == "separate":
         null_ds = (ds.map_batches(keep_nulls, batch_format="pyarrow")
                    .repartition(1)
-                   .map_batches(edge_apply, batch_format="pandas",
-                                batch_size=None))
+                   .map_batches(edge, batch_format=fmt, batch_size=None))
         out = out.union(null_ds)
     return out

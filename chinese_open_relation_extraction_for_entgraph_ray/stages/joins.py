@@ -422,21 +422,34 @@ def asof_join(left_ds, right_ds, *, by: str, ts: str,
         order = left_cols + ["__side"] + payload_out
         return pa.Table.from_arrays([cols[c] for c in order], names=order)
 
-    def merge_block(df):
+    def merge_block(batch: pa.Table):
         """Vectorized grouped as-of over a whole block of complete key
         groups: ONE ``pd.merge_asof(..., by=key)`` call — no per-key
-        Python at 10^8+ keys."""
+        Python at 10^8+ keys.  The block arrives as ARROW and each side
+        converts to pandas separately AFTER the side filter, so the other
+        side's tag-introduced null columns never poison this side's int64
+        columns into float64 (exactness above 2^53)."""
         import pandas as pd
+        import pyarrow.compute as pc
 
-        lf = df[df["__side"] == 1][left_cols].sort_values(ts,
-                                                          kind="mergesort")
-        rt = df[df["__side"] == 0][[by, ts] + payload_out].sort_values(
-            ts, kind="mergesort")
+        side = batch.column("__side")
+        lf = (batch.filter(pc.equal(side, 1)).select(left_cols)
+              .to_pandas().sort_values(ts, kind="mergesort"))
+        rt = (batch.filter(pc.equal(side, 0))
+              .select([by, ts] + payload_out)
+              .to_pandas().sort_values(ts, kind="mergesort"))
         if len(rt) == 0:
             out = lf.copy()
             for c in payload_out:
                 out[c] = None
             return out
+        # unmatched left rows get null payload; nullable extension dtypes
+        # keep integer payload exact (plain int64 would round > 2^53
+        # through the NaN-bearing float64 result column)
+        for c, src in zip(payload_out, right_payload):
+            if pa.types.is_integer(right_type[src]):
+                rt[c] = rt[c].astype(f"{right_type[src]}".capitalize()
+                                     .replace("Uint", "UInt"))
         return pd.merge_asof(lf, rt, on=ts, by=by, direction="backward",
                              allow_exact_matches=True)
 
@@ -449,4 +462,4 @@ def asof_join(left_ds, right_ds, *, by: str, ts: str,
         [(c, left_type[c]) for c in left_cols]
         + [(oc, right_type[c]) for c, oc in zip(right_payload, payload_out)])
     return sorted_map_groups(unioned, [by], block_fn=merge_block,
-                             schema=out_schema)
+                             schema=out_schema, arrow_blocks=True)

@@ -440,6 +440,22 @@ def test_joins_preserve_full_range_int64(ray_session):
                      broadcast_threshold=0).to_pandas()
     assert sorted(semi["k"]) == sorted(np.concatenate([keys, keys]).tolist())
 
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        asof_join,
+    )
+
+    aleft = rd.from_arrow(pa.table(
+        {"u": [1, 1, 1, 2], "t": [5, 15, 25, 9]}))
+    aright = rd.from_arrow(pa.table(
+        {"u": [1, 1, 2], "t": [10, 20, 50],
+         "v": pa.array([2 ** 60 + 3, 2 ** 61 + 7, 2 ** 60 + 1],
+                       pa.int64())}))
+    aj = {(r["u"], r["t"]): r["v_right"]
+          for r in asof_join(aleft, aright, by="u", ts="t",
+                             right_payload=["v"]).take_all()}
+    assert aj == {(1, 5): None, (1, 15): 2 ** 60 + 3,
+                  (1, 25): 2 ** 61 + 7, (2, 9): None}
+
     oj = outer_join(rd.from_arrow(pa.table({"k": keys[:20], "a": pay[:20]})),
                     rd.from_arrow(pa.table({"k": keys[10:], "b": pay[10:]})),
                     left_key="k", right_key="k",
