@@ -53,7 +53,6 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
     materialization and the scan.  That guarantee is CHECKED: an observed
     null key under ``left_key_nullable=False`` raises instead of silently
     dropping the row."""
-    import pandas as pd
     import pyarrow.compute as pc
 
     if mode not in ("inner", "left", "semi", "anti"):
@@ -232,16 +231,22 @@ def semi_join(left_ds, right_ds, *, left_key: str, right_key: str,
     if (broadcast_threshold and isinstance(right_ds, MaterializedDataset)
             and right_ds.count() <= broadcast_threshold):
         import numpy as np
-        import pandas as pd
         import pyarrow.compute as pc
         import ray
 
-        keys = pd.concat(
-            [b[right_key] for b in
-             right_ds.select_columns([right_key])
-             .iter_batches(batch_format="pandas")]
-            or [pd.Series([], dtype=object)], ignore_index=True).dropna()
-        key_ref = ray.put(np.sort(keys.unique()))
+        # collect the key set in ARROW: a pandas pass would coerce an
+        # int64 key column bearing any null to float64 and corrupt keys
+        # above 2^53 before the (exact) left-side comparison
+        chunks: list = []
+        for b in (right_ds.select_columns([right_key])
+                  .iter_batches(batch_format="pyarrow")):
+            chunks.extend(b.column(right_key).drop_null().chunks)
+        if chunks:
+            uniq = pc.unique(pa.chunked_array(chunks))
+            sorted_keys = np.sort(uniq.to_numpy(zero_copy_only=False))
+        else:
+            sorted_keys = np.array([], dtype=object)
+        key_ref = ray.put(sorted_keys)
 
         def member_filter(batch: pa.Table) -> pa.Table:
             sorted_keys = ray.get(key_ref)
@@ -289,7 +294,6 @@ def outer_join(left_ds, right_ds, *, left_key: str, right_key: str,
     materialized internally and re-scanned once for their null-key rows
     (the cost of exact null semantics; the main path stays one sort
     exchange, the same sorted-block pattern as the other modes)."""
-    import pandas as pd
     import pyarrow.compute as pc
 
     ls, rs = left_ds.schema(), right_ds.schema()
