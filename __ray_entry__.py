@@ -393,13 +393,15 @@ def _q_transcripts_role_transitions(sf_dir: str):
                                [("n", "sum")])
 
 
-def _proxy_pred_triples(sf_dir: str):
+def _proxy_pred_triples(sf_dir: str, extra_cols: tuple = ()):
     """SQL-derivable (pred, subj, obj) triple stream over the transcripts:
     pred = the turn's role:tool, (subj, obj) = every distinct in-turn
     gazetteer entity pair (same alternation as
     transcripts_entity_cooccurrence).  The SQL-checkable proxy feeding the
     EntGraph score queries; the REAL cascade predicates run through the
-    same stages in kg_predicate_similarity / kg_predicate_binc."""
+    same stages in kg_predicate_similarity / kg_predicate_binc.
+    ``extra_cols`` (e.g. ts, conv_id) ride along per emitted triple for
+    temporal/provenance consumers."""
     import re
 
     import pyarrow as pa
@@ -410,38 +412,42 @@ def _proxy_pred_triples(sf_dir: str):
     alt = "|".join(re.escape(s)
                    for s in sorted(label_of, key=len, reverse=True))
 
+    extras = list(extra_cols)
+
     def triples(batch: pa.Table) -> pa.Table:
         import polars as pl
 
-        empty = pa.schema([("pred", pa.string()), ("subj", pa.string()),
-                           ("obj", pa.string())]).empty_table()
+        out_schema = pa.schema(
+            [("pred", pa.string()), ("subj", pa.string()),
+             ("obj", pa.string())]
+            + [(c, batch.schema.field(c).type) for c in extras])
         if batch.num_rows == 0:
-            return empty
+            return out_schema.empty_table()
         pred = pc.binary_join_element_wise(
             pc.fill_null(batch.column("role"), ""),
             pc.fill_null(batch.column("tool"), ""), ":")
-        ex = (pl.DataFrame(
-                  {"pred": pl.from_arrow(pred.combine_chunks()),
-                   "text": pl.from_arrow(
-                       pc.fill_null(batch.column("text"), "")
-                       .combine_chunks())})
+        cols = {"pred": pl.from_arrow(pred.combine_chunks()),
+                "text": pl.from_arrow(
+                    pc.fill_null(batch.column("text"), "")
+                    .combine_chunks())}
+        for c in extras:
+            cols[c] = pl.from_arrow(batch.column(c).combine_chunks())
+        ex = (pl.DataFrame(cols)
               .with_row_index("i")
               .with_columns(pl.col("text").str.extract_all(alt)
                             .alias("ents"))
-              .select(["i", "pred", "ents"]).explode("ents")
+              .select(["i", "pred", "ents"] + extras).explode("ents")
               .drop_nulls("ents").unique(["i", "ents"]))
         if ex.height == 0:
-            return empty
+            return out_schema.empty_table()
         j = (ex.join(ex.select(["i", "ents"]), on="i")
              .filter(pl.col("ents") < pl.col("ents_right"))
-             .select(["pred", "ents", "ents_right"])
+             .select(["pred", "ents", "ents_right"] + extras)
              .rename({"ents": "subj", "ents_right": "obj"}))
-        return j.to_arrow().cast(pa.schema(
-            [("pred", pa.string()), ("subj", pa.string()),
-             ("obj", pa.string())]))
+        return j.to_arrow().cast(out_schema)
 
     return (rd.read_parquet(_transcripts_dir(sf_dir),
-                            columns=["role", "tool", "text"])
+                            columns=["role", "tool", "text"] + extras)
             .map_batches(triples, batch_format="pyarrow"))
 
 
@@ -508,6 +514,98 @@ def _q_kg_predicate_similarity(sf_dir: str):
     return predicate_similarity(
         _linked_cascade_triples(sf_dir), min_shared=2,
         max_feature_df=10_000)
+
+
+def _q_transcripts_triple_temporal(sf_dir: str):
+    """Temporal extent per triple — KG edge versioning at transcript
+    scale: (pred, subj, obj) -> occurrence count + first/last observation
+    timestamp.  The ts column rides the triple emission (no extra pass);
+    ONE pre-combined aggregate (sum + min + max in the same exchange)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    ds = _proxy_pred_triples(sf_dir, extra_cols=("ts",))
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("pred"), b.column("subj"), b.column("obj"),
+             pa.array(np.ones(b.num_rows, dtype=np.int64)),
+             b.column("ts"), b.column("ts")],
+            names=["pred", "subj", "obj", "n", "first_ts", "last_ts"])
+
+    return auto_hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["pred", "subj", "obj"],
+        [("n", "sum"), ("first_ts", "min"), ("last_ts", "max")])
+
+
+def _q_transcripts_kg_delta(sf_dir: str):
+    """Snapshot-to-snapshot KG delta — the incremental-construction audit
+    a periodically rebuilt graph needs: 'old' = triples from conversations
+    whose md5(conv_id) first hex digit is 0-7, 'new' = digits 4-b
+    (overlapping halves, so all three statuses occur), FULL OUTER joined
+    per triple -> status added/removed/retained + exact count delta.
+    Composite (pred, subj, obj) key packed as 'pred|subj|obj' in BOTH
+    engine and oracle.  At 100 TB the md5 would be computed once per
+    conversation before the triple explosion; here it memoizes per batch."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        outer_join,
+    )
+
+    ds = _proxy_pred_triples(sf_dir, extra_cols=("conv_id",)).materialize()
+
+    def keyed(b: pa.Table, lo: str, hi: str, out: str) -> pa.Table:
+        convs = b.column("conv_id").to_pylist()
+        digit = {c: hashlib.md5(c.encode()).hexdigest()[0]
+                 for c in set(convs)}
+        mask = pa.array([lo <= digit[c] <= hi for c in convs])
+        t = b.filter(mask)
+        k = [f"{p}|{s}|{o}" for p, s, o in
+             zip(t.column("pred").to_pylist(), t.column("subj").to_pylist(),
+                 t.column("obj").to_pylist())]
+        return pa.Table.from_arrays(
+            [pa.array(k, pa.string()),
+             pa.array(np.ones(len(k), dtype=np.int64))],
+            names=["k", out])
+
+    old = auto_hash_aggregate(
+        ds.map_batches(lambda b: keyed(b, "0", "7", "n_old"),
+                       batch_format="pyarrow"), ["k"], [("n_old", "sum")])
+    new = auto_hash_aggregate(
+        ds.map_batches(lambda b: keyed(b, "4", "b", "n_new"),
+                       batch_format="pyarrow"), ["k"], [("n_new", "sum")])
+
+    joined = outer_join(old, new, left_key="k", right_key="k",
+                        left_payload=["n_old"], right_payload=["n_new"],
+                        key_out="triple")
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_old = pc.fill_null(b.column("n_old"), 0)
+        n_new = pc.fill_null(b.column("n_new"), 0)
+        status = pc.if_else(
+            pc.is_null(b.column("n_old")), pa.scalar("added"),
+            pc.if_else(pc.is_null(b.column("n_new")),
+                       pa.scalar("removed"), pa.scalar("retained")))
+        return pa.Table.from_arrays(
+            [b.column("triple"), n_old, n_new, status,
+             pc.subtract(n_new, n_old)],
+            names=["triple", "n_old", "n_new", "status", "delta"])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_transcripts_predicate_clusters(sf_dir: str):
@@ -2772,6 +2870,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_binc": _q_kg_predicate_binc,
         "transcripts_predicate_clusters":
             _q_transcripts_predicate_clusters,  # oracled (r4)
+        "transcripts_triple_temporal":
+            _q_transcripts_triple_temporal,  # oracled (r4)
+        "transcripts_kg_delta": _q_transcripts_kg_delta,  # oracled (r4)
     }
 
 
@@ -3246,6 +3347,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS pred, min(r) AS cluster,
                    (node = min(r)) AS keep
             FROM reach GROUP BY node""",
+        "transcripts_triple_temporal": f"""
+            WITH m AS (SELECT row_number() OVER () AS i,
+                              role || ':' || tool AS pred, ts,
+                              list_distinct(regexp_extract_all(text,
+                                  '{"|".join(__import__("re").escape(s) for s in sorted(_mention_surface_label(), key=len, reverse=True))}'))
+                                  AS ents
+                       FROM read_parquet('{tglob}')),
+            e1 AS (SELECT i, pred, ts, unnest(ents) AS a FROM m),
+            e2 AS (SELECT i, unnest(ents) AS b FROM m)
+            SELECT pred, a AS subj, b AS obj, count(*)::BIGINT AS n,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM e1 JOIN e2 USING (i) WHERE a < b
+            GROUP BY 1, 2, 3""",
+        "transcripts_kg_delta": f"""
+            WITH m AS (SELECT row_number() OVER () AS i,
+                              role || ':' || tool AS pred, conv_id,
+                              list_distinct(regexp_extract_all(text,
+                                  '{"|".join(__import__("re").escape(s) for s in sorted(_mention_surface_label(), key=len, reverse=True))}'))
+                                  AS ents
+                       FROM read_parquet('{tglob}')),
+            e1 AS (SELECT i, pred, conv_id, unnest(ents) AS a FROM m),
+            e2 AS (SELECT i, unnest(ents) AS b FROM m),
+            feat AS (SELECT pred || '|' || a || '|' || b AS k, conv_id
+                     FROM e1 JOIN e2 USING (i) WHERE a < b),
+            old AS (SELECT k, count(*)::BIGINT AS n_old FROM feat
+                    WHERE substr(md5(conv_id), 1, 1) BETWEEN '0' AND '7'
+                    GROUP BY 1),
+            new AS (SELECT k, count(*)::BIGINT AS n_new FROM feat
+                    WHERE substr(md5(conv_id), 1, 1) BETWEEN '4' AND 'b'
+                    GROUP BY 1)
+            SELECT coalesce(old.k, new.k) AS triple,
+                   coalesce(n_old, 0)::BIGINT AS n_old,
+                   coalesce(n_new, 0)::BIGINT AS n_new,
+                   CASE WHEN old.k IS NULL THEN 'added'
+                        WHEN new.k IS NULL THEN 'removed'
+                        ELSE 'retained' END AS status,
+                   (coalesce(n_new, 0) - coalesce(n_old, 0))::BIGINT
+                       AS delta
+            FROM old FULL OUTER JOIN new ON old.k = new.k""",
         "transcripts_entity_degree": f"""
             WITH edges AS ({_cooccurrence_sql(tglob)})
             SELECT entity, count(*)::BIGINT AS degree,

@@ -123,6 +123,11 @@ PAST_WINDOW_PINS = {
                                "weeds_ba"]),
     # paraphrase clusters: one cosine>=0.5 edge at sf0.001 -> 2 nodes
     "transcripts_predicate_clusters": (2, ["cluster", "keep", "pred"]),
+    # KG edge versioning + snapshot delta (both SQL-oracled)
+    "transcripts_triple_temporal": (2150, ["first_ts", "last_ts", "n",
+                                           "obj", "pred", "subj"]),
+    "transcripts_kg_delta": (1566, ["delta", "n_new", "n_old", "status",
+                                    "triple"]),
 }
 
 
