@@ -516,6 +516,36 @@ def _q_kg_predicate_similarity(sf_dir: str):
         max_feature_df=10_000)
 
 
+def _q_kg_predicate_clusters(sf_dir: str):
+    """Paraphrase clusters over the REAL cascade predicates: mutual
+    cosine >= 0.5 (min_shared=2 linked argument pairs) -> connected
+    components -> (pred, cluster, keep).  The Chinese-predicate analog of
+    transcripts_predicate_clusters (which SQL-proves the identical
+    math); rows-only for cascade provenance."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.cluster import (
+        connected_components_str,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.entgraph import (
+        predicate_similarity,
+    )
+
+    pairs = predicate_similarity(
+        _linked_cascade_triples(sf_dir), min_shared=2,
+        max_feature_df=10_000).filter(expr="cosine >= 0.5")
+    comp = connected_components_str(pairs, a="pred_a", b="pred_b")
+
+    def mark(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("node"), batch.column("component"))
+        return pa.Table.from_arrays(
+            [batch.column("node"), batch.column("component"), keep],
+            names=["pred", "cluster", "keep"])
+
+    return comp.map_batches(mark, batch_format="pyarrow")
+
+
 def _q_transcripts_triple_temporal(sf_dir: str):
     """Temporal extent per triple — KG edge versioning at transcript
     scale: (pred, subj, obj) -> occurrence count + first/last observation
@@ -2873,6 +2903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_triple_temporal":
             _q_transcripts_triple_temporal,  # oracled (r4)
         "transcripts_kg_delta": _q_transcripts_kg_delta,  # oracled (r4)
+        "kg_predicate_clusters": _q_kg_predicate_clusters,
     }
 
 

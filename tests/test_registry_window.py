@@ -128,6 +128,10 @@ PAST_WINDOW_PINS = {
                                            "obj", "pred", "subj"]),
     "transcripts_kg_delta": (1566, ["delta", "n_new", "n_old", "status",
                                     "triple"]),
+    # cascade-predicate paraphrase clusters (rows-only; math SQL-proved
+    # by transcripts_predicate_clusters) — e.g. 被控·试图·{杀死,伤害,欺骗}
+    # land in one cluster at sf0.001
+    "kg_predicate_clusters": (12, ["cluster", "keep", "pred"]),
 }
 
 
