@@ -516,6 +516,85 @@ def _q_kg_predicate_similarity(sf_dir: str):
         max_feature_df=10_000)
 
 
+def _q_transcripts_entity_triangles(sf_dir: str):
+    """Triangle enumeration over the entity co-occurrence graph — the
+    graph-cohesion companion to kg_pagerank / entity_degree.  Each
+    triangle (a < b < c) is listed once.
+
+    Distributed shape (NO driver-side adjacency): wedges are emitted per
+    lower endpoint from the sorted edge stream (sorted_map_groups on
+    'a'; per-center numpy triu over its higher neighbors — the same
+    bucket-emit pattern as the entgraph pair sort), then ONE semi-join
+    of the packed 'b|c' wedge key against the packed edge key set closes
+    wedges into triangles.  The wedge stream is the quadratic term
+    (sum of deg(v)^2/2 over lower endpoints — the standard bound for
+    edge-iterator triangle counting); the gazetteer-bounded vocabulary
+    keeps it tiny HERE, and the semi-join's broadcast path engages
+    because the edge key set is materialized and small."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        semi_join,
+    )
+
+    edges = (_q_transcripts_entity_cooccurrence(sf_dir)
+             .select_columns(["a", "b"]).materialize())
+
+    wedge_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                              ("c", pa.string())])
+
+    def wedge_emit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["a", "b"], kind="stable")
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        change = np.empty(len(df), dtype=bool)
+        change[0] = True
+        change[1:] = a[1:] != a[:-1]
+        gid = np.cumsum(change) - 1
+        counts = np.bincount(gid)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        oa, ob, oc = [], [], []
+        for g in np.nonzero(counts >= 2)[0]:
+            lo, d = starts[g], counts[g]
+            iu, ju = np.triu_indices(d, 1)
+            oa.append(np.repeat(a[lo], len(iu)))
+            ob.append(b[lo:lo + d][iu])
+            oc.append(b[lo:lo + d][ju])
+        if not oa:
+            return pd.DataFrame(columns=["a", "b", "c"])
+        return pd.DataFrame({"a": np.concatenate(oa),
+                             "b": np.concatenate(ob),
+                             "c": np.concatenate(oc)})
+
+    wedges = sorted_map_groups(edges, ["a"], block_fn=wedge_emit,
+                               schema=wedge_schema)
+
+    def pack_bc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("k", pc.binary_join_element_wise(
+            t.column("b"), t.column("c"), "|"))
+
+    def pack_ab(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [pc.binary_join_element_wise(t.column("a"),
+                                         t.column("b"), "|")],
+            names=["k"])
+
+    closed = semi_join(
+        wedges.map_batches(pack_bc, batch_format="pyarrow"),
+        edges.map_batches(pack_ab, batch_format="pyarrow").materialize(),
+        left_key="k", right_key="k", left_key_nullable=False)
+    return closed.drop_columns(["k"])
+
+
 def _q_kg_predicate_clusters(sf_dir: str):
     """Paraphrase clusters over the REAL cascade predicates: mutual
     cosine >= 0.5 (min_shared=2 linked argument pairs) -> connected
@@ -2904,6 +2983,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_transcripts_triple_temporal,  # oracled (r4)
         "transcripts_kg_delta": _q_transcripts_kg_delta,  # oracled (r4)
         "kg_predicate_clusters": _q_kg_predicate_clusters,
+        "transcripts_entity_triangles":
+            _q_transcripts_entity_triangles,  # oracled (r4)
     }
 
 
@@ -3417,6 +3498,11 @@ def oracle_sql() -> dict[str, str]:
                    (coalesce(n_new, 0) - coalesce(n_old, 0))::BIGINT
                        AS delta
             FROM old FULL OUTER JOIN new ON old.k = new.k""",
+        "transcripts_entity_triangles": f"""
+            WITH edges AS (SELECT a, b FROM ({_cooccurrence_sql(tglob)}))
+            SELECT e1.a AS a, e1.b AS b, e2.b AS c
+            FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+                 JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b""",
         "transcripts_entity_degree": f"""
             WITH edges AS ({_cooccurrence_sql(tglob)})
             SELECT entity, count(*)::BIGINT AS degree,

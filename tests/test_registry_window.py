@@ -132,6 +132,8 @@ PAST_WINDOW_PINS = {
     # by transcripts_predicate_clusters) — e.g. 被控·试图·{杀死,伤害,欺骗}
     # land in one cluster at sf0.001
     "kg_predicate_clusters": (12, ["cluster", "keep", "pred"]),
+    # triangle enumeration over the co-occurrence graph (SQL-oracled)
+    "transcripts_entity_triangles": (13694, ["a", "b", "c"]),
 }
 
 
