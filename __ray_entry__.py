@@ -516,6 +516,79 @@ def _q_kg_predicate_similarity(sf_dir: str):
         max_feature_df=10_000)
 
 
+def _q_transcripts_entity_bursts(sf_dir: str):
+    """Entity burst detection — the trend/anomaly signal over the KG's
+    mention stream: per (entity, hour) distinct-per-turn mention counts,
+    z-scored against the entity's own observed-hour distribution
+    (stages/standardize.grouped_zscore: one pre-combined moments exchange
+    + a keyed lookup join; z = 0 for constant/1-hour entities, mirrored
+    by the oracle CASE).  Hours with zero mentions are not rows
+    (observed-hours convention)."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.standardize import (
+        grouped_zscore,
+    )
+
+    alt = "|".join(re.escape(s)
+                   for s in sorted(_mention_surface_label(),
+                                   key=len, reverse=True))
+
+    def mention_hours(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        hour_t = batch.schema.field("ts").type
+        empty = pa.schema([("entity", pa.string()), ("hour", hour_t),
+                           ("n", pa.int64())]).empty_table()
+        if batch.num_rows == 0:
+            return empty
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        ex = (pl.DataFrame(
+                  {"hour": pl.from_arrow(hour.combine_chunks()),
+                   "text": pl.from_arrow(
+                       pc.fill_null(batch.column("text"), "")
+                       .combine_chunks())})
+              .with_row_index("i")
+              .with_columns(pl.col("text").str.extract_all(alt)
+                            .alias("entity"))
+              .select(["i", "hour", "entity"]).explode("entity")
+              .drop_nulls("entity").unique(["i", "entity"])
+              .select(["entity", "hour"]))
+        if ex.height == 0:
+            return empty
+        return (ex.with_columns(pl.lit(1).cast(pl.Int64).alias("n"))
+                .to_arrow().cast(pa.schema(
+                    [("entity", pa.string()), ("hour", hour_t),
+                     ("n", pa.int64())])))
+
+    counts = auto_hash_aggregate(
+        rd.read_parquet(_transcripts_dir(sf_dir), columns=["ts", "text"])
+        .map_batches(mention_hours, batch_format="pyarrow"),
+        ["entity", "hour"], [("n", "sum")])
+    zs = grouped_zscore(counts, "entity", "n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        z = np_round_away(
+            t.column("z").to_numpy(zero_copy_only=False), 4)
+        return pa.Table.from_arrays(
+            [t.column("entity"), t.column("hour"), t.column("n"),
+             pa.array(z, pa.float64())],
+            names=["entity", "hour", "n", "z"])
+
+    return zs.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_transcripts_entity_triangles(sf_dir: str):
     """Triangle enumeration over the entity co-occurrence graph — the
     graph-cohesion companion to kg_pagerank / entity_degree.  Each
@@ -2985,6 +3058,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_clusters": _q_kg_predicate_clusters,
         "transcripts_entity_triangles":
             _q_transcripts_entity_triangles,  # oracled (r4)
+        "transcripts_entity_bursts":
+            _q_transcripts_entity_bursts,  # oracled (r4)
     }
 
 
@@ -3503,6 +3578,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT e1.a AS a, e1.b AS b, e2.b AS c
             FROM edges e1 JOIN edges e2 ON e2.a = e1.b
                  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b""",
+        "transcripts_entity_bursts": f"""
+            WITH m AS (SELECT date_trunc('hour', ts) AS hour,
+                              unnest(list_distinct(regexp_extract_all(text,
+                                  '{"|".join(__import__("re").escape(s) for s in sorted(_mention_surface_label(), key=len, reverse=True))}')))
+                                  AS entity
+                       FROM read_parquet('{tglob}')),
+            c AS (SELECT entity, hour, count(*)::BIGINT AS n
+                  FROM m GROUP BY 1, 2),
+            s AS (SELECT entity, avg(n::DOUBLE) AS mu,
+                         stddev_pop(n::DOUBLE) AS sd
+                  FROM c GROUP BY 1)
+            SELECT c.entity, c.hour, c.n,
+                   round(CASE WHEN sd > 0 THEN (c.n - mu) / sd
+                              ELSE 0.0 END, 4) AS z
+            FROM c JOIN s USING (entity)""",
         "transcripts_entity_degree": f"""
             WITH edges AS ({_cooccurrence_sql(tglob)})
             SELECT entity, count(*)::BIGINT AS degree,

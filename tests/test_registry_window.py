@@ -134,6 +134,8 @@ PAST_WINDOW_PINS = {
     "kg_predicate_clusters": (12, ["cluster", "keep", "pred"]),
     # triangle enumeration over the co-occurrence graph (SQL-oracled)
     "transcripts_entity_triangles": (13694, ["a", "b", "c"]),
+    # per-(entity, hour) mention-count z-scores (SQL-oracled)
+    "transcripts_entity_bursts": (1283, ["entity", "hour", "n", "z"]),
 }
 
 
