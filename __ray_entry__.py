@@ -516,6 +516,91 @@ def _q_kg_predicate_similarity(sf_dir: str):
         max_feature_df=10_000)
 
 
+def _q_transcripts_entity_cooccurrence_window(sf_dir: str):
+    """WINDOWED entity co-occurrence — the cross-turn KG edge signal
+    same-turn co-occurrence misses (coref-adjacent entities usually sit
+    in neighboring turns): distinct entities of turns i and j co-occur
+    when 0 <= j - i <= 2 within one conversation.  Each unordered
+    mention-row pair counts exactly once (same turn: e_a < e_b; across
+    turns: e_a != e_b, canonicalized least/greatest).
+
+    Shape: mention rows (conv, turn, entity) explode vectorized; ONE
+    sort by conv_id routes whole conversations through a block-level
+    self-merge (quadratic only within the +-2-turn window of one
+    conversation); global pair counts are one pre-combined exchange."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    alt = "|".join(re.escape(s)
+                   for s in sorted(_mention_surface_label(),
+                                   key=len, reverse=True))
+
+    def mentions(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        import pyarrow.compute as pc
+
+        schema = pa.schema([("conv_id", pa.string()),
+                            ("turn_idx", pa.int32()),
+                            ("e", pa.string())])
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        ex = (pl.DataFrame(
+                  {"conv_id": pl.from_arrow(
+                      batch.column("conv_id").combine_chunks()),
+                   "turn_idx": pl.from_arrow(
+                       batch.column("turn_idx").combine_chunks()),
+                   "text": pl.from_arrow(
+                       pc.fill_null(batch.column("text"), "")
+                       .combine_chunks())})
+              .with_row_index("i")
+              .with_columns(pl.col("text").str.extract_all(alt)
+                            .alias("e"))
+              .select(["i", "conv_id", "turn_idx", "e"]).explode("e")
+              .drop_nulls("e").unique(["i", "e"])
+              .select(["conv_id", "turn_idx", "e"]))
+        return ex.to_arrow().cast(schema)
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("n_cooccur", pa.int64())])
+
+    def window_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        j = df.merge(df, on="conv_id", suffixes=("_x", "_y"))
+        same = ((j["turn_idx_x"] == j["turn_idx_y"])
+                & (j["e_x"] < j["e_y"]))
+        ahead = ((j["turn_idx_x"] < j["turn_idx_y"])
+                 & (j["turn_idx_y"] <= j["turn_idx_x"] + 2)
+                 & (j["e_x"] != j["e_y"]))
+        j = j[same | ahead]
+        if not len(j):
+            return pd.DataFrame(columns=["a", "b", "n_cooccur"])
+        ex, ey = j["e_x"].to_numpy(), j["e_y"].to_numpy()
+        lo = np.where(ex < ey, ex, ey)
+        hi = np.where(ex < ey, ey, ex)
+        return pd.DataFrame({"a": lo, "b": hi,
+                             "n_cooccur": np.ones(len(j),
+                                                  dtype=np.int64)})
+
+    rows = (rd.read_parquet(_transcripts_dir(sf_dir),
+                            columns=["conv_id", "turn_idx", "text"])
+            .map_batches(mentions, batch_format="pyarrow"))
+    pair_stream = sorted_map_groups(rows, ["conv_id"],
+                                    block_fn=window_pairs,
+                                    schema=pair_schema)
+    return auto_hash_aggregate(pair_stream, ["a", "b"],
+                               [("n_cooccur", "sum")])
+
+
 def _q_transcripts_entity_bursts(sf_dir: str):
     """Entity burst detection — the trend/anomaly signal over the KG's
     mention stream: per (entity, hour) distinct-per-turn mention counts,
@@ -3060,6 +3145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_transcripts_entity_triangles,  # oracled (r4)
         "transcripts_entity_bursts":
             _q_transcripts_entity_bursts,  # oracled (r4)
+        "transcripts_entity_cooccurrence_window":
+            _q_transcripts_entity_cooccurrence_window,  # oracled (r4)
     }
 
 
@@ -3593,6 +3680,20 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN sd > 0 THEN (c.n - mu) / sd
                               ELSE 0.0 END, 4) AS z
             FROM c JOIN s USING (entity)""",
+        "transcripts_entity_cooccurrence_window": f"""
+            WITH m AS (SELECT conv_id, turn_idx,
+                              unnest(list_distinct(regexp_extract_all(text,
+                                  '{"|".join(__import__("re").escape(s) for s in sorted(_mention_surface_label(), key=len, reverse=True))}')))
+                                  AS e
+                       FROM read_parquet('{tglob}'))
+            SELECT least(x.e, y.e) AS a, greatest(x.e, y.e) AS b,
+                   count(*)::BIGINT AS n_cooccur
+            FROM m x JOIN m y ON x.conv_id = y.conv_id
+             AND ((x.turn_idx = y.turn_idx AND x.e < y.e)
+                  OR (x.turn_idx < y.turn_idx
+                      AND y.turn_idx <= x.turn_idx + 2
+                      AND x.e <> y.e))
+            GROUP BY 1, 2""",
         "transcripts_entity_degree": f"""
             WITH edges AS ({_cooccurrence_sql(tglob)})
             SELECT entity, count(*)::BIGINT AS degree,

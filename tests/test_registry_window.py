@@ -136,6 +136,9 @@ PAST_WINDOW_PINS = {
     "transcripts_entity_triangles": (13694, ["a", "b", "c"]),
     # per-(entity, hour) mention-count z-scores (SQL-oracled)
     "transcripts_entity_bursts": (1283, ["entity", "hour", "n", "z"]),
+    # +-2-turn windowed co-occurrence (SQL-oracled)
+    "transcripts_entity_cooccurrence_window":
+        (1578, ["a", "b", "n_cooccur"]),
 }
 
 
