@@ -516,6 +516,83 @@ def _q_kg_predicate_similarity(sf_dir: str):
         max_feature_df=10_000)
 
 
+def _q_transcripts_from_csv(sf_dir: str):
+    """CSV source parity — a user switching from CSV transcript dumps must
+    get byte-identical analytics: the parquet transcripts are exported
+    ONCE to a cached CSV (duckdb COPY, full quoting), read back through
+    ``ray.data.read_csv`` with an explicit Arrow schema, and reduced to a
+    per-role content checksum (row count, exact-distinct conversations
+    via a two-level aggregate, sum of turn_idx, sum of text chars).  The
+    oracle computes the same checksum from the PARQUET — any corruption
+    in the CSV round-trip (quoting, encoding, type inference) breaks the
+    hash match."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    tdir = _transcripts_dir(sf_dir)
+    csv_path = os.path.join("/tmp/entgraph_csv",
+                            tdir.strip("/").replace("/", "_") + ".csv")
+    if not os.path.exists(csv_path):
+        import duckdb
+
+        os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+        tmp = csv_path + ".tmp"
+        duckdb.sql(
+            f"COPY (SELECT conv_id, turn_idx, role, text, tool "
+            f"      FROM read_parquet('{tdir}/*.parquet')) "
+            f"TO '{tmp}' (HEADER, QUOTE '\"', ESCAPE '\"')")
+        os.replace(tmp, csv_path)
+
+    schema = pa.schema([("conv_id", pa.string()),
+                        ("turn_idx", pa.int32()),
+                        ("role", pa.string()), ("text", pa.string()),
+                        ("tool", pa.string())])
+    ds = rd.read_csv(
+        csv_path,
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        convert_options=pacsv.ConvertOptions(column_types=schema))
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_chars = pc.fill_null(
+            pc.utf8_length(b.column("text")), 0).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("role"), b.column("conv_id"),
+             pa.array(np.ones(b.num_rows, dtype=np.int64)),
+             b.column("turn_idx").cast(pa.int64()), n_chars],
+            names=["role", "conv_id", "n_turns", "sum_turn_idx",
+                   "sum_text_chars"])
+
+    # two-level exact distinct: collapse (role, conv) first, then count
+    per_conv = auto_hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["role", "conv_id"],
+        [("n_turns", "sum"), ("sum_turn_idx", "sum"),
+         ("sum_text_chars", "sum")])
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("role"), b.column("n_turns"),
+             b.column("sum_turn_idx"), b.column("sum_text_chars"),
+             pa.array(np.ones(b.num_rows, dtype=np.int64))],
+            names=["role", "n_turns", "sum_turn_idx", "sum_text_chars",
+                   "n_convs"])
+
+    return auto_hash_aggregate(
+        per_conv.map_batches(ones, batch_format="pyarrow"), ["role"],
+        [("n_turns", "sum"), ("sum_turn_idx", "sum"),
+         ("sum_text_chars", "sum"), ("n_convs", "sum")])
+
+
 def _q_transcripts_entity_cooccurrence_window(sf_dir: str):
     """WINDOWED entity co-occurrence — the cross-turn KG edge signal
     same-turn co-occurrence misses (coref-adjacent entities usually sit
@@ -3147,6 +3224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_transcripts_entity_bursts,  # oracled (r4)
         "transcripts_entity_cooccurrence_window":
             _q_transcripts_entity_cooccurrence_window,  # oracled (r4)
+        "transcripts_from_csv": _q_transcripts_from_csv,  # oracled (r4)
     }
 
 
@@ -3694,6 +3772,18 @@ def oracle_sql() -> dict[str, str]:
                       AND y.turn_idx <= x.turn_idx + 2
                       AND x.e <> y.e))
             GROUP BY 1, 2""",
+        "transcripts_from_csv": f"""
+            WITH per_conv AS (
+              SELECT role, conv_id, count(*)::BIGINT AS n_turns,
+                     sum(turn_idx)::BIGINT AS sum_turn_idx,
+                     sum(coalesce(length(text), 0))::BIGINT
+                         AS sum_text_chars
+              FROM read_parquet('{tglob}') GROUP BY 1, 2)
+            SELECT role, sum(n_turns)::BIGINT AS n_turns,
+                   sum(sum_turn_idx)::BIGINT AS sum_turn_idx,
+                   sum(sum_text_chars)::BIGINT AS sum_text_chars,
+                   count(*)::BIGINT AS n_convs
+            FROM per_conv GROUP BY role""",
         "transcripts_entity_degree": f"""
             WITH edges AS ({_cooccurrence_sql(tglob)})
             SELECT entity, count(*)::BIGINT AS degree,

@@ -139,6 +139,9 @@ PAST_WINDOW_PINS = {
     # +-2-turn windowed co-occurrence (SQL-oracled)
     "transcripts_entity_cooccurrence_window":
         (1578, ["a", "b", "n_cooccur"]),
+    # CSV source round-trip parity checksum (SQL-oracled vs parquet)
+    "transcripts_from_csv": (3, ["n_convs", "n_turns", "role",
+                                 "sum_text_chars", "sum_turn_idx"]),
 }
 
 
