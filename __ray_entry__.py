@@ -516,6 +516,68 @@ def _q_kg_predicate_similarity(sf_dir: str):
         max_feature_df=10_000)
 
 
+def _q_transcripts_kg_negatives(sf_dir: str):
+    """Deterministic negative sampling for KG-embedding training (the
+    corrupt-tail scheme of TransE-style losses, made reproducible): per
+    DISTINCT triple, k=2 negatives replace the object with the entity
+    whose vocabulary rank is (rank(obj) + i) mod |V| over the sorted
+    distinct entity vocabulary of the triple set itself — fully
+    SQL-mirrorable (row_number ranks), no RNG.
+
+    Scale shape: the vocabulary is the DISTINCT entity set (gazetteer-
+    bounded here; output-sized generally) — sorted once, broadcast via
+    ray.put, ranks looked up by vectorized searchsorted per batch.  A
+    vocabulary too big to broadcast would swap the searchsorted for two
+    keyed lookup joins on a rank table (the decontaminate.py pattern);
+    the broadcast is asserted loudly at 10M entities."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    triples = auto_hash_aggregate(
+        _proxy_pred_triples(sf_dir), ["pred", "subj", "obj"],
+        []).materialize()
+
+    def ents(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([b.column("subj").combine_chunks(),
+                               b.column("obj").combine_chunks()])],
+            names=["entity"])
+
+    vocab_ds = auto_hash_aggregate(
+        triples.map_batches(ents, batch_format="pyarrow"),
+        ["entity"], []).materialize()
+    n_vocab = vocab_ds.count()
+    if n_vocab > 10_000_000:
+        raise ValueError(
+            f"entity vocabulary {n_vocab} too large to broadcast — "
+            f"switch to the rank-table lookup-join path")
+    vocab = np.sort(np.concatenate(
+        [t.column("entity").to_numpy(zero_copy_only=False)
+         for t in vocab_ds.iter_batches(batch_format="pyarrow")]))
+    vocab_ref = ray.put(vocab)
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        obj = b.column("obj").to_numpy(zero_copy_only=False)
+        r = np.searchsorted(v, obj)
+        parts = []
+        for i in (1, 2):
+            neg = v[(r + i) % len(v)]
+            parts.append(pa.Table.from_arrays(
+                [b.column("pred"), b.column("subj"), b.column("obj"),
+                 pa.array(np.full(len(obj), i, dtype=np.int64)),
+                 pa.array(neg, pa.string())],
+                names=["pred", "subj", "obj", "neg_i", "neg_obj"]))
+        return pa.concat_tables(parts)
+
+    return triples.map_batches(corrupt, batch_format="pyarrow")
+
+
 def _q_transcripts_from_csv(sf_dir: str):
     """CSV source parity — a user switching from CSV transcript dumps must
     get byte-identical analytics: the parquet transcripts are exported
@@ -3225,6 +3287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_entity_cooccurrence_window":
             _q_transcripts_entity_cooccurrence_window,  # oracled (r4)
         "transcripts_from_csv": _q_transcripts_from_csv,  # oracled (r4)
+        "transcripts_kg_negatives":
+            _q_transcripts_kg_negatives,  # oracled (r4)
     }
 
 
@@ -3784,6 +3848,27 @@ def oracle_sql() -> dict[str, str]:
                    sum(sum_text_chars)::BIGINT AS sum_text_chars,
                    count(*)::BIGINT AS n_convs
             FROM per_conv GROUP BY role""",
+        "transcripts_kg_negatives": f"""
+            WITH m AS (SELECT row_number() OVER () AS i,
+                              role || ':' || tool AS pred,
+                              list_distinct(regexp_extract_all(text,
+                                  '{"|".join(__import__("re").escape(s) for s in sorted(_mention_surface_label(), key=len, reverse=True))}'))
+                                  AS ents
+                       FROM read_parquet('{tglob}')),
+            e1 AS (SELECT i, pred, unnest(ents) AS a FROM m),
+            e2 AS (SELECT i, unnest(ents) AS b FROM m),
+            t AS (SELECT DISTINCT pred, a AS subj, b AS obj
+                  FROM e1 JOIN e2 USING (i) WHERE a < b),
+            v AS (SELECT entity,
+                         row_number() OVER (ORDER BY entity) - 1 AS r,
+                         count(*) OVER ()::BIGINT AS vn
+                  FROM (SELECT DISTINCT subj AS entity FROM t
+                        UNION SELECT DISTINCT obj FROM t) q)
+            SELECT t.pred, t.subj, t.obj, i.i::BIGINT AS neg_i,
+                   v2.entity AS neg_obj
+            FROM t JOIN v vo ON vo.entity = t.obj
+                 CROSS JOIN (VALUES (1), (2)) AS i(i)
+                 JOIN v v2 ON v2.r = (vo.r + i.i) % vo.vn""",
         "transcripts_entity_degree": f"""
             WITH edges AS ({_cooccurrence_sql(tglob)})
             SELECT entity, count(*)::BIGINT AS degree,
