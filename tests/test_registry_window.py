@@ -175,10 +175,12 @@ def test_past_window_queries_pinned(ray_session):
         rows, cols = PAST_WINDOW_PINS[name]
         assert sorted(df.columns) == cols, name
         assert len(df) == rows, f"{name}: {len(df)} rows != pinned {rows}"
-    # budget ~2.5x the measured sweep (46 queries, ~105 s at 4 CPUs on the
-    # r4 degraded host) — catches order-of-magnitude blowups, tolerates
-    # the documented 3x host noise
-    assert time.time() - t0 < 260, "past-window sweep wall-time blowup"
+    # budget ~3x the measured sweep (66 queries, ~144 s at 4 CPUs on a
+    # quiet host after the r4 day-2 additions) — catches order-of-
+    # magnitude blowups, tolerates the documented 3x host noise (a 273 s
+    # run under external disk tenancy tripped the old 260 s budget with
+    # every row pin green)
+    assert time.time() - t0 < 430, "past-window sweep wall-time blowup"
 
 
 @pytest.mark.slow
