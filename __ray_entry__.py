@@ -516,6 +516,61 @@ def _q_kg_predicate_similarity(sf_dir: str):
         max_feature_df=10_000)
 
 
+def _q_transcripts_predicate_types(sf_dir: str):
+    """Selectional preferences — per-predicate distribution over
+    (subj_type, obj_type) gazetteer label pairs, the ingredient TYPED
+    entailment graphs partition predicates by (Hosseini et al. 2018 build
+    one graph per argument-type pair).  Labels attach via the broadcast
+    gazetteer dict (bounded by construction); counts are one pre-combined
+    exchange.  share = within-predicate fraction, 4-dp."""
+    import numpy as np
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        lookup_join,
+    )
+
+    label_of = _mention_surface_label()
+
+    def typed(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(b.column("subj").combine_chunks())
+        o = pl.from_arrow(b.column("obj").combine_chunks())
+        return pa.Table.from_arrays(
+            [b.column("pred"),
+             s.replace_strict(label_of, default=None).to_arrow(),
+             o.replace_strict(label_of, default=None).to_arrow(),
+             pa.array(np.ones(b.num_rows, dtype=np.int64))],
+            names=["pred", "subj_type", "obj_type", "n"])
+
+    counts = auto_hash_aggregate(
+        _proxy_pred_triples(sf_dir).map_batches(typed,
+                                                batch_format="pyarrow"),
+        ["pred", "subj_type", "obj_type"], [("n", "sum")]).materialize()
+    totals = auto_hash_aggregate(
+        counts.select_columns(["pred", "n"]), ["pred"], [("n", "sum")])
+    joined = lookup_join(counts, totals, left_key="pred",
+                         right_key="pred", payload=["n"], suffix="_tot")
+
+    def share(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy().astype(np.float64)
+        tot = b.column("n_tot").to_numpy().astype(np.float64)
+        return pa.Table.from_arrays(
+            [b.column("pred"), b.column("subj_type"),
+             b.column("obj_type"), b.column("n"),
+             pa.array(np_round_away(n / tot, 4), pa.float64())],
+            names=["pred", "subj_type", "obj_type", "n", "share"])
+
+    return joined.map_batches(share, batch_format="pyarrow")
+
+
 def _q_transcripts_kg_negatives(sf_dir: str):
     """Deterministic negative sampling for KG-embedding training (the
     corrupt-tail scheme of TransE-style losses, made reproducible): per
@@ -3289,6 +3344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_from_csv": _q_transcripts_from_csv,  # oracled (r4)
         "transcripts_kg_negatives":
             _q_transcripts_kg_negatives,  # oracled (r4)
+        "transcripts_predicate_types":
+            _q_transcripts_predicate_types,  # oracled (r4)
     }
 
 
@@ -3869,6 +3926,27 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN v vo ON vo.entity = t.obj
                  CROSS JOIN (VALUES (1), (2)) AS i(i)
                  JOIN v v2 ON v2.r = (vo.r + i.i) % vo.vn""",
+        "transcripts_predicate_types": f"""
+            WITH m AS (SELECT row_number() OVER () AS i,
+                              role || ':' || tool AS pred,
+                              list_distinct(regexp_extract_all(text,
+                                  '{"|".join(__import__("re").escape(s) for s in sorted(_mention_surface_label(), key=len, reverse=True))}'))
+                                  AS ents
+                       FROM read_parquet('{tglob}')),
+            e1 AS (SELECT i, pred, unnest(ents) AS a FROM m),
+            e2 AS (SELECT i, unnest(ents) AS b FROM m),
+            lab(surface, label) AS (VALUES
+                {", ".join(f"('{s}', '{l}')" for s, l in sorted(_mention_surface_label().items()))}),
+            c AS (SELECT pred, la.label AS subj_type,
+                         lb.label AS obj_type, count(*)::BIGINT AS n
+                  FROM e1 JOIN e2 USING (i)
+                       JOIN lab la ON la.surface = e1.a
+                       JOIN lab lb ON lb.surface = e2.b
+                  WHERE a < b GROUP BY 1, 2, 3),
+            s AS (SELECT pred, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+            SELECT c.pred, subj_type, obj_type, n,
+                   round(n / tot::DOUBLE, 4) AS share
+            FROM c JOIN s USING (pred)""",
         "transcripts_entity_degree": f"""
             WITH edges AS ({_cooccurrence_sql(tglob)})
             SELECT entity, count(*)::BIGINT AS degree,

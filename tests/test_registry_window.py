@@ -145,6 +145,9 @@ PAST_WINDOW_PINS = {
     # deterministic corrupt-tail negatives, 2 per distinct triple
     "transcripts_kg_negatives": (4300, ["neg_i", "neg_obj", "obj",
                                         "pred", "subj"]),
+    # selectional preferences: per-pred (subj_type, obj_type) shares
+    "transcripts_predicate_types": (53, ["n", "obj_type", "pred",
+                                         "share", "subj_type"]),
 }
 
 
