@@ -571,6 +571,38 @@ def _q_transcripts_predicate_types(sf_dir: str):
     return joined.map_batches(share, batch_format="pyarrow")
 
 
+def _q_transcripts_typed_entailment(sf_dir: str):
+    """TYPED entailment scores — entailment graphs are built one per
+    argument-type pair (Hosseini et al. 2018), so the predicate key is
+    extended to pred#subj_type#obj_type and the directional scores run
+    within each typed subgraph (predicates of different type signatures
+    never compare).  Pure composition: gazetteer label attach + the
+    entailment_scores stage; min_shared=1 at proxy scale."""
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.entgraph import (
+        entailment_scores,
+    )
+
+    label_of = _mention_surface_label()
+
+    def typed_pred(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        p = pl.from_arrow(b.column("pred").combine_chunks())
+        s = pl.from_arrow(b.column("subj").combine_chunks())
+        o = pl.from_arrow(b.column("obj").combine_chunks())
+        tp = (p + "#" + s.replace_strict(label_of, default="?")
+              + "#" + o.replace_strict(label_of, default="?"))
+        return pa.Table.from_arrays(
+            [tp.to_arrow(), b.column("subj"), b.column("obj")],
+            names=["pred", "subj", "obj"])
+
+    return entailment_scores(
+        _proxy_pred_triples(sf_dir).map_batches(typed_pred,
+                                                batch_format="pyarrow"))
+
+
 def _q_transcripts_kg_negatives(sf_dir: str):
     """Deterministic negative sampling for KG-embedding training (the
     corrupt-tail scheme of TransE-style losses, made reproducible): per
@@ -3346,6 +3378,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_transcripts_kg_negatives,  # oracled (r4)
         "transcripts_predicate_types":
             _q_transcripts_predicate_types,  # oracled (r4)
+        "transcripts_typed_entailment":
+            _q_transcripts_typed_entailment,  # oracled (r4)
     }
 
 
@@ -3947,6 +3981,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.pred, subj_type, obj_type, n,
                    round(n / tot::DOUBLE, 4) AS share
             FROM c JOIN s USING (pred)""",
+        "transcripts_typed_entailment": f"""
+            WITH m AS (SELECT row_number() OVER () AS i,
+                              role || ':' || tool AS pred,
+                              list_distinct(regexp_extract_all(text,
+                                  '{"|".join(__import__("re").escape(s) for s in sorted(_mention_surface_label(), key=len, reverse=True))}'))
+                                  AS ents
+                       FROM read_parquet('{tglob}')),
+            e1 AS (SELECT i, pred, unnest(ents) AS a FROM m),
+            e2 AS (SELECT i, unnest(ents) AS b FROM m),
+            lab(surface, label) AS (VALUES
+                {", ".join(f"('{s}', '{l}')" for s, l in sorted(_mention_surface_label().items()))}),
+            feat AS (SELECT e1.pred || '#' || la.label || '#' || lb.label
+                                AS pred,
+                            a AS subj, b AS obj, count(*)::BIGINT AS cnt
+                     FROM e1 JOIN e2 USING (i)
+                          JOIN lab la ON la.surface = e1.a
+                          JOIN lab lb ON lb.surface = e2.b
+                     WHERE a < b GROUP BY 1, 2, 3),
+            tot AS (SELECT pred, sum(cnt)::BIGINT AS tot
+                    FROM feat GROUP BY 1),
+            shr AS (SELECT x.pred AS pred_a, y.pred AS pred_b,
+                           sum(x.cnt)::BIGINT AS sa,
+                           sum(y.cnt)::BIGINT AS sb,
+                           count(*)::BIGINT AS n_shared
+                    FROM feat x JOIN feat y
+                      ON x.subj = y.subj AND x.obj = y.obj
+                     AND x.pred < y.pred
+                    GROUP BY 1, 2)
+            SELECT pred_a, pred_b, n_shared,
+                   round(sa / ta.tot::DOUBLE, 4) AS weeds_ab,
+                   round(sb / tb.tot::DOUBLE, 4) AS weeds_ba,
+                   round((sa + sb) / (ta.tot + tb.tot)::DOUBLE, 4) AS lin,
+                   round(sqrt(((sa + sb) / (ta.tot + tb.tot)::DOUBLE)
+                              * (sa / ta.tot::DOUBLE)), 4) AS binc_ab,
+                   round(sqrt(((sa + sb) / (ta.tot + tb.tot)::DOUBLE)
+                              * (sb / tb.tot::DOUBLE)), 4) AS binc_ba
+            FROM shr JOIN tot ta ON ta.pred = pred_a
+                     JOIN tot tb ON tb.pred = pred_b""",
         "transcripts_entity_degree": f"""
             WITH edges AS ({_cooccurrence_sql(tglob)})
             SELECT entity, count(*)::BIGINT AS degree,

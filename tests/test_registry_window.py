@@ -148,6 +148,10 @@ PAST_WINDOW_PINS = {
     # selectional preferences: per-pred (subj_type, obj_type) shares
     "transcripts_predicate_types": (53, ["n", "obj_type", "pred",
                                          "share", "subj_type"]),
+    # typed entailment: directional scores within pred#ts#to subgraphs
+    "transcripts_typed_entailment": (94, ["binc_ab", "binc_ba", "lin",
+                                          "n_shared", "pred_a", "pred_b",
+                                          "weeds_ab", "weeds_ba"]),
 }
 
 
