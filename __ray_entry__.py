@@ -2461,6 +2461,23 @@ def _q_docs_lm_scores(sf_dir: str):
     return score_docs(docs, unigram_lm(docs))
 
 
+def _q_docs_dsir_weights(sf_dir: str):
+    """DSIR importance weights (stages/dsir.py): hashed-unigram log-ratio
+    between the zh-language target slice and the full corpus, top-100 docs
+    by (rounded weight desc, doc_id).  One constant-cardinality bucket
+    aggregate + one broadcast + one vectorized scoring pass; SQL-oracled
+    bit-for-bit via DuckDB's md5 (same bucket arithmetic)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dsir import (
+        dsir_log_ratio,
+        dsir_select,
+        dsir_weights,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    lr = dsir_log_ratio(docs, target_col="lang", target_value="zh")
+    return dsir_select(dsir_weights(docs, lr), k=100)
+
+
 def _q_embeddings_kmeans(sf_dir: str):
     """Distributed spherical k-means cluster assignments over the
     embeddings table (stages/kmeans.py; fixed 4 rounds, seeded init).
@@ -3277,13 +3294,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,           # new r4
         "embeddings_cosine_pairs_exact":
             _q_embeddings_cosine_pairs_exact,          # new r4
+        "docs_dsir_weights": _q_docs_dsir_weights,     # new r4 day-3
         # --- flagship rows-only (inside the 50-row window) ---------------
         "kg_triples": _q_kg_triples,
         "kg_edges": _q_kg_edges,
         "kg_coref_delta": _q_kg_coref_delta,
         "kg_mentions_corefed": _q_kg_mentions_corefed,
-        "multimodal_features": _q_multimodal_features,
         # --- past the window: companion/variant probes (pytest-pinned) ---
+        # multimodal_features: demoted from the window (day-3) to keep 46
+        # SQL-green rows in the driver's 50; pinned in PAST_WINDOW_PINS
+        "multimodal_features": _q_multimodal_features,
         # embedding_near_dups: LSH probe beside the in-window SQL-green
         # embeddings_cosine_pairs_exact (soundness-proved against it in
         # tests/test_ops_stages.py)
@@ -4465,6 +4485,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.doc_id, r.lang
             FROM ranked r JOIN quota q USING (lang)
             WHERE r.rn <= q.q""",
+        "docs_dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_extract_all(text, '\S+')) AS t
+              FROM documents),
+            b AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(t), 1, 4))::INT % 1024 AS bucket
+              FROM toks),
+            tgt AS (SELECT bucket, count(*)::DOUBLE AS c FROM b
+                    WHERE lang = 'zh' GROUP BY 1),
+            raw AS (SELECT bucket, count(*)::DOUBLE AS c FROM b GROUP BY 1),
+            tot AS (SELECT
+                      (SELECT count(*)::DOUBLE FROM b WHERE lang = 'zh') nt,
+                      (SELECT count(*)::DOUBLE FROM b) nr),
+            lr AS (
+              SELECT r.bucket,
+                     ln((coalesce(t.c, 0) + 1) / (tot.nt + 1024))
+                   - ln((r.c + 1) / (tot.nr + 1024)) AS logratio
+              FROM raw r LEFT JOIN tgt t USING (bucket), tot),
+            w AS (
+              SELECT b.doc_id, count(*)::BIGINT AS n_tokens,
+                     round(sum(lr.logratio), 4) AS dsir_weight
+              FROM b JOIN lr USING (bucket) GROUP BY b.doc_id)
+            SELECT doc_id, n_tokens, dsir_weight
+            FROM w ORDER BY dsir_weight DESC, doc_id LIMIT 100""",
         "docs_lm_scores": r"""
             WITH toks AS (
               SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t

@@ -27,6 +27,8 @@ WINDOW = 50
 # (rows, sorted columns) at sf0.001 — all past-window outputs are
 # deterministic by construction (seeded samples, fixed-round iterations).
 PAST_WINDOW_PINS = {
+    # demoted from the window day-3 (docs_dsir_weights took its slot)
+    "multimodal_features": (500, ["doc_id", "feature_norm"]),
     "kg_rejected_turns": (159, ["conv_id", "turn_idx"]),
     "kg_pagerank": (109, ["node", "rank"]),
     "kg_sentences": (1287, ["conv_id", "sent_idx", "text", "turn_idx"]),
