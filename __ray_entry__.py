@@ -2221,6 +2221,20 @@ def _q_kg_mentions(sf_dir: str):
     return detect_mentions(_kg(sf_dir)["sentences"], concurrency=2)
 
 
+def _q_kg_transe_embeddings(sf_dir: str):
+    """TransE embeddings trained over the engine's own canonical edge
+    table (stages/transe.py) — the KG-embedding consumer the triple
+    corpus feeds.  Deterministic (rank-shift negatives, seeded init) and
+    partition-invariant (int64 fixed-point gradient exchange); rows-only
+    (iterative SGD is not SQL), pinned by tests/test_transe.py."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.transe import (
+        transe_embedding_table,
+    )
+
+    edges = _kg(sf_dir)["edges"].select_columns(["subj", "pred", "obj"])
+    return transe_embedding_table(edges, dim=8, epochs=4, lr=0.5)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """PageRank over the canonical subj->obj edge graph (stages/graph.py;
     EntGraph-style downstream centrality over this engine's output).
@@ -3310,6 +3324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "kg_rejected_turns": _q_kg_rejected_turns,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_transe_embeddings": _q_kg_transe_embeddings,  # rows-only (r4)
         "kg_sentences": _q_kg_sentences,
         "kg_entities": _q_kg_entities,
         "kg_rel_kind_counts": _q_kg_rel_kind_counts,

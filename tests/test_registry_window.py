@@ -31,6 +31,8 @@ PAST_WINDOW_PINS = {
     "multimodal_features": (500, ["doc_id", "feature_norm"]),
     "kg_rejected_turns": (159, ["conv_id", "turn_idx"]),
     "kg_pagerank": (109, ["node", "rank"]),
+    "kg_transe_embeddings": (259, ["embedding", "final_loss", "kind",
+                                   "name"]),
     "kg_sentences": (1287, ["conv_id", "sent_idx", "text", "turn_idx"]),
     "kg_entities": (58, ["entity_id", "mention_count"]),
     "kg_rel_kind_counts": (5, ["n_triples", "rel_kind"]),
