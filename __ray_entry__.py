@@ -2475,6 +2475,20 @@ def _q_docs_lm_scores(sf_dir: str):
     return score_docs(docs, unigram_lm(docs))
 
 
+def _q_docs_chunked(sf_dir: str):
+    """Token-window chunking with overlap (stages/chunking.py): size 32,
+    stride 24 — the retrieval/context-window preparation op.  Pure
+    per-row expansion, no shuffle; SQL-oracled bit-for-bit via DuckDB
+    list slicing + generate_series."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.chunking import (
+        chunk_documents,
+    )
+
+    return chunk_documents(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        size=32, stride=24)
+
+
 def _q_docs_dsir_weights(sf_dir: str):
     """DSIR importance weights (stages/dsir.py): hashed-unigram log-ratio
     between the zh-language target slice and the full corpus, top-100 docs
@@ -3350,6 +3364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminated_bloom": _q_docs_decontaminated_bloom,  # rows
         "docs_token_freq_cm": _q_docs_token_freq_cm,  # rows-only (sketch)
         "docs_lm_scores": _q_docs_lm_scores,  # oracled (r4)
+        "docs_chunked": _q_docs_chunked,  # oracled (r4 day-3)
         "orders_rollup": _q_orders_rollup,  # oracled (r4)
         "events_value_quantiles_by_type":
             _q_events_value_quantiles_by_type,  # oracled (r4)
@@ -4500,6 +4515,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.doc_id, r.lang
             FROM ranked r JOIN quota q USING (lang)
             WHERE r.rn <= q.q""",
+        "docs_chunked": r"""
+            WITH arr AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS a,
+                     len(regexp_extract_all(text, '\S+')) AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, a, n,
+                     unnest(generate_series(
+                       0, CASE WHEN n = 0 THEN -1
+                          ELSE (greatest(n - 32, 0) + 23) // 24 END)) AS i
+              FROM arr)
+            SELECT doc_id, i AS chunk_idx,
+                   least(i*24 + 32, n) - i*24 AS n_tok,
+                   array_to_string(a[i*24 + 1 : least(i*24 + 32, n)], ' ')
+                       AS chunk_text
+            FROM c""",
         "docs_dsir_weights": r"""
             WITH toks AS (
               SELECT doc_id, lang,

@@ -69,6 +69,8 @@ PAST_WINDOW_PINS = {
     "docs_token_freq_cm": (20, ["cm_count", "mg_count", "value"]),
     # SQL-oracled past-window (full local gate hash-checks it)
     "docs_lm_scores": (500, ["doc_id", "lm_logp", "n_tokens"]),
+    "docs_chunked": (1249, ["chunk_idx", "chunk_text", "doc_id",
+                            "n_tok"]),
     # SQL-oracled past-window (full local gate hash-checks them)
     "orders_rollup": (19, ["n_orders", "o_orderpriority", "o_orderstatus",
                            "total_price"]),
