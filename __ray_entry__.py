@@ -2475,6 +2475,37 @@ def _q_docs_lm_scores(sf_dir: str):
     return score_docs(docs, unigram_lm(docs))
 
 
+def _q_docs_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (stages/bpe.py): one vocabulary-bounded
+    word-frequency aggregate, then the deterministic merge loop
+    (freq desc, pair asc).  Rows-only (iterative); merge semantics are
+    pinned against the classic worked example in tests/test_bpe.py."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.bpe import (
+        bpe_train,
+    )
+
+    return bpe_train(_read(sf_dir, "documents", columns=["text"]),
+                     n_merges=30)
+
+
+def _q_docs_bpe_token_counts(sf_dir: str):
+    """Apply a corpus-trained BPE merge table back to the corpus
+    (stages/bpe.py): merge ranks broadcast once, per-block unique-word
+    memoized encoding.  Rows-only (depends on the iterative trainer)."""
+    import ray
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.bpe import (
+        bpe_token_counts,
+        learn_bpe,
+        word_frequencies,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = learn_bpe(word_frequencies(docs), 30)
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+    return bpe_token_counts(docs, ray.put(ranks))
+
+
 def _q_docs_chunked(sf_dir: str):
     """Token-window chunking with overlap (stages/chunking.py): size 32,
     stride 24 — the retrieval/context-window preparation op.  Pure
@@ -3365,6 +3396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_freq_cm": _q_docs_token_freq_cm,  # rows-only (sketch)
         "docs_lm_scores": _q_docs_lm_scores,  # oracled (r4)
         "docs_chunked": _q_docs_chunked,  # oracled (r4 day-3)
+        "docs_bpe_merges": _q_docs_bpe_merges,  # rows-only (iterative)
+        "docs_bpe_token_counts":
+            _q_docs_bpe_token_counts,  # rows-only (iterative)
         "orders_rollup": _q_orders_rollup,  # oracled (r4)
         "events_value_quantiles_by_type":
             _q_events_value_quantiles_by_type,  # oracled (r4)

@@ -71,6 +71,9 @@ PAST_WINDOW_PINS = {
     "docs_lm_scores": (500, ["doc_id", "lm_logp", "n_tokens"]),
     "docs_chunked": (1249, ["chunk_idx", "chunk_text", "doc_id",
                             "n_tok"]),
+    "docs_bpe_merges": (30, ["left", "pair_freq", "rank", "right"]),
+    "docs_bpe_token_counts": (500, ["doc_id", "n_bpe_tokens",
+                                    "n_words"]),
     # SQL-oracled past-window (full local gate hash-checks them)
     "orders_rollup": (19, ["n_orders", "o_orderpriority", "o_orderstatus",
                            "total_price"]),
