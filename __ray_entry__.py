@@ -2235,6 +2235,23 @@ def _q_kg_transe_embeddings(sf_dir: str):
     return transe_embedding_table(edges, dim=8, epochs=4, lr=0.5)
 
 
+def _q_kg_link_prediction(sf_dir: str):
+    """Link-prediction evaluation of the TransE embeddings over the
+    canonical edge table (stages/transe.py): MRR / Hits@1 / Hits@10 of
+    the true tail among all entities, one GEMM per batch against the
+    broadcast candidate matrix, reciprocal ranks fixed-point-summed for
+    partition-invariant totals.  Rows-only (depends on iterative
+    training); pinned by tests/test_transe.py."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.transe import (
+        link_prediction_eval,
+        transe_train,
+    )
+
+    edges = _kg(sf_dir)["edges"].select_columns(["subj", "pred", "obj"])
+    ents, ee, preds, pe, _ = transe_train(edges, dim=8, epochs=4, lr=0.5)
+    return link_prediction_eval(edges, ents, ee, preds, pe)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """PageRank over the canonical subj->obj edge graph (stages/graph.py;
     EntGraph-style downstream centrality over this engine's output).
@@ -3370,6 +3387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rejected_turns": _q_kg_rejected_turns,
         "kg_pagerank": _q_kg_pagerank,
         "kg_transe_embeddings": _q_kg_transe_embeddings,  # rows-only (r4)
+        "kg_link_prediction": _q_kg_link_prediction,  # rows-only (r4)
         "kg_sentences": _q_kg_sentences,
         "kg_entities": _q_kg_entities,
         "kg_rel_kind_counts": _q_kg_rel_kind_counts,

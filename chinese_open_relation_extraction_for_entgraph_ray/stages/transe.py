@@ -186,3 +186,70 @@ def transe_embedding_table(triples_ds, **kw):
                           else 0.0), pa.float64())],
         names=["kind", "name", "embedding", "final_loss"])
     return rd.from_arrow(tbl)
+
+
+def link_prediction_eval(triples_ds, ents, ent_emb, preds, pred_emb, *,
+                         subj_col: str = "subj", pred_col: str = "pred",
+                         obj_col: str = "obj"):
+    """Tail link-prediction evaluation of trained embeddings: for every
+    triple, rank the true tail among ALL entities by ||h + r - t'||^2
+    (raw rank = 1 + #candidates strictly closer; ties don't penalize —
+    deterministic, no RNG) and report MRR / Hits@1 / Hits@10.
+
+    Scale shape: the candidate matrix is the broadcast embedding table
+    (vocab-bounded); each batch scores its triples against it in one
+    GEMM.  Reciprocal ranks quantize to 2^30 fixed point per triple
+    before the distributed sum, so the reported MRR is bit-identical
+    across block structures (same contract as training).  Returns a
+    one-row Dataset (n_triples, mrr, hits_at_1, hits_at_10)."""
+    import ray
+    import ray.data as rd
+
+    from .groupagg import auto_hash_aggregate
+
+    rr_scale = 1 << 30
+    state_ref = ray.put((ents, ent_emb, preds, pred_emb))
+    # candidate squared norms are shared by every task via the same put
+    cand_sq_ref = ray.put((ent_emb * ent_emb).sum(1))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ev, ee, pv, pe = ray.get(state_ref)
+        cand_sq = ray.get(cand_sq_ref)
+        h_i = np.searchsorted(ev, batch.column(subj_col)
+                              .to_numpy(zero_copy_only=False))
+        t_i = np.searchsorted(ev, batch.column(obj_col)
+                              .to_numpy(zero_copy_only=False))
+        r_i = np.searchsorted(pv, batch.column(pred_col)
+                              .to_numpy(zero_copy_only=False))
+        q = ee[h_i] + pe[r_i]                      # (B, dim)
+        # dist^2(q, cand) = |q|^2 + |cand|^2 - 2 q.cand ; |q|^2 is
+        # constant per row and cancels in the comparison below
+        cross = q @ ee.T                           # ONE GEMM per batch
+        d = cand_sq[None, :] - 2.0 * cross         # (B, V) up to +|q|^2
+        true_d = d[np.arange(len(t_i)), t_i]
+        rank = 1 + (d < true_d[:, None]).sum(1)
+        rr_fp = np.rint(rr_scale / rank).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array([0], pa.int64()),
+             pa.array([len(rank)], pa.int64()),
+             pa.array([int(rr_fp.sum())], pa.int64()),
+             pa.array([int((rank == 1).sum())], pa.int64()),
+             pa.array([int((rank <= 10).sum())], pa.int64())],
+            names=["k", "n", "rr_fp", "h1", "h10"])
+
+    agg = auto_hash_aggregate(
+        triples_ds.map_batches(partial, batch_format="pyarrow"),
+        ["k"], [("n", "sum"), ("rr_fp", "sum"), ("h1", "sum"),
+                ("h10", "sum")])
+    tot = agg.to_pandas()
+    n = int(tot["n"].iloc[0]) if len(tot) else 0
+    if n == 0:
+        mrr = h1 = h10 = 0.0
+    else:
+        mrr = round(float(tot["rr_fp"].iloc[0]) / rr_scale / n, 6)
+        h1 = round(float(tot["h1"].iloc[0]) / n, 6)
+        h10 = round(float(tot["h10"].iloc[0]) / n, 6)
+    return rd.from_arrow(pa.Table.from_arrays(
+        [pa.array([n], pa.int64()), pa.array([mrr], pa.float64()),
+         pa.array([h1], pa.float64()), pa.array([h10], pa.float64())],
+        names=["n_triples", "mrr", "hits_at_1", "hits_at_10"]))

@@ -33,6 +33,8 @@ PAST_WINDOW_PINS = {
     "kg_pagerank": (109, ["node", "rank"]),
     "kg_transe_embeddings": (259, ["embedding", "final_loss", "kind",
                                    "name"]),
+    "kg_link_prediction": (1, ["hits_at_1", "hits_at_10", "mrr",
+                               "n_triples"]),
     "kg_sentences": (1287, ["conv_id", "sent_idx", "text", "turn_idx"]),
     "kg_entities": (58, ["entity_id", "mention_count"]),
     "kg_rel_kind_counts": (5, ["n_triples", "rel_kind"]),

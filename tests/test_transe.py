@@ -82,3 +82,24 @@ def test_training_moves_linked_entities_closer(ray_session):
     before = dist(ents, ee0, preds, pe0, "北京大学", "位于", "北京")
     after = dist(ents, ee, preds, pe, "北京大学", "位于", "北京")
     assert after < before
+
+
+def test_link_prediction_eval(ray_session):
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.transe import (
+        link_prediction_eval,
+    )
+
+    ents, ee, preds, pe, _ = transe_train(_ds(), dim=8, epochs=8, lr=0.5)
+    out1 = link_prediction_eval(_ds(repart=1), ents, ee, preds, pe) \
+        .to_pandas()
+    out5 = link_prediction_eval(_ds(repart=5), ents, ee, preds, pe) \
+        .to_pandas()
+    assert out1.equals(out5)                  # fixed-point partition parity
+    row = out1.iloc[0]
+    assert row.n_triples == len(TRIPLES)
+    assert 0.0 < row.mrr <= 1.0
+    assert 0.0 <= row.hits_at_1 <= row.hits_at_10 <= 1.0
+    # training must beat the untrained init on its own triples
+    e0, ee0, p0, pe0, _ = transe_train(_ds(), dim=8, epochs=0)
+    base = link_prediction_eval(_ds(), e0, ee0, p0, pe0).to_pandas()
+    assert row.mrr > base.iloc[0].mrr
