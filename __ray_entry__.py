@@ -2178,6 +2178,24 @@ def _q_similarity_topk(sf_dir: str):
     return brute_force_top_k(_read(sf_dir, "embeddings"), _query_vec(sf_dir), k=10)
 
 
+def _q_embeddings_pq_topk(sf_dir: str):
+    """Product-quantization ADC top-k (stages/pq.py) — the compressed-
+    vector leg of the ANN ladder (brute-force -> IVF -> PQ): sample-
+    trained sub-codebooks, one-GEMM-per-subspace encoding, LUT-gather
+    asymmetric-distance search with per-block pruning.  Rows-only
+    (quantization is lossy by design; exactness and cluster-recall
+    invariants pinned in tests/test_pq.py)."""
+    import numpy as np
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.pq import (
+        pq_topk,
+    )
+
+    return pq_topk(_read(sf_dir, "embeddings"),
+                   np.asarray(_query_vec(sf_dir), dtype=np.float64),
+                   k=10, m=4, ksub=16)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
         minhash_candidate_pairs,
@@ -3400,6 +3418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_distinct_users_approx":
             _q_events_type_distinct_users_approx,
         "similarity_topk_ivf": _q_similarity_topk_ivf,
+        "embeddings_pq_topk": _q_embeddings_pq_topk,  # rows-only (lossy)
         "docs_embed_similar": _q_docs_embed_similar,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
         "multimodal_audio_features": _q_multimodal_audio_features,

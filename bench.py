@@ -68,7 +68,8 @@ def _timed_queries() -> dict[str, float]:
              "similarity_topk",
              "similarity_topk_ivf", "customer_revenue_topk",
              "events_user_cumulative_value", "docs_top_tokens",
-             "docs_duplicate_spans", "docs_resample_mixture"]
+             "docs_duplicate_spans", "docs_resample_mixture",
+             "docs_dsir_weights", "docs_chunked"]
     qs = entrymod.queries()
     out = {}
     for name in names:

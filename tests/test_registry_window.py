@@ -50,6 +50,7 @@ PAST_WINDOW_PINS = {
     "events_type_distinct_users_approx": (5, ["approx_distinct",
                                               "event_type"]),
     "similarity_topk_ivf": (10, ["cosine_sim", "vec_id"]),
+    "embeddings_pq_topk": (10, ["adc_dist", "vec_id"]),
     "docs_embed_similar": (5, ["cosine_sim", "vec_id"]),
     "multimodal_frame_plan": (1465, ["doc_id", "frame_idx"]),
     "multimodal_audio_features": (500, ["doc_id", "duration_sec",
@@ -212,8 +213,7 @@ def test_in_window_gate_wall_budget(ray_session):
     oracles = entry_mod.oracle_sql()
     in_window = list(q)[:WINDOW]
     assert [k for k in in_window if k not in oracles] == [
-        "kg_triples", "kg_edges", "kg_coref_delta", "kg_mentions_corefed",
-        "multimodal_features"]
+        "kg_triples", "kg_edges", "kg_coref_delta", "kg_mentions_corefed"]
     t0 = time.time()
     slowest: list[tuple[float, str]] = []
     for name in in_window:
