@@ -2510,6 +2510,47 @@ def _q_docs_lm_scores(sf_dir: str):
     return score_docs(docs, unigram_lm(docs))
 
 
+def _q_docs_pretrain_corpus(sf_dir: str):
+    """End-to-end pretraining-corpus assembly — the composed curation
+    chain a training-data build actually runs, hash-matched as ONE unit:
+    exact dedup (md5 min-id survivors) -> DSIR target-domain selection
+    (top-200 by hashed-unigram log-ratio over the DEDUPED corpus) ->
+    token-window chunking (32/24).  Every stage streams; the only
+    driver-side state is the 1024-float DSIR vector and the 200-row
+    selection (broadcast semi-join).  SQL-oracled bit-for-bit via the
+    chained DuckDB mirror of all three stages."""
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.chunking import (
+        chunk_documents,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        exact_dedup,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dsir import (
+        dsir_log_ratio,
+        dsir_select,
+        dsir_weights,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        semi_join,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    survivors = exact_dedup(docs).map_batches(
+        lambda b: b.select(["keep_doc_id"]).rename_columns(["doc_id"]),
+        batch_format="pyarrow").materialize()
+    kept = semi_join(docs, survivors, left_key="doc_id",
+                     right_key="doc_id", left_key_nullable=False)
+    lr = dsir_log_ratio(kept, target_col="lang", target_value="zh")
+    selected = dsir_select(dsir_weights(kept, lr), k=200).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow") \
+        .materialize()
+    chosen = semi_join(kept, selected, left_key="doc_id",
+                       right_key="doc_id", left_key_nullable=False)
+    return chunk_documents(chosen, size=32, stride=24)
+
+
 def _q_docs_bpe_merges(sf_dir: str):
     """BPE tokenizer training (stages/bpe.py): one vocabulary-bounded
     word-frequency aggregate, then the deterministic merge loop
@@ -3433,6 +3474,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_freq_cm": _q_docs_token_freq_cm,  # rows-only (sketch)
         "docs_lm_scores": _q_docs_lm_scores,  # oracled (r4)
         "docs_chunked": _q_docs_chunked,  # oracled (r4 day-3)
+        "docs_pretrain_corpus":
+            _q_docs_pretrain_corpus,  # oracled (r4 day-3, composed chain)
         "docs_bpe_merges": _q_docs_bpe_merges,  # rows-only (iterative)
         "docs_bpe_token_counts":
             _q_docs_bpe_token_counts,  # rows-only (iterative)
@@ -4586,6 +4629,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.doc_id, r.lang
             FROM ranked r JOIN quota q USING (lang)
             WHERE r.rn <= q.q""",
+        "docs_pretrain_corpus": r"""
+            WITH kept AS (
+              SELECT d.doc_id, d.text, d.lang FROM documents d
+              JOIN (SELECT min(doc_id) AS doc_id FROM documents
+                    GROUP BY md5(text)) s USING (doc_id)),
+            toks AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_extract_all(text, '\S+')) AS t
+              FROM kept),
+            b AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(t), 1, 4))::INT % 1024 AS bucket
+              FROM toks),
+            tgt AS (SELECT bucket, count(*)::DOUBLE AS c FROM b
+                    WHERE lang = 'zh' GROUP BY 1),
+            raw AS (SELECT bucket, count(*)::DOUBLE AS c FROM b GROUP BY 1),
+            tot AS (SELECT
+                      (SELECT count(*)::DOUBLE FROM b WHERE lang = 'zh') nt,
+                      (SELECT count(*)::DOUBLE FROM b) nr),
+            lr AS (
+              SELECT r.bucket,
+                     ln((coalesce(t.c, 0) + 1) / (tot.nt + 1024))
+                   - ln((r.c + 1) / (tot.nr + 1024)) AS logratio
+              FROM raw r LEFT JOIN tgt t USING (bucket), tot),
+            w AS (
+              SELECT b.doc_id, round(sum(lr.logratio), 4) AS dsir_weight
+              FROM b JOIN lr USING (bucket) GROUP BY b.doc_id),
+            sel AS (SELECT doc_id FROM w
+                    ORDER BY dsir_weight DESC, doc_id LIMIT 200),
+            arr AS (
+              SELECT k.doc_id, regexp_extract_all(k.text, '\S+') AS a,
+                     len(regexp_extract_all(k.text, '\S+')) AS n
+              FROM kept k JOIN sel USING (doc_id)),
+            c AS (
+              SELECT doc_id, a, n,
+                     unnest(generate_series(
+                       0, CASE WHEN n = 0 THEN -1
+                          ELSE (greatest(n - 32, 0) + 23) // 24 END)) AS i
+              FROM arr)
+            SELECT doc_id, i AS chunk_idx,
+                   least(i*24 + 32, n) - i*24 AS n_tok,
+                   array_to_string(a[i*24 + 1 : least(i*24 + 32, n)], ' ')
+                       AS chunk_text
+            FROM c""",
         "docs_chunked": r"""
             WITH arr AS (
               SELECT doc_id, regexp_extract_all(text, '\S+') AS a,

@@ -74,6 +74,8 @@ PAST_WINDOW_PINS = {
     "docs_lm_scores": (500, ["doc_id", "lm_logp", "n_tokens"]),
     "docs_chunked": (1249, ["chunk_idx", "chunk_text", "doc_id",
                             "n_tok"]),
+    "docs_pretrain_corpus": (284, ["chunk_idx", "chunk_text", "doc_id",
+                                   "n_tok"]),
     "docs_bpe_merges": (30, ["left", "pair_freq", "rank", "right"]),
     "docs_bpe_token_counts": (500, ["doc_id", "n_bpe_tokens",
                                     "n_words"]),
