@@ -900,10 +900,9 @@ def _q_transcripts_entity_bursts(sf_dir: str):
     return zs.map_batches(finish, batch_format="pyarrow")
 
 
-def _q_transcripts_entity_triangles(sf_dir: str):
-    """Triangle enumeration over the entity co-occurrence graph — the
-    graph-cohesion companion to kg_pagerank / entity_degree.  Each
-    triangle (a < b < c) is listed once.
+def _entity_triangles_ds(edges):
+    """Triangle enumeration (a < b < c, each listed once) over a
+    MATERIALIZED distinct-pair edge Dataset with columns (a, b), a < b.
 
     Distributed shape (NO driver-side adjacency): wedges are emitted per
     lower endpoint from the sorted edge stream (sorted_map_groups on
@@ -925,9 +924,6 @@ def _q_transcripts_entity_triangles(sf_dir: str):
     from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
         semi_join,
     )
-
-    edges = (_q_transcripts_entity_cooccurrence(sf_dir)
-             .select_columns(["a", "b"]).materialize())
 
     wedge_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
                               ("c", pa.string())])
@@ -977,6 +973,190 @@ def _q_transcripts_entity_triangles(sf_dir: str):
         edges.map_batches(pack_ab, batch_format="pyarrow").materialize(),
         left_key="k", right_key="k", left_key_nullable=False)
     return closed.drop_columns(["k"])
+
+
+def _q_transcripts_entity_triangles(sf_dir: str):
+    """Triangle enumeration over the entity co-occurrence graph — the
+    graph-cohesion companion to kg_pagerank / entity_degree.  See
+    _entity_triangles_ds for the distributed shape."""
+    edges = (_q_transcripts_entity_cooccurrence(sf_dir)
+             .select_columns(["a", "b"]).materialize())
+    return _entity_triangles_ds(edges)
+
+
+def _q_transcripts_entity_clustering(sf_dir: str):
+    """Local clustering coefficient per entity over the co-occurrence
+    graph: clustering = 2·triangles(v) / (deg(v)·(deg(v)−1)) — the
+    standard graph-cohesion score beside entity_degree / entity_triangles
+    (Watts–Strogatz local coefficient).
+
+    Distributed shape: the edge list is materialized ONCE (one turn
+    scan); degree is the exploded pre-combined aggregate over both
+    endpoints (the entity_degree shape) and stays a streaming Dataset;
+    per-entity triangle counts reuse _entity_triangles_ds on the SAME
+    materialized edges, exploded to 3 endpoint rows and pre-combined.
+    The triangle-count table is GAZETTEER-bounded (one row per entity,
+    ~60), so it broadcasts as a plain dict into the final scoring pass —
+    the same bounded-side justification as transcripts_entity_pmi."""
+    import numpy as np
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    edges = (_q_transcripts_entity_cooccurrence(sf_dir)
+             .select_columns(["a", "b"]).materialize())
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        ent = pa.concat_arrays([t.column("a").combine_chunks(),
+                                t.column("b").combine_chunks()])
+        return pa.Table.from_arrays(
+            [ent, pa.array(np.ones(len(ent), dtype=np.int64))],
+            names=["entity", "degree"])
+
+    deg = auto_hash_aggregate(
+        edges.map_batches(both_ends, batch_format="pyarrow"),
+        ["entity"], [("degree", "sum")])
+
+    def tri_ends(t: pa.Table) -> pa.Table:
+        ent = pa.concat_arrays([t.column(c).combine_chunks()
+                                for c in ("a", "b", "c")])
+        return pa.Table.from_arrays(
+            [ent, pa.array(np.ones(len(ent), dtype=np.int64))],
+            names=["entity", "n_triangles"])
+
+    tri_cnt = {r["entity"]: int(r["n_triangles"]) for r in
+               auto_hash_aggregate(
+                   _entity_triangles_ds(edges)
+                   .map_batches(tri_ends, batch_format="pyarrow"),
+                   ["entity"], [("n_triangles", "sum")]).take_all()}
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("entity", pa.string()), ("degree", pa.int64()),
+                 ("n_triangles", pa.int64()),
+                 ("clustering", pa.float64())]).empty_table()
+        d = t.column("degree").to_numpy().astype(np.float64)
+        n_tri = np.array([tri_cnt.get(x, 0) for x in
+                          t.column("entity").to_pylist()], dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coef = np.where(d >= 2, 2.0 * n_tri / (d * (d - 1.0)), 0.0)
+        return (t.append_column("n_triangles", pa.array(n_tri))
+                 .append_column("clustering",
+                                pa.array(np_round_away(coef, 4))))
+
+    return deg.map_batches(score, batch_format="pyarrow")
+
+
+def _q_transcripts_entity_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction over the co-occurrence graph: for each
+    NON-adjacent pair (a < b) sharing ≥1 neighbor, score = Σ_z 1/ln(deg z)
+    over common neighbors z, plus the raw common-neighbor count — the
+    classic KG link-prediction baseline (Adamic & Adar 2003), the scoring
+    companion to kg_link_prediction's TransE ranks.
+
+    Distributed shape: undirected adjacency = the edge stream exploded
+    both ways; wedges are emitted per CENTER from one sorted pass
+    (sorted_map_groups on the center column — deg(z) is the group size,
+    so no degree broadcast is needed at all; each wedge carries
+    1/ln(deg z)); one pre-combined aggregate sums score and count per
+    endpoint pair; existing edges are removed by ONE packed-key anti
+    semi-join against the materialized (small) edge key set."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        semi_join,
+    )
+
+    edges = (_q_transcripts_entity_cooccurrence(sf_dir)
+             .select_columns(["a", "b"]).materialize())
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([t.column("a").combine_chunks(),
+                              t.column("b").combine_chunks()])
+        v = pa.concat_arrays([t.column("b").combine_chunks(),
+                              t.column("a").combine_chunks()])
+        return pa.Table.from_arrays([u, v], names=["u", "v"])
+
+    und = edges.map_batches(both_dirs, batch_format="pyarrow")
+
+    wedge_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                              ("n_common", pa.int64()),
+                              ("aa", pa.float64())])
+
+    def wedge_emit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["u", "v"], kind="stable")
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        change = np.empty(len(df), dtype=bool)
+        change[0] = True
+        change[1:] = u[1:] != u[:-1]
+        gid = np.cumsum(change) - 1
+        counts = np.bincount(gid)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        oa, ob, ow = [], [], []
+        for g in np.nonzero(counts >= 2)[0]:
+            lo, d = starts[g], counts[g]
+            iu, ju = np.triu_indices(d, 1)
+            oa.append(v[lo:lo + d][iu])
+            ob.append(v[lo:lo + d][ju])
+            ow.append(np.full(len(iu), 1.0 / np.log(float(d))))
+        if not oa:
+            return pd.DataFrame(columns=["a", "b", "n_common", "aa"])
+        a_out = np.concatenate(oa)
+        return pd.DataFrame({"a": a_out, "b": np.concatenate(ob),
+                             "n_common": np.ones(len(a_out),
+                                                 dtype=np.int64),
+                             "aa": np.concatenate(ow)})
+
+    scored = auto_hash_aggregate(
+        sorted_map_groups(und, ["u"], block_fn=wedge_emit,
+                          schema=wedge_schema),
+        ["a", "b"], [("n_common", "sum"), ("aa", "sum")])
+
+    def pack(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("k", pc.binary_join_element_wise(
+            t.column("a"), t.column("b"), "|"))
+
+    def pack_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [pc.binary_join_element_wise(t.column("a"),
+                                         t.column("b"), "|")],
+            names=["k"])
+
+    non_adjacent = semi_join(
+        scored.map_batches(pack, batch_format="pyarrow"),
+        edges.map_batches(pack_only, batch_format="pyarrow").materialize(),
+        left_key="k", right_key="k", anti=True, left_key_nullable=False)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["k"])
+        aa = np_round_away(
+            t.column("aa").to_numpy(zero_copy_only=False), 4)
+        return t.set_column(t.schema.get_field_index("aa"), "aa",
+                            pa.array(aa, pa.float64()))
+
+    return non_adjacent.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_kg_predicate_clusters(sf_dir: str):
@@ -3544,6 +3724,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_transcripts_predicate_types,  # oracled (r4)
         "transcripts_typed_entailment":
             _q_transcripts_typed_entailment,  # oracled (r4)
+        "transcripts_entity_clustering":
+            _q_transcripts_entity_clustering,  # oracled (r4)
+        "transcripts_entity_adamic_adar":
+            _q_transcripts_entity_adamic_adar,  # oracled (r4)
     }
 
 
@@ -4191,6 +4375,42 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL
                   SELECT b AS entity, n_cooccur FROM edges)
             GROUP BY entity""",
+        "transcripts_entity_clustering": f"""
+            WITH edges AS (SELECT a, b FROM ({_cooccurrence_sql(tglob)})),
+            deg AS (SELECT entity, count(*)::BIGINT AS degree
+                    FROM (SELECT a AS entity FROM edges
+                          UNION ALL SELECT b FROM edges)
+                    GROUP BY 1),
+            tri AS (SELECT e1.a, e1.b, e2.b AS c
+                    FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+                         JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+            tcnt AS (SELECT entity, count(*)::BIGINT AS n_triangles
+                     FROM (SELECT a AS entity FROM tri
+                           UNION ALL SELECT b FROM tri
+                           UNION ALL SELECT c FROM tri)
+                     GROUP BY 1)
+            SELECT d.entity, d.degree,
+                   coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+                   round(CASE WHEN d.degree >= 2
+                              THEN 2.0 * coalesce(t.n_triangles, 0)
+                                   / (d.degree * (d.degree - 1.0))
+                              ELSE 0.0 END, 4) AS clustering
+            FROM deg d LEFT JOIN tcnt t USING (entity)""",
+        "transcripts_entity_adamic_adar": f"""
+            WITH edges AS (SELECT a, b FROM ({_cooccurrence_sql(tglob)})),
+            und AS (SELECT a AS u, b AS v FROM edges
+                    UNION ALL SELECT b, a FROM edges),
+            deg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY 1),
+            wedge AS (SELECT n1.v AS a, n2.v AS b, n1.u AS z
+                      FROM und n1 JOIN und n2
+                        ON n1.u = n2.u AND n1.v < n2.v),
+            sc AS (SELECT a, b, count(*)::BIGINT AS n_common,
+                          round(sum(1.0 / ln(deg.d)), 4) AS aa
+                   FROM wedge JOIN deg ON deg.u = wedge.z
+                   GROUP BY 1, 2)
+            SELECT sc.a, sc.b, n_common, aa FROM sc
+            WHERE NOT EXISTS (SELECT 1 FROM edges e
+                              WHERE e.a = sc.a AND e.b = sc.b)""",
         "events_value_moving_avg": """
             SELECT event_id, user_id,
                    round(avg(value) OVER (PARTITION BY user_id

@@ -166,6 +166,11 @@ PAST_WINDOW_PINS = {
     "transcripts_typed_entailment": (94, ["binc_ab", "binc_ba", "lin",
                                           "n_shared", "pred_a", "pred_b",
                                           "weeds_ab", "weeds_ba"]),
+    # local clustering coefficient per entity (SQL-oracled)
+    "transcripts_entity_clustering": (60, ["clustering", "degree",
+                                           "entity", "n_triangles"]),
+    # Adamic-Adar link prediction over non-adjacent pairs (SQL-oracled)
+    "transcripts_entity_adamic_adar": (544, ["a", "aa", "b", "n_common"]),
 }
 
 
