@@ -3488,6 +3488,19 @@ def _q_embeddings_cosine_pairs_exact(sf_dir: str):
         threshold=0.45)
 
 
+def _q_embeddings_knn_graph(sf_dir: str):
+    """k-NN graph (k=5, cosine) over the full embeddings table
+    (stages/similarity.knn_graph): broadcast-matrix GEMM per batch,
+    per-row vectorized top-k on the ROUNDED similarity with dst-asc
+    tie-break — bit-for-bit mirrorable by a row_number() SQL oracle."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
+        knn_graph,
+    )
+
+    return knn_graph(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), k=5)
+
+
 def _q_similarity_topk_ivf(sf_dir: str):
     """IVF (spherical-kmeans cells, nprobe probing) approximate top-k — the
     scale path beside the brute-force baseline."""
@@ -3728,6 +3741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_transcripts_entity_clustering,  # oracled (r4)
         "transcripts_entity_adamic_adar":
             _q_transcripts_entity_adamic_adar,  # oracled (r4)
+        "embeddings_knn_graph": _q_embeddings_knn_graph,  # oracled (r4)
     }
 
 
@@ -5162,6 +5176,18 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 6) AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.45""",
+        "embeddings_knn_graph": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                         round(list_cosine_similarity(a.v, b.v), 4)
+                             AS cosine_sim
+                  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY src
+                      ORDER BY cosine_sim DESC, dst ASC)::BIGINT AS rank
+                  FROM p)
+            SELECT src, dst, rank, cosine_sim FROM r WHERE rank <= 5""",
     }
 
 

@@ -504,3 +504,61 @@ def cosine_pairs_exact(embeddings_ds, threshold: float = 0.45,
             names=["id_a", "id_b", "cos"])
 
     return src.map_batches(pairs, batch_format="pyarrow")
+
+
+def knn_graph(embeddings_ds, k: int = 5, round_digits: int = 4):
+    """k-nearest-neighbor graph by cosine over the whole embedding table —
+    the all-pairs companion to brute_force_top_k (one query) and the
+    substrate for graph-based curation (SemDeDup-style cluster pruning,
+    kNN-LM retrieval, label propagation over the corpus).
+
+    Brute-force baseline shape: the sorted, normalized corpus matrix is
+    broadcast ONCE (``ray.put``, zero-copy read per task), each batch does
+    ONE float64 GEMM against it, and the per-row top-k is a fully
+    vectorized composite-integer argsort — ranking happens on the ROUNDED
+    similarity (tfidf convention) with dst-id ascending tie-break, so a
+    row_number() SQL oracle matches bit-for-bit.  Deliberately quadratic:
+    MAX_EXACT_VECTORS refuses loudly beyond the broadcast bound, where the
+    scale paths are IVF cells (ivf_top_k per centroid cell) or hyperplane
+    LSH buckets (embedding_near_dups) with in-bucket exact rerank.
+
+    Output: (src, dst, rank 1..k, cosine_sim) — n*k rows.
+    """
+    import ray
+
+    src_ds = embeddings_ds.materialize()
+    ref = _broadcast_normalized(src_ds)
+    scale = 10 ** round_digits
+
+    def topk(batch: pa.Table) -> pa.Table:
+        empty = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                           ("rank", pa.int64()),
+                           ("cosine_sim", pa.float64())]).empty_table()
+        ids_all, mat = ray.get(ref)    # zero-copy object-store read
+        n = len(ids_all)
+        ids_b = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        if len(ids_b) == 0 or n <= 1:
+            return empty
+        emb = normalize(_embedding_matrix(batch))
+        cos = np_round_away(emb @ mat.T, round_digits)
+        # composite int64 sort key: (scaled -sim) major, dst position minor
+        # (ids_all is sorted ascending, so position order == id order);
+        # self-pairs get the max key and can never enter the top-k.
+        sim_i = np.rint(cos * scale).astype(np.int64)
+        key = (np.int64(scale) - sim_i) * np.int64(n) \
+            + np.arange(n, dtype=np.int64)[None, :]
+        key[ids_b[:, None] == ids_all[None, :]] = np.iinfo(np.int64).max
+        kk = min(k, n - 1)
+        nbr = np.argsort(key, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(ids_b, kk)
+        cols = nbr.ravel()
+        return pa.Table.from_arrays(
+            [pa.array(rows, pa.int64()),
+             pa.array(ids_all[cols], pa.int64()),
+             pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                              len(ids_b))),
+             pa.array(cos[np.repeat(np.arange(len(ids_b)), kk), cols],
+                      pa.float64())],
+            names=["src", "dst", "rank", "cosine_sim"])
+
+    return src_ds.map_batches(topk, batch_format="pyarrow")

@@ -695,3 +695,41 @@ def test_cosine_pairs_exact_vector_cap(ray_session, monkeypatch):
         names=["vec_id", "embedding"])
     with pytest.raises(ValueError, match="all-pairs"):
         similarity.cosine_pairs_exact(ray.data.from_arrow(tbl))
+
+
+def test_knn_graph_brute_force_parity_and_clamp(ray_session):
+    """knn_graph must equal the numpy brute-force top-k (rounded-sim
+    ranking, dst-asc tie-break), exclude self-pairs, clamp k to n-1, and be
+    invariant to block structure."""
+    import ray.data
+
+    rng = np.random.RandomState(7)
+    n, dim, k = 40, 8, 5
+    mat = rng.standard_normal((n, dim))
+    ids = np.arange(n) * 3 + 1    # non-contiguous ids
+    tbl = pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()),
+         pa.array([r.tolist() for r in mat], pa.list_(pa.float64()))],
+        names=["vec_id", "embedding"])
+    ds = ray.data.from_arrow(tbl)
+
+    got = (similarity.knn_graph(ds.repartition(4), k=k).to_pandas()
+           .sort_values(["src", "rank"]).reset_index(drop=True))
+    got1 = (similarity.knn_graph(ds.repartition(1), k=k).to_pandas()
+            .sort_values(["src", "rank"]).reset_index(drop=True))
+    assert got.equals(got1), "knn_graph depends on block structure"
+    assert len(got) == n * k and (got.src != got.dst).all()
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = np.round(norm @ norm.T, 4)
+    for src_i in range(n):
+        order = sorted(((-cos[src_i, j], ids[j]) for j in range(n)
+                        if j != src_i))
+        want = [(idj, -negc) for negc, idj in order[:k]]
+        sub = got[got.src == ids[src_i]]
+        assert list(zip(sub.dst, sub.cosine_sim)) == want, ids[src_i]
+
+    # k larger than n-1 clamps (every neighbor, still no self)
+    tiny = ray.data.from_arrow(tbl.slice(0, 3))
+    g = similarity.knn_graph(tiny, k=10).to_pandas()
+    assert len(g) == 3 * 2 and g.groupby("src")["rank"].max().eq(2).all()

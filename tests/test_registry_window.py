@@ -171,6 +171,8 @@ PAST_WINDOW_PINS = {
                                            "entity", "n_triangles"]),
     # Adamic-Adar link prediction over non-adjacent pairs (SQL-oracled)
     "transcripts_entity_adamic_adar": (544, ["a", "aa", "b", "n_common"]),
+    # brute-force k-NN graph, k=5 (SQL-oracled row_number mirror)
+    "embeddings_knn_graph": (2500, ["cosine_sim", "dst", "rank", "src"]),
 }
 
 
