@@ -1159,6 +1159,22 @@ def _q_transcripts_entity_adamic_adar(sf_dir: str):
     return non_adjacent.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_transcripts_entity_kcore(sf_dir: str):
+    """30-core of the entity co-occurrence graph (stages/graph.k_core):
+    iterative peel to the unique maximal subgraph with min degree >= 30 —
+    dense-region extraction, the graph-curation companion to
+    clustering/triangles.  k=30 sits mid-distribution (sf0.001 degrees
+    span 3..55), so the peel cascades over 5 rounds at sf0.001 (60 ->
+    45 nodes) instead of converging trivially."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        k_core,
+    )
+
+    edges = (_q_transcripts_entity_cooccurrence(sf_dir)
+             .select_columns(["a", "b"]))
+    return k_core(edges, k=30)
+
+
 def _q_kg_predicate_clusters(sf_dir: str):
     """Paraphrase clusters over the REAL cascade predicates: mutual
     cosine >= 0.5 (min_shared=2 linked argument pairs) -> connected
@@ -3742,12 +3758,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_entity_adamic_adar":
             _q_transcripts_entity_adamic_adar,  # oracled (r4)
         "embeddings_knn_graph": _q_embeddings_knn_graph,  # oracled (r4)
+        "transcripts_entity_kcore":
+            _q_transcripts_entity_kcore,  # oracled (r4)
     }
 
 
 # =============================================================================
 # DuckDB oracles
 # =============================================================================
+
+def _kcore_sql(tglob: str, k: int = 30, rounds: int = 16) -> str:
+    """Unrolled fixed-round k-core peel (the engine's k_core asserts
+    fixpoint convergence, and the k-core is the unique maximal min-degree
+    >= k subgraph, so a sufficiently-unrolled mirror matches bit-for-bit;
+    a non-converged unroll would mismatch loudly)."""
+    # AS MATERIALIZED: each round references the previous CTE three times,
+    # so default CTE inlining re-expands the base parquet read 3^rounds
+    # times (DuckDB falls over around rounds=8); materializing every round
+    # keeps the plan linear in `rounds`.
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT a, b FROM ({_cooccurrence_sql(tglob)}))"]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+            d{i} AS MATERIALIZED (
+                SELECT entity, count(*)::BIGINT AS deg
+                FROM (SELECT a AS entity FROM e{i - 1}
+                      UNION ALL SELECT b FROM e{i - 1})
+                GROUP BY 1)""")
+        parts.append(f"""
+            e{i} AS MATERIALIZED (
+                SELECT a, b FROM e{i - 1}
+                WHERE a IN (SELECT entity FROM d{i} WHERE deg >= {k})
+                  AND b IN (SELECT entity FROM d{i} WHERE deg >= {k}))""")
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT entity, count(*)::BIGINT AS core_degree
+        FROM (SELECT a AS entity FROM e{rounds}
+              UNION ALL SELECT b FROM e{rounds})
+        GROUP BY 1"""
+
 
 def _mention_labels_sql(tglob: str) -> str:
     """Label histogram with the SAME longest-first alternation regex as the
@@ -5188,6 +5237,7 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY cosine_sim DESC, dst ASC)::BIGINT AS rank
                   FROM p)
             SELECT src, dst, rank, cosine_sim FROM r WHERE rank <= 5""",
+        "transcripts_entity_kcore": _kcore_sql(tglob),
     }
 
 

@@ -53,3 +53,33 @@ def test_pagerank_matches_power_iteration(ray_session, edges,
     assert abs(sum(got.values()) - 1.0) < 1e-3   # mass ~conserved mid-run
     # the hub must outrank a leaf feeder
     assert got["b"] > got["g"]
+
+
+def test_k_core_cascade_and_empty(ray_session):
+    """k_core must reach the unique fixpoint through a multi-round
+    cascade (a chain hanging off a clique peels one node per round), be
+    invariant to block structure, and return an empty result when the
+    whole graph peels away."""
+    import pandas as pd
+    import ray.data
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        k_core,
+    )
+
+    # K4 clique on c0..c3 + chain c3-x0-x1-x2: peeling x2 (deg 1) exposes
+    # x1, then x0 — three cascade rounds before the clique alone remains.
+    clique = [(f"c{i}", f"c{j}") for i in range(4) for j in range(i + 1, 4)]
+    chain = [("c3", "x0"), ("x0", "x1"), ("x1", "x2")]
+    edges = pd.DataFrame(clique + chain, columns=["a", "b"])
+
+    for parts in (1, 4):
+        ds = ray.data.from_pandas(edges).repartition(parts)
+        got = (k_core(ds, k=3).to_pandas()
+               .sort_values("entity").reset_index(drop=True))
+        assert list(got.entity) == ["c0", "c1", "c2", "c3"]
+        assert list(got.core_degree) == [3, 3, 3, 3]
+
+    # k above the max possible degree -> empty k-core
+    empty = k_core(ray.data.from_pandas(edges), k=10).to_pandas()
+    assert len(empty) == 0

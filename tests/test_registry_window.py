@@ -173,6 +173,9 @@ PAST_WINDOW_PINS = {
     "transcripts_entity_adamic_adar": (544, ["a", "aa", "b", "n_common"]),
     # brute-force k-NN graph, k=5 (SQL-oracled row_number mirror)
     "embeddings_knn_graph": (2500, ["cosine_sim", "dst", "rank", "src"]),
+    # 30-core peel: 60 -> 45 nodes over 5 cascade rounds (SQL-oracled
+    # via the unrolled MATERIALIZED-CTE mirror)
+    "transcripts_entity_kcore": (45, ["core_degree", "entity"]),
 }
 
 
