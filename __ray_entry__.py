@@ -3517,6 +3517,57 @@ def _q_embeddings_knn_graph(sf_dir: str):
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), k=5)
 
 
+def _q_embeddings_knn_core(sf_dir: str):
+    """Composed graph-curation chain over embeddings: 5-NN graph ->
+    MUTUAL-edge filter (src<dst kept iff the reverse direction is also a
+    kNN edge — the standard symmetrization for kNN-graph clustering) ->
+    3-core peel (stages/graph.k_core).  The dense semantic regions a
+    SemDeDup-style curator keeps; verified end-to-end as ONE unit (the
+    composed-chain convention of docs_pretrain_corpus).  The mutual
+    filter is one packed-key semi-join of the forward half against the
+    reversed half — no driver-side pair state."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        k_core,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        semi_join,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
+        knn_graph,
+    )
+
+    knn = knn_graph(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=5).select_columns(["src", "dst"]).materialize()
+
+    def fwd(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("src"), t.column("dst")))
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("src"), pa.string()),
+            pc.cast(t.column("dst"), pa.string()), "|")
+        return pa.Table.from_arrays(
+            [t.column("src"), t.column("dst"), key],
+            names=["a", "b", "k"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("src"), t.column("dst")))
+        return pa.Table.from_arrays(
+            [pc.binary_join_element_wise(
+                pc.cast(t.column("dst"), pa.string()),
+                pc.cast(t.column("src"), pa.string()), "|")],
+            names=["k"])
+
+    mutual = semi_join(
+        knn.map_batches(fwd, batch_format="pyarrow"),
+        knn.map_batches(rev, batch_format="pyarrow").materialize(),
+        left_key="k", right_key="k",
+        left_key_nullable=False).drop_columns(["k"])
+    return k_core(mutual, k=3)
+
+
 def _q_similarity_topk_ivf(sf_dir: str):
     """IVF (spherical-kmeans cells, nprobe probing) approximate top-k — the
     scale path beside the brute-force baseline."""
@@ -3760,6 +3811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_graph": _q_embeddings_knn_graph,  # oracled (r4)
         "transcripts_entity_kcore":
             _q_transcripts_entity_kcore,  # oracled (r4)
+        "embeddings_knn_core": _q_embeddings_knn_core,  # oracled (r4)
     }
 
 
@@ -3767,17 +3819,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # DuckDB oracles
 # =============================================================================
 
-def _kcore_sql(tglob: str, k: int = 30, rounds: int = 16) -> str:
-    """Unrolled fixed-round k-core peel (the engine's k_core asserts
-    fixpoint convergence, and the k-core is the unique maximal min-degree
-    >= k subgraph, so a sufficiently-unrolled mirror matches bit-for-bit;
-    a non-converged unroll would mismatch loudly)."""
+def _kcore_sql(base_edges_sql: str, k: int = 30,
+               rounds: int = 16) -> str:
+    """Unrolled fixed-round k-core peel over any (a, b) edge SQL (the
+    engine's k_core asserts fixpoint convergence, and the k-core is the
+    unique maximal min-degree >= k subgraph, so a sufficiently-unrolled
+    mirror matches bit-for-bit; a non-converged unroll would mismatch
+    loudly)."""
     # AS MATERIALIZED: each round references the previous CTE three times,
-    # so default CTE inlining re-expands the base parquet read 3^rounds
-    # times (DuckDB falls over around rounds=8); materializing every round
+    # so default CTE inlining re-expands the base read 3^rounds times
+    # (DuckDB falls over around rounds=8); materializing every round
     # keeps the plan linear in `rounds`.
     parts = [
-        f"e0 AS MATERIALIZED (SELECT a, b FROM ({_cooccurrence_sql(tglob)}))"]
+        f"e0 AS MATERIALIZED (SELECT a, b FROM ({base_edges_sql}))"]
     for i in range(1, rounds + 1):
         parts.append(f"""
             d{i} AS MATERIALIZED (
@@ -5237,7 +5291,28 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY cosine_sim DESC, dst ASC)::BIGINT AS rank
                   FROM p)
             SELECT src, dst, rank, cosine_sim FROM r WHERE rank <= 5""",
-        "transcripts_entity_kcore": _kcore_sql(tglob),
+        "transcripts_entity_kcore": _kcore_sql(_cooccurrence_sql(tglob)),
+        # composed: 5-NN graph -> mutual symmetrization -> 3-core peel
+        # (entity cast to VARCHAR: k_core canonicalizes node ids to string
+        # for the sorted-block exchange convention)
+        "embeddings_knn_core": f"""
+            SELECT entity::VARCHAR AS entity, core_degree
+            FROM ({_kcore_sql('''
+                WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                           FROM embeddings),
+                p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                             round(list_cosine_similarity(a.v, b.v), 4)
+                                 AS cosine_sim
+                      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+                r AS (SELECT *, row_number() OVER (
+                          PARTITION BY src
+                          ORDER BY cosine_sim DESC, dst ASC) AS rank
+                      FROM p),
+                knn AS (SELECT src, dst FROM r WHERE rank <= 5)
+                SELECT x.src AS a, x.dst AS b
+                FROM knn x JOIN knn y
+                  ON x.src = y.dst AND x.dst = y.src
+                WHERE x.src < x.dst''', k=3)})""",
     }
 
 

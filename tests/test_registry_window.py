@@ -176,6 +176,8 @@ PAST_WINDOW_PINS = {
     # 30-core peel: 60 -> 45 nodes over 5 cascade rounds (SQL-oracled
     # via the unrolled MATERIALIZED-CTE mirror)
     "transcripts_entity_kcore": (45, ["core_degree", "entity"]),
+    # composed 5-NN -> mutual -> 3-core chain, 8 peel rounds (SQL-oracled)
+    "embeddings_knn_core": (366, ["core_degree", "entity"]),
 }
 
 
