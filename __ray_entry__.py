@@ -3578,6 +3578,60 @@ def _q_similarity_topk_ivf(sf_dir: str):
     return ivf_top_k(_read(sf_dir, "embeddings"), _query_vec(sf_dir), k=10)
 
 
+def _q_docs_word_pagerank(sf_dir: str):
+    """TextRank-style keyword scoring (Mihalcea & Tarau 2004, corpus
+    flavor): directed consecutive-token edges from every document feed the
+    SAME fixed-4-round PageRank as graph_pagerank (duplicate edge rows act
+    as integer co-occurrence weights — contrib is summed per ROW), ranks
+    scale by n_nodes and round to 6 dp, and the top-20 terms are taken on
+    the ROUNDED rank with term-asc tie-break (tfidf convention) so the
+    unrolled SQL mirror matches bit-for-bit."""
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        pagerank,
+    )
+
+    def adjacency(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        import pyarrow.compute as pc
+
+        toks = (pl.DataFrame({"text": pl.from_arrow(
+                    pc.fill_null(batch.column("text"), "")
+                    .combine_chunks())})
+                .with_columns(pl.col("text").str.extract_all(r"\S+")
+                              .alias("ts"))
+                .filter(pl.col("ts").list.len() >= 2)
+                .with_columns(
+                    src=pl.col("ts").list.slice(
+                        0, pl.col("ts").list.len() - 1),
+                    dst=pl.col("ts").list.slice(1))
+                .select(["src", "dst"]).explode(["src", "dst"]))
+        return toks.to_arrow().cast(pa.schema(
+            [("src", pa.string()), ("dst", pa.string())]))
+
+    edges = _read(sf_dir, "documents", columns=["text"]) \
+        .map_batches(adjacency, batch_format="pyarrow")
+    ranks = pagerank(edges, iters=4, tol=None).materialize()
+    n_nodes = ranks.count()
+
+    def scale(t: pa.Table, _n=n_nodes) -> pa.Table:
+        import numpy as np
+
+        r = np_round_away(
+            t.column("rank").to_numpy(zero_copy_only=False) * _n, 6)
+        return pa.Table.from_arrays(
+            [t.column("node"), pa.array(np.asarray(r), pa.float64())],
+            names=["term", "rank_scaled"])
+
+    return (ranks.map_batches(scale, batch_format="pyarrow")
+            .sort(["rank_scaled", "term"], descending=[True, False])
+            .limit(20))
+
+
 def _q_docs_redacted(sf_dir: str):
     """PII scrub (email/URL/phone -> [REDACTED]): per-doc match counts +
     md5 of the scrubbed text (stages/textstats.redact_pii; the md5 lets the
@@ -3812,6 +3866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_entity_kcore":
             _q_transcripts_entity_kcore,  # oracled (r4)
         "embeddings_knn_core": _q_embeddings_knn_core,  # oracled (r4)
+        "docs_word_pagerank": _q_docs_word_pagerank,  # oracled (r4)
     }
 
 
@@ -3850,6 +3905,16 @@ def _kcore_sql(base_edges_sql: str, k: int = 30,
         FROM (SELECT a AS entity FROM e{rounds}
               UNION ALL SELECT b FROM e{rounds})
         GROUP BY 1"""
+
+
+# consecutive-token adjacency multiset over documents (TextRank edges)
+_WORD_EDGES_SQL = r"""
+    WITH arr AS (SELECT regexp_extract_all(text, '\S+') AS a,
+                        len(regexp_extract_all(text, '\S+')) AS n
+                 FROM documents),
+    idx AS (SELECT a, unnest(generate_series(1, n - 1)) AS i
+            FROM arr WHERE n >= 2)
+    SELECT a[i] AS src, a[i + 1] AS dst FROM idx"""
 
 
 def _mention_labels_sql(tglob: str) -> str:
@@ -4129,11 +4194,18 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
         WHERE bit_count(xor(sa.sig, sb.sig)) <= {max_hamming}"""
 
 
-def _pagerank_sql(iters: int = 4, damping: float = 0.85) -> str:
-    """Unrolled fixed-round PageRank over the customer->order graph — the
-    exact float64 update rule of ``stages/graph.pagerank`` (rank' =
-    (1-d)/N + d*(contrib + dangling/N); contrib per edge = rank/outdeg;
-    dangling = rank parked on outdeg-0 nodes), one CTE per round."""
+def _pagerank_sql(iters: int = 4, damping: float = 0.85,
+                  edges_sql: str | None = None) -> str:
+    """Unrolled fixed-round PageRank — the exact float64 update rule of
+    ``stages/graph.pagerank`` (rank' = (1-d)/N + d*(contrib + dangling/N);
+    contrib per edge ROW = rank/outdeg, so duplicate rows act as integer
+    weights; dangling = rank parked on outdeg-0 nodes), one CTE per round.
+    ``edges_sql`` is any (src, dst) multiset; default: the customer->order
+    graph."""
+    if edges_sql is None:
+        edges_sql = """SELECT 'c' || o_custkey::VARCHAR AS src,
+                              'o' || o_orderkey::VARCHAR AS dst
+                       FROM orders"""
     rounds = []
     prev = "r0"
     for i in range(1, iters + 1):
@@ -4151,8 +4223,7 @@ def _pagerank_sql(iters: int = 4, damping: float = 0.85) -> str:
                          GROUP BY e.dst) c ON d.node = c.node)""")
         prev = f"r{i}"
     return f"""
-        WITH e AS (SELECT 'c' || o_custkey::VARCHAR AS src,
-                          'o' || o_orderkey::VARCHAR AS dst FROM orders),
+        WITH e AS ({edges_sql}),
         nodes AS (SELECT DISTINCT node FROM
                   (SELECT src AS node FROM e
                    UNION ALL SELECT dst AS node FROM e)),
@@ -5313,6 +5384,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM knn x JOIN knn y
                   ON x.src = y.dst AND x.dst = y.src
                 WHERE x.src < x.dst''', k=3)})""",
+        # TextRank-style keywords: consecutive-token multiset edges ->
+        # the same unrolled 4-round PageRank as graph_pagerank -> top-20
+        # on the rounded rank with term-asc tie-break
+        "docs_word_pagerank": f"""
+            SELECT node AS term, rank_scaled
+            FROM ({_pagerank_sql(edges_sql=_WORD_EDGES_SQL)})
+            ORDER BY rank_scaled DESC, term ASC LIMIT 20""",
     }
 
 

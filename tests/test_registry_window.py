@@ -178,6 +178,8 @@ PAST_WINDOW_PINS = {
     "transcripts_entity_kcore": (45, ["core_degree", "entity"]),
     # composed 5-NN -> mutual -> 3-core chain, 8 peel rounds (SQL-oracled)
     "embeddings_knn_core": (366, ["core_degree", "entity"]),
+    # TextRank-style keywords: word-adjacency PageRank top-20 (SQL-oracled)
+    "docs_word_pagerank": (20, ["rank_scaled", "term"]),
 }
 
 
