@@ -3517,21 +3517,15 @@ def _q_embeddings_knn_graph(sf_dir: str):
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), k=5)
 
 
-def _q_embeddings_knn_core(sf_dir: str):
-    """Composed graph-curation chain over embeddings: 5-NN graph ->
-    MUTUAL-edge filter (src<dst kept iff the reverse direction is also a
-    kNN edge — the standard symmetrization for kNN-graph clustering) ->
-    3-core peel (stages/graph.k_core).  The dense semantic regions a
-    SemDeDup-style curator keeps; verified end-to-end as ONE unit (the
-    composed-chain convention of docs_pretrain_corpus).  The mutual
-    filter is one packed-key semi-join of the forward half against the
-    reversed half — no driver-side pair state."""
+def _mutual_knn_edges(sf_dir: str):
+    """MUTUAL 5-NN edges (a < b, kept iff both directions are kNN edges —
+    the standard symmetrization for kNN-graph clustering) over the
+    embeddings table, as one packed-key semi-join of the forward half
+    against the reversed half — no driver-side pair state.  Shared
+    substrate of embeddings_knn_core and embeddings_label_propagation."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
-        k_core,
-    )
     from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
         semi_join,
     )
@@ -3560,12 +3554,58 @@ def _q_embeddings_knn_core(sf_dir: str):
                 pc.cast(t.column("src"), pa.string()), "|")],
             names=["k"])
 
-    mutual = semi_join(
+    return semi_join(
         knn.map_batches(fwd, batch_format="pyarrow"),
         knn.map_batches(rev, batch_format="pyarrow").materialize(),
         left_key="k", right_key="k",
-        left_key_nullable=False).drop_columns(["k"])
-    return k_core(mutual, k=3)
+        left_key_nullable=False).drop_columns(["k"]).materialize()
+
+
+def _q_embeddings_knn_core(sf_dir: str):
+    """Composed graph-curation chain over embeddings: 5-NN graph ->
+    MUTUAL-edge filter (_mutual_knn_edges) -> 3-core peel
+    (stages/graph.k_core).  The dense semantic regions a SemDeDup-style
+    curator keeps; verified end-to-end as ONE unit (the composed-chain
+    convention of docs_pretrain_corpus)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        k_core,
+    )
+
+    return k_core(_mutual_knn_edges(sf_dir), k=3)
+
+
+def _q_embeddings_label_propagation(sf_dir: str):
+    """Semi-supervised label propagation (stages/graph.label_propagation)
+    over the mutual 5-NN graph: vec_id % 10 == 0 keeps its true label as
+    a seed, 4 synchronous rounds spread labels by per-node majority vote
+    ((count desc, label asc) tie-break as a composite-int64 MAX — no
+    per-group Python); seeds never change, unreached nodes stay absent.
+    The classic sparse-annotation expansion step of corpus curation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        label_propagation,
+    )
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id")
+        # vec_id % 10 == 0 (filter-expr AST rejects %, pc.divide truncates)
+        m = pc.equal(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 10), 10)), 0)
+        t = t.filter(m)
+        return pa.Table.from_arrays(
+            [t.column("vec_id"), t.column("label").cast(pa.int64())],
+            names=["node", "label"])
+
+    seeds = _read(sf_dir, "embeddings", columns=["vec_id", "label"]) \
+        .map_batches(seed_rows, batch_format="pyarrow")
+    out = label_propagation(_mutual_knn_edges(sf_dir), seeds, rounds=4)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["vec_id", "label", "is_seed"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 def _q_similarity_topk_ivf(sf_dir: str):
@@ -3867,6 +3907,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_transcripts_entity_kcore,  # oracled (r4)
         "embeddings_knn_core": _q_embeddings_knn_core,  # oracled (r4)
         "docs_word_pagerank": _q_docs_word_pagerank,  # oracled (r4)
+        "embeddings_label_propagation":
+            _q_embeddings_label_propagation,  # oracled (r4)
     }
 
 
@@ -3905,6 +3947,66 @@ def _kcore_sql(base_edges_sql: str, k: int = 30,
         FROM (SELECT a AS entity FROM e{rounds}
               UNION ALL SELECT b FROM e{rounds})
         GROUP BY 1"""
+
+
+# mutual 5-NN (a < b) edges over the embeddings view — the SQL mirror of
+# _mutual_knn_edges, shared by embeddings_knn_core and
+# embeddings_label_propagation
+_MUTUAL_KNN_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                 round(list_cosine_similarity(a.v, b.v), 4)
+                     AS cosine_sim
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY src
+              ORDER BY cosine_sim DESC, dst ASC) AS rank
+          FROM p),
+    knn AS (SELECT src, dst FROM r WHERE rank <= 5)
+    SELECT x.src AS a, x.dst AS b
+    FROM knn x JOIN knn y
+      ON x.src = y.dst AND x.dst = y.src
+    WHERE x.src < x.dst"""
+
+
+def _label_prop_sql(edges_sql: str, seeds_sql: str,
+                    rounds: int = 4) -> str:
+    """Unrolled fixed-round synchronous label propagation — the exact
+    update rule of ``stages/graph.label_propagation``: per round every
+    non-seed node with >= 1 labeled neighbor takes the majority neighbor
+    label ((count desc, label asc) tie-break); seeds never change.
+    MATERIALIZED for the same 3^rounds-inlining reason as _kcore_sql."""
+    parts = [
+        f"edges AS MATERIALIZED (SELECT a, b FROM ({edges_sql}))",
+        """und AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges)""",
+        f"""l0 AS MATERIALIZED (
+            SELECT node, label, TRUE AS is_seed FROM ({seeds_sql}))""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+            v{i} AS MATERIALIZED (
+                SELECT u.dst AS node, l.label, count(*)::BIGINT AS n
+                FROM und u JOIN l{i - 1} l ON l.node = u.src
+                GROUP BY 1, 2)""")
+        parts.append(f"""
+            b{i} AS MATERIALIZED (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node
+                        ORDER BY n DESC, label ASC) AS rn
+                    FROM v{i}) WHERE rn = 1)""")
+        parts.append(f"""
+            l{i} AS MATERIALIZED (
+                SELECT * FROM l0
+                UNION ALL
+                SELECT node, label, FALSE FROM b{i}
+                WHERE node NOT IN (SELECT node FROM l0))""")
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT node AS vec_id, label, is_seed FROM l{rounds}"""
 
 
 # consecutive-token adjacency multiset over documents (TextRank edges)
@@ -5368,22 +5470,12 @@ def oracle_sql() -> dict[str, str]:
         # for the sorted-block exchange convention)
         "embeddings_knn_core": f"""
             SELECT entity::VARCHAR AS entity, core_degree
-            FROM ({_kcore_sql('''
-                WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                           FROM embeddings),
-                p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-                             round(list_cosine_similarity(a.v, b.v), 4)
-                                 AS cosine_sim
-                      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-                r AS (SELECT *, row_number() OVER (
-                          PARTITION BY src
-                          ORDER BY cosine_sim DESC, dst ASC) AS rank
-                      FROM p),
-                knn AS (SELECT src, dst FROM r WHERE rank <= 5)
-                SELECT x.src AS a, x.dst AS b
-                FROM knn x JOIN knn y
-                  ON x.src = y.dst AND x.dst = y.src
-                WHERE x.src < x.dst''', k=3)})""",
+            FROM ({_kcore_sql(_MUTUAL_KNN_SQL, k=3)})""",
+        # seeded 4-round label propagation over the mutual 5-NN graph
+        "embeddings_label_propagation": _label_prop_sql(
+            _MUTUAL_KNN_SQL,
+            """SELECT vec_id AS node, label::BIGINT AS label
+               FROM embeddings WHERE vec_id % 10 = 0"""),
         # TextRank-style keywords: consecutive-token multiset edges ->
         # the same unrolled 4-round PageRank as graph_pagerank -> top-20
         # on the rounded rank with term-asc tie-break

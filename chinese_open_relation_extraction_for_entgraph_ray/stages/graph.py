@@ -304,3 +304,97 @@ def k_core(edges_ds, k: int = 3, *, a: str = "a", b: str = "b",
         f"k_core: no fixpoint after {max_rounds} rounds (k={k}) — raise "
         f"max_rounds; the peel shrinks monotonically, so this bounds the "
         f"round count, never the result")
+
+
+def label_propagation(edges_ds, seeds_ds, *, rounds: int = 4,
+                      max_label: int = 1 << 20):
+    """Synchronous seeded label propagation over an undirected
+    distinct-pair edge list (columns ``a``, ``b``) — the semi-supervised
+    labeling primitive for corpus curation (spread a small seed set's
+    labels over a mutual-kNN / co-occurrence graph).  ``seeds_ds`` has
+    columns (node, label); labels are non-negative ints < ``max_label``.
+
+    Per synchronous round, fully distributed:
+    - attach current labels to edge SOURCES via ONE keyed lookup join
+      (edges pre-exploded both directions, so each edge votes both ways),
+    - ONE pre-combined (dst, label) vote-count aggregate,
+    - per-dst argmax with (count desc, label asc) tie-break as a
+      composite-int64 MAX aggregate — enc = n·2^21 + (max_label − label),
+      no per-group Python and no second exchange,
+    - non-seed nodes take the argmax (seeds never change) via one anti
+      semi-join; unreached nodes stay unlabeled (absent).
+
+    Labeled coverage grows monotonically (labels never vanish), so
+    ``rounds`` bounds propagation RADIUS only — deterministic and
+    partition-invariant, mirrorable by an unrolled fixed-round SQL CTE
+    chain.  Returns (node, label, is_seed)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .groupagg import auto_hash_aggregate
+    from .joins import lookup_join, semi_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([t.column("a").combine_chunks(),
+                              t.column("b").combine_chunks()])
+        v = pa.concat_arrays([t.column("b").combine_chunks(),
+                              t.column("a").combine_chunks()])
+        return pa.Table.from_arrays([u, v], names=["src", "dst"])
+
+    und = edges_ds.map_batches(
+        both_dirs, batch_format="pyarrow").materialize()
+
+    def seed_canon(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("node"), t.column("label").cast(pa.int64()),
+             pa.array(np.ones(t.num_rows, dtype=bool))],
+            names=["node", "label", "is_seed"])
+
+    seeds = seeds_ds.map_batches(
+        seed_canon, batch_format="pyarrow").materialize()
+    labels = seeds
+
+    def to_votes(t: pa.Table) -> pa.Table:
+        lab = t.column("label")
+        if t.num_rows and (pc.min(lab).as_py() < 0
+                           or pc.max(lab).as_py() >= max_label):
+            raise ValueError(
+                f"label_propagation: labels must be in [0, {max_label}) "
+                f"for the composite argmax encoding — got "
+                f"[{pc.min(lab).as_py()}, {pc.max(lab).as_py()}]")
+        return pa.Table.from_arrays(
+            [t.column("dst"), lab,
+             pa.array(np.ones(t.num_rows, dtype=np.int64))],
+            names=["dst", "label", "n"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy()
+        lab = t.column("label").to_numpy()
+        enc = n * np.int64(2 * max_label) + (np.int64(max_label) - lab)
+        return pa.Table.from_arrays(
+            [t.column("dst"), pa.array(enc, pa.int64())],
+            names=["dst", "enc"])
+
+    def decode(t: pa.Table) -> pa.Table:
+        enc = t.column("enc").to_numpy()
+        lab = np.int64(max_label) - enc % np.int64(2 * max_label)
+        return pa.Table.from_arrays(
+            [t.column("dst"), pa.array(lab, pa.int64()),
+             pa.array(np.zeros(t.num_rows, dtype=bool))],
+            names=["node", "label", "is_seed"])
+
+    for _ in range(rounds):
+        votes = lookup_join(und, labels, left_key="src", right_key="node",
+                            payload=["label"], suffix="", how="inner")
+        counts = auto_hash_aggregate(
+            votes.map_batches(to_votes, batch_format="pyarrow"),
+            ["dst", "label"], [("n", "sum")])
+        best = auto_hash_aggregate(
+            counts.map_batches(encode, batch_format="pyarrow"),
+            ["dst"], [("enc", "max")])
+        propagated = semi_join(
+            best.map_batches(decode, batch_format="pyarrow"),
+            seeds, left_key="node", right_key="node", anti=True,
+            left_key_nullable=False)
+        labels = seeds.union(propagated).materialize()
+    return labels

@@ -83,3 +83,40 @@ def test_k_core_cascade_and_empty(ray_session):
     # k above the max possible degree -> empty k-core
     empty = k_core(ray.data.from_pandas(edges), k=10).to_pandas()
     assert len(empty) == 0
+
+
+def test_label_propagation_majority_ties_and_seeds(ray_session):
+    """label_propagation must spread by per-round majority with
+    (count desc, label asc) tie-break, never relabel a seed, leave
+    unreached nodes absent, and be invariant to block structure."""
+    import pandas as pd
+    import ray.data
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        label_propagation,
+    )
+
+    # star: center m has two label-7 seeds and two label-2 seeds as
+    # leaves -> tie on count, label asc wins (2); chain m-p1-p2 spreads
+    # the center's label outward one hop per round; node z is isolated
+    # from all seeds and must stay absent; seed s7a also neighbors a
+    # label-2 seed but must keep its own label.
+    edges = pd.DataFrame(
+        [("m", "s7a"), ("m", "s7b"), ("m", "s2a"), ("m", "s2b"),
+         ("m", "p1"), ("p1", "p2"), ("s7a", "s2a"), ("z", "z2")],
+        columns=["a", "b"])
+    seeds = pd.DataFrame({"node": ["s7a", "s7b", "s2a", "s2b"],
+                          "label": [7, 7, 2, 2]})
+
+    for parts in (1, 3):
+        got = label_propagation(
+            ray.data.from_pandas(edges).repartition(parts),
+            ray.data.from_pandas(seeds), rounds=4).to_pandas()
+        got = got.set_index("node")
+        assert int(got.loc["m", "label"]) == 2          # 2-2 tie -> min
+        assert bool(got.loc["m", "is_seed"]) is False
+        assert int(got.loc["s7a", "label"]) == 7        # seeds immutable
+        assert int(got.loc["p1", "label"]) == 2         # radius 2
+        assert int(got.loc["p2", "label"]) == 2         # radius 3
+        assert "z" not in got.index and "z2" not in got.index
+        assert len(got) == 7

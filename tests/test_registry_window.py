@@ -180,6 +180,9 @@ PAST_WINDOW_PINS = {
     "embeddings_knn_core": (366, ["core_degree", "entity"]),
     # TextRank-style keywords: word-adjacency PageRank top-20 (SQL-oracled)
     "docs_word_pagerank": (20, ["rank_scaled", "term"]),
+    # seeded 4-round label propagation over the mutual 5-NN graph
+    # (SQL-oracled): 50 seeds + 447 propagated of 500
+    "embeddings_label_propagation": (497, ["is_seed", "label", "vec_id"]),
 }
 
 
