@@ -3672,6 +3672,50 @@ def _q_docs_word_pagerank(sf_dir: str):
             .limit(20))
 
 
+def _q_graph_hits(sf_dir: str):
+    """HITS hubs & authorities (stages/graph.hits) over the same
+    deterministic customer->order graph as graph_pagerank — a clean
+    bipartite HITS exercise (customers are pure hubs, orders pure
+    authorities, and the L1 normalization + fixed 4 rounds are mirrored
+    exactly by the unrolled oracle).  Scores are scaled by n_nodes
+    (~1.0-sized) so the 6-decimal compare keeps real precision."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        hits,
+    )
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        c = pc.binary_join_element_wise(
+            "c", t.column("o_custkey").cast(pa.string()), "")
+        o = pc.binary_join_element_wise(
+            "o", t.column("o_orderkey").cast(pa.string()), "")
+        return pa.Table.from_arrays([c, o], names=["src", "dst"])
+
+    edges = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"]) \
+        .map_batches(mk_edges, batch_format="pyarrow")
+    scores = hits(edges, iters=4).materialize()
+    n_nodes = scores.count()
+
+    def scale(t: pa.Table, _n=n_nodes) -> pa.Table:
+        import numpy as np
+
+        h = np_round_away(
+            t.column("hub").to_numpy(zero_copy_only=False) * _n, 6)
+        a = np_round_away(
+            t.column("authority").to_numpy(zero_copy_only=False) * _n, 6)
+        return pa.Table.from_arrays(
+            [t.column("node"), pa.array(np.asarray(h), pa.float64()),
+             pa.array(np.asarray(a), pa.float64())],
+            names=["node", "hub", "authority"])
+
+    return scores.map_batches(scale, batch_format="pyarrow")
+
+
 def _q_docs_redacted(sf_dir: str):
     """PII scrub (email/URL/phone -> [REDACTED]): per-doc match counts +
     md5 of the scrubbed text (stages/textstats.redact_pii; the md5 lets the
@@ -3909,6 +3953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_word_pagerank": _q_docs_word_pagerank,  # oracled (r4)
         "embeddings_label_propagation":
             _q_embeddings_label_propagation,  # oracled (r4)
+        "graph_hits": _q_graph_hits,  # oracled (r4)
     }
 
 
@@ -4007,6 +4052,63 @@ def _label_prop_sql(edges_sql: str, seeds_sql: str,
     return f"""
         WITH {", ".join(parts)}
         SELECT node AS vec_id, label, is_seed FROM l{rounds}"""
+
+
+def _hits_sql(edges_sql: str | None = None, iters: int = 4) -> str:
+    """Unrolled fixed-round HITS — the exact float64 update rule of
+    ``stages/graph.hits`` (a_raw(v) = Σ h(src) over in-edges, L1
+    normalize; h_raw(u) = Σ a(dst) over out-edges, L1 normalize),
+    MATERIALIZED per half-round (same 3^rounds-inlining reason as
+    _kcore_sql).  Default edge set: the customer->order graph."""
+    if edges_sql is None:
+        edges_sql = """SELECT 'c' || o_custkey::VARCHAR AS src,
+                              'o' || o_orderkey::VARCHAR AS dst
+                       FROM orders"""
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        """nodes AS MATERIALIZED (
+            SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
+        "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        """s0 AS MATERIALIZED (
+            SELECT node, 1.0 / (SELECT n FROM nn) AS h, 0.0 AS a
+            FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+            ar{i} AS MATERIALIZED (
+                SELECT nodes.node, coalesce(s.v, 0.0) AS v
+                FROM nodes LEFT JOIN
+                     (SELECT e.dst AS node, sum(s.h) AS v
+                      FROM e JOIN s{i - 1} s ON s.node = e.src
+                      GROUP BY 1) s USING (node))""")
+        parts.append(f"""
+            a{i} AS MATERIALIZED (
+                SELECT node,
+                       CASE WHEN (SELECT sum(v) FROM ar{i}) > 0
+                            THEN v / (SELECT sum(v) FROM ar{i})
+                            ELSE 0.0 END AS a
+                FROM ar{i})""")
+        parts.append(f"""
+            hr{i} AS MATERIALIZED (
+                SELECT nodes.node, coalesce(s.v, 0.0) AS v
+                FROM nodes LEFT JOIN
+                     (SELECT e.src AS node, sum(a.a) AS v
+                      FROM e JOIN a{i} a ON a.node = e.dst
+                      GROUP BY 1) s USING (node))""")
+        parts.append(f"""
+            s{i} AS MATERIALIZED (
+                SELECT hr{i}.node,
+                       CASE WHEN (SELECT sum(v) FROM hr{i}) > 0
+                            THEN v / (SELECT sum(v) FROM hr{i})
+                            ELSE 0.0 END AS h,
+                       a{i}.a AS a
+                FROM hr{i} JOIN a{i} USING (node))""")
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT node, round(h * (SELECT n FROM nn), 6) AS hub,
+               round(a * (SELECT n FROM nn), 6) AS authority
+        FROM s{iters}"""
 
 
 # consecutive-token adjacency multiset over documents (TextRank edges)
@@ -5476,6 +5578,7 @@ def oracle_sql() -> dict[str, str]:
             _MUTUAL_KNN_SQL,
             """SELECT vec_id AS node, label::BIGINT AS label
                FROM embeddings WHERE vec_id % 10 = 0"""),
+        "graph_hits": _hits_sql(),
         # TextRank-style keywords: consecutive-token multiset edges ->
         # the same unrolled 4-round PageRank as graph_pagerank -> top-20
         # on the rounded rank with term-asc tie-break

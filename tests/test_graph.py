@@ -120,3 +120,49 @@ def test_label_propagation_majority_ties_and_seeds(ray_session):
         assert int(got.loc["p2", "label"]) == 2         # radius 3
         assert "z" not in got.index and "z2" not in got.index
         assert len(got) == 7
+
+
+def test_hits_vs_numpy_reference_both_paths(ray_session):
+    """Both HITS dispatch paths must match a numpy reference of the same
+    L1-normalized update rule, with pure hubs (sources) at authority 0
+    and pure authorities (sinks) at hub 0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        hits,
+    )
+
+    rng = np.random.RandomState(11)
+    n_c, n_o = 6, 12
+    pairs = sorted({(f"c{rng.randint(n_c)}", f"o{rng.randint(n_o)}")
+                    for _ in range(30)})
+    edges = pd.DataFrame(pairs, columns=["src", "dst"])
+
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(4):
+        a = np.zeros(n)
+        for s, d in pairs:
+            a[idx[d]] += h[idx[s]]
+        a = a / a.sum()
+        h = np.zeros(n)
+        for s, d in pairs:
+            h[idx[s]] += a[idx[d]]
+        h = h / h.sum()
+
+    ds = ray.data.from_pandas(edges).repartition(3)
+    for kwargs in ({}, {"broadcast_max_nodes": 0}):   # fast + join paths
+        got = (hits(ds, iters=4, **kwargs).to_pandas()
+               .set_index("node").loc[nodes])
+        np.testing.assert_allclose(got.hub.to_numpy(), h, atol=1e-12)
+        np.testing.assert_allclose(got.authority.to_numpy(), a,
+                                   atol=1e-12)
+        assert (got.loc[[x for x in nodes if x[0] == "o"], "hub"]
+                == 0).all()
+        assert (got.loc[[x for x in nodes if x[0] == "c"], "authority"]
+                == 0).all()

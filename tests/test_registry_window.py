@@ -183,6 +183,8 @@ PAST_WINDOW_PINS = {
     # seeded 4-round label propagation over the mutual 5-NN graph
     # (SQL-oracled): 50 seeds + 447 propagated of 500
     "embeddings_label_propagation": (497, ["is_seed", "label", "vec_id"]),
+    # HITS hubs/authorities over the customer->order graph (SQL-oracled)
+    "graph_hits": (1650, ["authority", "hub", "node"]),
 }
 
 
