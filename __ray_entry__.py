@@ -3778,7 +3778,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
        normalization, moving average, and the transcript-analytics set:
        tool stats, turn latency, conversation dedup, entity
        co-occurrence + degree — hash-checked by the full local gate) —
-       all pinned by tests/test_registry_window.py at sf0.001."""
+       all pinned by tests/test_registry_window.py at sf0.001.  The day-4
+       graph family (clustering coefficient, Adamic-Adar, kNN graph,
+       k-core, mutual-kNN 3-core chain, TextRank, label propagation,
+       HITS) is likewise past-window, SQL-oracled, and pinned."""
     return {
         # --- SQL-oracled (rows + schema + value hash vs DuckDB) ----------
         "transcripts_turn_stats": _q_transcripts_turn_stats,
