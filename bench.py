@@ -69,7 +69,8 @@ def _timed_queries() -> dict[str, float]:
              "similarity_topk_ivf", "customer_revenue_topk",
              "events_user_cumulative_value", "docs_top_tokens",
              "docs_duplicate_spans", "docs_resample_mixture",
-             "docs_dsir_weights", "docs_chunked"]
+             "docs_dsir_weights", "docs_chunked",
+             "embeddings_knn_graph", "graph_hits", "docs_word_pagerank"]
     qs = entrymod.queries()
     out = {}
     for name in names:
