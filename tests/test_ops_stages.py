@@ -733,3 +733,45 @@ def test_knn_graph_brute_force_parity_and_clamp(ray_session):
     tiny = ray.data.from_arrow(tbl.slice(0, 3))
     g = similarity.knn_graph(tiny, k=10).to_pandas()
     assert len(g) == 3 * 2 and g.groupby("src")["rank"].max().eq(2).all()
+
+
+def test_logreg_partition_parity_learning_and_noise_weight(ray_session):
+    """train_logreg must be BIT-identical across block structures (exact
+    int64 gradient sums), actually learn a separable target, and push a
+    pure-noise feature's weight toward zero relative to the signal."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.logreg import (
+        score_logreg,
+        train_logreg,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 400
+    x1 = rng.uniform(0, 1, n)                   # signal
+    x2 = rng.uniform(0, 1, n)                   # noise
+    y = (x1 > 0.5).astype(np.float64)
+    df = pd.DataFrame({"doc_id": np.arange(n), "x1": x1, "x2": x2,
+                       "y": y})
+
+    ws = []
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts).materialize()
+        ws.append(train_logreg(ds, feature_cols=["x1", "x2"],
+                               label_col="y", rounds=12, lr=8.0))
+    assert (ws[0] == ws[1]).all(), "gradient sums not partition-exact"
+
+    w = ws[0]
+    assert abs(w[1]) > 4 * abs(w[2]), (w, "noise weight not suppressed")
+    scored = score_logreg(
+        ray.data.from_pandas(df), w, feature_cols=["x1", "x2"],
+        id_col="doc_id").to_pandas().set_index("doc_id")
+    acc = (scored.pred.to_numpy() == (y == 1)).mean()
+    assert acc > 0.8, acc
+
+    # empty input -> zero weights, no crash
+    empty = ray.data.from_pandas(df.iloc[:0]).materialize()
+    w0 = train_logreg(empty, feature_cols=["x1", "x2"], label_col="y")
+    assert (w0 == 0).all()

@@ -185,6 +185,9 @@ PAST_WINDOW_PINS = {
     "embeddings_label_propagation": (497, ["is_seed", "label", "vec_id"]),
     # HITS hubs/authorities over the customer->order graph (SQL-oracled)
     "graph_hits": (1650, ["authority", "hub", "node"]),
+    # 8-round distributed logistic regression, bit-for-bit SQL-oracled
+    # training (fixed-point gradient sums); 308 of 500 predicted positive
+    "docs_quality_lr": (500, ["doc_id", "pred", "score"]),
 }
 
 
