@@ -1175,6 +1175,59 @@ def _q_transcripts_entity_kcore(sf_dir: str):
     return k_core(edges, k=30)
 
 
+def _q_kg_entity_analytics(sf_dir: str):
+    """Graph-analytics panel over the REAL cascade KG: HITS hubs &
+    authorities on the canonical subj->obj edges joined with the 2-core
+    membership of the undirected entity graph — the kg-family consumer of
+    the day-4 graph operators (rows-only for cascade provenance; the
+    identical hits/k_core math is SQL-proved by graph_hits and
+    transcripts_entity_kcore).  Output: (node, hub, authority,
+    in_2core)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        hits,
+        k_core,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        lookup_join,
+    )
+
+    def non_null(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch.column("subj")),
+                    pc.is_valid(batch.column("obj")))
+        return batch.filter(m)
+
+    edges = _kg(sf_dir)["edges"].map_batches(
+        non_null, batch_format="pyarrow").materialize()
+    scores = hits(edges, src="subj", dst="obj", iters=4)
+
+    def und_pairs(t: pa.Table) -> pa.Table:
+        s = t.column("subj").cast(pa.string())
+        o = t.column("obj").cast(pa.string())
+        a = pc.min_element_wise(s, o)
+        b = pc.max_element_wise(s, o)
+        t2 = pa.Table.from_arrays([a, b], names=["a", "b"])
+        return t2.filter(pc.not_equal(t2.column("a"), t2.column("b")))
+
+    core = k_core(edges.map_batches(und_pairs, batch_format="pyarrow"),
+                  k=2)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        out = pa.Table.from_arrays(
+            [t.column("node"),
+             pc_round_away(t.column("hub"), 8),
+             pc_round_away(t.column("authority"), 8),
+             pc.is_valid(t.column("core_degree"))],
+            names=["node", "hub", "authority", "in_2core"])
+        return out
+
+    return lookup_join(scores, core, left_key="node", right_key="entity",
+                       payload=["core_degree"], suffix="", how="left") \
+        .map_batches(rnd, batch_format="pyarrow")
+
+
 def _q_kg_predicate_clusters(sf_dir: str):
     """Paraphrase clusters over the REAL cascade predicates: mutual
     cosine >= 0.5 (min_shared=2 linked argument pairs) -> connected
@@ -4003,6 +4056,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_embeddings_label_propagation,  # oracled (r4)
         "graph_hits": _q_graph_hits,  # oracled (r4)
         "docs_quality_lr": _q_docs_quality_lr,  # oracled (r4)
+        # rows-only: cascade-KG panel; math SQL-proved by graph_hits +
+        # transcripts_entity_kcore
+        "kg_entity_analytics": _q_kg_entity_analytics,
     }
 
 
