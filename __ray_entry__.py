@@ -1228,6 +1228,53 @@ def _q_kg_entity_analytics(sf_dir: str):
         .map_batches(rnd, batch_format="pyarrow")
 
 
+def _q_transcripts_entity_ppr(sf_dir: str):
+    """Personalized PageRank from the seed entity 北京 over the WEIGHTED
+    undirected co-occurrence graph (stages/graph.personalized_pagerank) —
+    random walk with restart, the standard KG related-entity relevance
+    ranking; n_cooccur edge weights, damping 0.85, fixed 4 rounds.
+    Ranks scale by n_nodes and round to 6 dp for the hash compare; the
+    unrolled SQL mirror evaluates contrib as (rank/wout)·w in the SAME
+    float order as the engine's broadcast kernel."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        personalized_pagerank,
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([t.column("a").combine_chunks(),
+                              t.column("b").combine_chunks()])
+        v = pa.concat_arrays([t.column("b").combine_chunks(),
+                              t.column("a").combine_chunks()])
+        w = pa.concat_arrays(
+            [t.column("n_cooccur").cast(pa.float64()).combine_chunks()]
+            * 2)
+        return pa.Table.from_arrays([u, v, w],
+                                    names=["src", "dst", "w"])
+
+    edges = _q_transcripts_entity_cooccurrence(sf_dir) \
+        .map_batches(both_dirs, batch_format="pyarrow")
+    ranks = personalized_pagerank(edges, ["北京"], weight="w",
+                                  damping=0.85, iters=4).materialize()
+    n_nodes = ranks.count()
+
+    def scale(t: pa.Table, _n=n_nodes) -> pa.Table:
+        import numpy as np
+
+        r = np_round_away(
+            t.column("rank").to_numpy(zero_copy_only=False) * _n, 6)
+        return pa.Table.from_arrays(
+            [t.column("node"), pa.array(np.asarray(r), pa.float64())],
+            names=["node", "rank_scaled"])
+
+    return ranks.map_batches(scale, batch_format="pyarrow")
+
+
 def _q_kg_predicate_clusters(sf_dir: str):
     """Paraphrase clusters over the REAL cascade predicates: mutual
     cosine >= 0.5 (min_shared=2 linked argument pairs) -> connected
@@ -4059,6 +4106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: cascade-KG panel; math SQL-proved by graph_hits +
         # transcripts_entity_kcore
         "kg_entity_analytics": _q_kg_entity_analytics,
+        "transcripts_entity_ppr": _q_transcripts_entity_ppr,  # oracled
     }
 
 
@@ -4214,6 +4262,63 @@ def _hits_sql(edges_sql: str | None = None, iters: int = 4) -> str:
         SELECT node, round(h * (SELECT n FROM nn), 6) AS hub,
                round(a * (SELECT n FROM nn), 6) AS authority
         FROM s{iters}"""
+
+
+def _ppr_sql(tglob: str, seed: str = "北京", damping: float = 0.85,
+             iters: int = 4) -> str:
+    """Unrolled fixed-round personalized PageRank over the weighted
+    undirected co-occurrence graph — the exact float64 update of
+    ``stages/graph.personalized_pagerank``: contrib per edge is
+    (rank/wout)·w in the engine's evaluation order; dangling mass
+    restarts to the seed distribution (zero here: the undirected graph
+    has no dangling nodes, the term is kept for rule parity)."""
+    parts = [
+        f"""coocc AS MATERIALIZED ({_cooccurrence_sql(tglob)})""",
+        """e AS MATERIALIZED (
+            SELECT a AS src, b AS dst, n_cooccur::DOUBLE AS w FROM coocc
+            UNION ALL
+            SELECT b, a, n_cooccur::DOUBLE FROM coocc)""",
+        """nodes AS MATERIALIZED (
+            SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
+        "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        f"""r AS MATERIALIZED (
+            SELECT node, CASE WHEN node = '{seed}' THEN 1.0 ELSE 0.0 END
+                       AS rr
+            FROM nodes)""",
+        """wout AS MATERIALIZED (
+            SELECT nodes.node, coalesce(s.wo, 0.0) AS wo
+            FROM nodes LEFT JOIN
+                 (SELECT src AS node, sum(w) AS wo FROM e GROUP BY 1) s
+                 USING (node))""",
+        "p0 AS MATERIALIZED (SELECT node, rr AS rank FROM r)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+            c{i} AS MATERIALIZED (
+                SELECT nodes.node, coalesce(s.v, 0.0) AS v
+                FROM nodes LEFT JOIN
+                     (SELECT e.dst AS node,
+                             sum((p.rank / wo.wo) * e.w) AS v
+                      FROM e JOIN p{i - 1} p ON p.node = e.src
+                           JOIN wout wo ON wo.node = e.src
+                      GROUP BY 1) s USING (node))""")
+        parts.append(f"""
+            d{i} AS MATERIALIZED (
+                SELECT coalesce(sum(p.rank), 0.0) AS dm
+                FROM p{i - 1} p JOIN wout wo ON wo.node = p.node
+                WHERE wo.wo = 0.0)""")
+        parts.append(f"""
+            p{i} AS MATERIALIZED (
+                SELECT r.node,
+                       (1.0 - {damping}) * r.rr
+                       + {damping} * (c.v + (SELECT dm FROM d{i}) * r.rr)
+                           AS rank
+                FROM r JOIN c{i} c USING (node))""")
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_scaled
+        FROM p{iters}"""
 
 
 def _logreg_sql(rounds: int = 8, lr: float = 5.0) -> str:
@@ -5734,6 +5839,7 @@ def oracle_sql() -> dict[str, str]:
                FROM embeddings WHERE vec_id % 10 = 0"""),
         "graph_hits": _hits_sql(),
         "docs_quality_lr": _logreg_sql(),
+        "transcripts_entity_ppr": _ppr_sql(tglob),
         # TextRank-style keywords: consecutive-token multiset edges ->
         # the same unrolled 4-round PageRank as graph_pagerank -> top-20
         # on the rounded rank with term-asc tie-break

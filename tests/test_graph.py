@@ -166,3 +166,39 @@ def test_hits_vs_numpy_reference_both_paths(ray_session):
                 == 0).all()
         assert (got.loc[[x for x in nodes if x[0] == "c"], "authority"]
                 == 0).all()
+
+
+def test_personalized_pagerank_localization_and_weights(ray_session):
+    """PPR mass must localize around the seed, respect edge weights
+    (heavier edge -> more mass), sum to ~1, and raise loudly on a missing
+    seed or an over-bound graph."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        personalized_pagerank,
+    )
+
+    # seed s -> heavy edge to a, light edge to b; far chain b-c-d
+    edges = pd.DataFrame(
+        [("s", "a", 9.0), ("a", "s", 9.0), ("s", "b", 1.0),
+         ("b", "s", 1.0), ("b", "c", 1.0), ("c", "b", 1.0),
+         ("c", "d", 1.0), ("d", "c", 1.0)],
+        columns=["src", "dst", "w"])
+    ds = ray.data.from_pandas(edges)
+    # 51 iters: the s<->a two-cycle makes low iteration counts oscillate;
+    # at the (near-)stationary point the ordering is distance+weight
+    # monotone: s > a (heavy) > b (light) > c > d
+    got = personalized_pagerank(ds, ["s"], weight="w", iters=51) \
+        .to_pandas().set_index("node")["rank"]
+    assert abs(got.sum() - 1.0) < 1e-9
+    assert got["s"] == got.max()
+    assert got["a"] > got["b"] > got["c"] > got["d"]
+
+    with pytest.raises(ValueError, match="no restart node"):
+        personalized_pagerank(ds, ["zz"], weight="w")
+    with pytest.raises(ValueError, match="broadcast bounds"):
+        personalized_pagerank(ds, ["s"], weight="w",
+                              broadcast_max_nodes=1)

@@ -192,6 +192,8 @@ PAST_WINDOW_PINS = {
     # math SQL-proved by graph_hits + transcripts_entity_kcore)
     "kg_entity_analytics": (109, ["authority", "hub", "in_2core",
                                   "node"]),
+    # weighted personalized PageRank from seed 北京 (SQL-oracled)
+    "transcripts_entity_ppr": (60, ["node", "rank_scaled"]),
 }
 
 
