@@ -313,7 +313,9 @@ def k_core(edges_ds, k: int = 3, *, a: str = "a", b: str = "b",
 
 
 def label_propagation(edges_ds, seeds_ds, *, rounds: int = 4,
-                      max_label: int = 1 << 20):
+                      max_label: int = 1 << 20,
+                      broadcast_max_nodes: int = BROADCAST_MAX_NODES,
+                      broadcast_max_edges: int = BROADCAST_MAX_EDGES):
     """Synchronous seeded label propagation over an undirected
     distinct-pair edge list (columns ``a``, ``b``) — the semi-supervised
     labeling primitive for corpus curation (spread a small seed set's
@@ -333,7 +335,14 @@ def label_propagation(edges_ds, seeds_ds, *, rounds: int = 4,
     Labeled coverage grows monotonically (labels never vanish), so
     ``rounds`` bounds propagation RADIUS only — deterministic and
     partition-invariant, mirrorable by an unrolled fixed-round SQL CTE
-    chain.  Returns (node, label, is_seed)."""
+    chain.  Returns (node, label, is_seed).
+
+    Dispatch (same rule as ``pagerank``/``hits``): under the observed
+    broadcast bounds the label vector lives on the driver and edges
+    stream through ONE sparse pre-combined map_batches per round (exact
+    integer vote counts + the same composite argmax encoding, so both
+    paths are BIT-identical); larger graphs take the all-Dataset join
+    path."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -359,6 +368,100 @@ def label_propagation(edges_ds, seeds_ds, *, rounds: int = 4,
     seeds = seeds_ds.map_batches(
         seed_canon, batch_format="pyarrow").materialize()
     labels = seeds
+
+    # --- dispatch: broadcast fast path under the observed bounds --------
+    def node_rows(t: pa.Table, col: str) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column(col).combine_chunks(),
+             pa.array(np.ones(t.num_rows, dtype=np.int64))],
+            names=["node", "n"])
+
+    # node universe = edge endpoints ∪ seed nodes (an isolated seed still
+    # appears in the output, exactly as seeds ∪ propagated does)
+    nodes = auto_hash_aggregate(
+        und.map_batches(lambda t: node_rows(t, "src"),
+                        batch_format="pyarrow")
+        .union(seeds.map_batches(lambda t: node_rows(t, "node"),
+                                 batch_format="pyarrow")),
+        ["node"], [("n", "sum")]).materialize()
+    n_nodes = nodes.count()
+    if (n_nodes <= broadcast_max_nodes
+            and und.count() <= broadcast_max_edges):
+        import ray
+        import ray.data as rd
+
+        node_arr = [r["node"] for r in nodes.take_all()]
+        index = {v: i for i, v in enumerate(node_arr)}
+        index_ref = ray.put(index)
+
+        def to_idx(t: pa.Table) -> pa.Table:
+            idx = ray.get(index_ref)
+            si = np.fromiter((idx[s] for s in t.column("src").to_pylist()),
+                             np.int64, t.num_rows)
+            di = np.fromiter((idx[d] for d in t.column("dst").to_pylist()),
+                             np.int64, t.num_rows)
+            return pa.Table.from_arrays(
+                [pa.array(si, pa.int64()), pa.array(di, pa.int64())],
+                names=["src_idx", "dst_idx"])
+
+        idx_edges = und.map_batches(
+            to_idx, batch_format="pyarrow").materialize()
+
+        lab_vec = np.full(n_nodes, -1, dtype=np.int64)
+        seed_mask = np.zeros(n_nodes, dtype=bool)
+        for r in seeds.take_all():          # <= n_nodes rows by the bound
+            lab = int(r["label"])
+            if not (0 <= lab < max_label):
+                raise ValueError(
+                    f"label_propagation: labels must be in "
+                    f"[0, {max_label}) — got {lab}")
+            i = index[r["node"]]
+            lab_vec[i] = lab
+            seed_mask[i] = True
+        seed_lab = lab_vec.copy()
+        two_ml = np.int64(2 * max_label)
+
+        def vote_partial(t: pa.Table, _ref) -> pa.Table:
+            lv = ray.get(_ref)
+            src_lab = lv[t.column("src_idx").to_numpy()]
+            m = src_lab >= 0
+            keys = t.column("dst_idx").to_numpy()[m] * two_ml \
+                + src_lab[m]
+            u, c = np.unique(keys, return_counts=True)
+            return pa.Table.from_arrays(
+                [pa.array(u, pa.int64()),
+                 pa.array(c.astype(np.int64))],
+                names=["key", "n"])
+
+        for _ in range(rounds):
+            ref = ray.put(lab_vec)
+            ks, cs = [], []
+            for row in idx_edges.map_batches(
+                    lambda t, _r=ref: vote_partial(t, _r),
+                    batch_format="pyarrow").take_all():
+                ks.append(row["key"])
+                cs.append(row["n"])
+            new_vec = np.where(seed_mask, seed_lab, np.int64(-1))
+            if ks:
+                keys = np.asarray(ks, dtype=np.int64)
+                cnts = np.asarray(cs, dtype=np.int64)
+                u, inv = np.unique(keys, return_inverse=True)
+                tot = np.bincount(inv, weights=cnts).astype(np.int64)
+                dsts = u // two_ml
+                labs = u % two_ml
+                # same composite argmax encoding as the join path
+                enc = tot * two_ml + (np.int64(max_label) - labs)
+                best = np.full(n_nodes, -1, dtype=np.int64)
+                np.maximum.at(best, dsts, enc)
+                won = (best >= 0) & ~seed_mask
+                new_vec[won] = np.int64(max_label) - best[won] % two_ml
+            lab_vec = new_vec
+        out = lab_vec >= 0
+        return rd.from_arrow(pa.Table.from_arrays(
+            [pa.array([node_arr[i] for i in np.nonzero(out)[0]]),
+             pa.array(lab_vec[out], pa.int64()),
+             pa.array(seed_mask[out])],
+            names=["node", "label", "is_seed"]))
 
     def to_votes(t: pa.Table) -> pa.Table:
         lab = t.column("label")

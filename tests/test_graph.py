@@ -108,10 +108,13 @@ def test_label_propagation_majority_ties_and_seeds(ray_session):
     seeds = pd.DataFrame({"node": ["s7a", "s7b", "s2a", "s2b"],
                           "label": [7, 7, 2, 2]})
 
-    for parts in (1, 3):
+    # both dispatch paths (broadcast fast path + all-Dataset join path)
+    # and both block structures must agree exactly
+    for parts, kwargs in ((1, {}), (3, {}),
+                          (3, {"broadcast_max_nodes": 0})):
         got = label_propagation(
             ray.data.from_pandas(edges).repartition(parts),
-            ray.data.from_pandas(seeds), rounds=4).to_pandas()
+            ray.data.from_pandas(seeds), rounds=4, **kwargs).to_pandas()
         got = got.set_index("node")
         assert int(got.loc["m", "label"]) == 2          # 2-2 tie -> min
         assert bool(got.loc["m", "is_seed"]) is False
