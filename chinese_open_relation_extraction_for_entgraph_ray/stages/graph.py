@@ -1,7 +1,10 @@
-"""Distributed PageRank over an edge stream — KG analytics on the canonical
-edges table (the EntGraph-style consumer of this engine's output ranks
-entities/predicates by graph centrality; the reference itself stops at edge
-extraction, so this is a downstream-capability operator, not a port).
+"""Distributed graph analytics over an edge stream — the KG-consumer
+family (the EntGraph-style downstream of this engine's canonical edges;
+the reference itself stops at edge extraction, so these are
+downstream-capability operators, not ports): PageRank, personalized
+(weighted) PageRank, HITS hubs/authorities, k-core decomposition, and
+seeded label propagation.  PageRank's shape, documented below, is the
+template the others follow.
 
 Per iteration (all Dataset operators — no driver-side graph state):
 
