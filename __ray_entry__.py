@@ -1275,6 +1275,21 @@ def _q_transcripts_entity_ppr(sf_dir: str):
     return ranks.map_batches(scale, batch_format="pyarrow")
 
 
+def _q_transcripts_entity_bfs(sf_dir: str):
+    """Multi-source BFS hop distances from the seed entity 北京 over the
+    co-occurrence graph (stages/graph.bfs_distances, max 3 hops) — the
+    hard neighborhood-radius companion to transcripts_entity_ppr's soft
+    relevance ranking.  Frontier expansion is all-Dataset (semi-join +
+    pre-combined distinct + anti semi-join per hop)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        bfs_distances,
+    )
+
+    edges = (_q_transcripts_entity_cooccurrence(sf_dir)
+             .select_columns(["a", "b"]))
+    return bfs_distances(edges, ["北京"], max_hops=3)
+
+
 def _q_kg_predicate_clusters(sf_dir: str):
     """Paraphrase clusters over the REAL cascade predicates: mutual
     cosine >= 0.5 (min_shared=2 linked argument pairs) -> connected
@@ -4107,6 +4122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transcripts_entity_kcore
         "kg_entity_analytics": _q_kg_entity_analytics,
         "transcripts_entity_ppr": _q_transcripts_entity_ppr,  # oracled
+        "transcripts_entity_bfs": _q_transcripts_entity_bfs,  # oracled
     }
 
 
@@ -4262,6 +4278,34 @@ def _hits_sql(edges_sql: str | None = None, iters: int = 4) -> str:
         SELECT node, round(h * (SELECT n FROM nn), 6) AS hub,
                round(a * (SELECT n FROM nn), 6) AS authority
         FROM s{iters}"""
+
+
+def _bfs_sql(tglob: str, seed: str = "北京", max_hops: int = 3) -> str:
+    """Unrolled multi-source BFS mirror of ``stages/graph.bfs_distances``:
+    per hop, new frontier = distinct neighbors of the previous frontier
+    minus everything already visited."""
+    parts = [
+        f"coocc AS MATERIALIZED ({_cooccurrence_sql(tglob)})",
+        """und AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM coocc
+            UNION ALL SELECT b, a FROM coocc)""",
+        f"""v0 AS MATERIALIZED (
+            SELECT '{seed}' AS node, 0::BIGINT AS dist)""",
+    ]
+    all_v = ["v0"]
+    for i in range(1, max_hops + 1):
+        union_visited = " UNION ALL ".join(
+            f"SELECT node FROM {v}" for v in all_v)
+        parts.append(f"""
+            v{i} AS MATERIALIZED (
+                SELECT DISTINCT und.dst AS node, {i}::BIGINT AS dist
+                FROM und JOIN v{i - 1} f ON f.node = und.src
+                WHERE und.dst NOT IN ({union_visited}))""")
+        all_v.append(f"v{i}")
+    return f"""
+        WITH {", ".join(parts)}
+        {" UNION ALL ".join(f"SELECT node, dist FROM {v}" for v in all_v)}
+    """
 
 
 def _ppr_sql(tglob: str, seed: str = "北京", damping: float = 0.85,
@@ -5840,6 +5884,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": _hits_sql(),
         "docs_quality_lr": _logreg_sql(),
         "transcripts_entity_ppr": _ppr_sql(tglob),
+        "transcripts_entity_bfs": _bfs_sql(tglob),
         # TextRank-style keywords: consecutive-token multiset edges ->
         # the same unrolled 4-round PageRank as graph_pagerank -> top-20
         # on the rounded rank with term-asc tie-break

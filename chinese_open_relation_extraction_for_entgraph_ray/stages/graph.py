@@ -2,9 +2,9 @@
 family (the EntGraph-style downstream of this engine's canonical edges;
 the reference itself stops at edge extraction, so these are
 downstream-capability operators, not ports): PageRank, personalized
-(weighted) PageRank, HITS hubs/authorities, k-core decomposition, and
-seeded label propagation.  PageRank's shape, documented below, is the
-template the others follow.
+(weighted) PageRank, HITS hubs/authorities, k-core decomposition, seeded
+label propagation, and multi-source BFS distances.  PageRank's shape,
+documented below, is the template the others follow.
 
 Per iteration (all Dataset operators — no driver-side graph state):
 
@@ -808,3 +808,73 @@ def personalized_pagerank(edges_ds, restart_nodes: list[str], *,
     return rd.from_arrow(pa.Table.from_arrays(
         [pa.array(node_arr, pa.string()), pa.array(rank, pa.float64())],
         names=["node", "rank"]))
+
+
+def bfs_distances(edges_ds, sources: list[str], *, max_hops: int = 4):
+    """Multi-source BFS hop distance over an undirected distinct-pair
+    edge list (columns ``a``, ``b``): dist(v) = min #hops from any source,
+    explored up to ``max_hops``; unreached nodes are absent — the
+    neighborhood-radius primitive beside personalized_pagerank's
+    soft-relevance ranking.  Returns (node, dist).
+
+    All-Dataset frontier expansion, per hop: ONE semi-join keeps edges
+    leaving the frontier, one pre-combined distinct collapses the new
+    frontier's candidates, one anti semi-join drops already-visited
+    nodes — BFS frontiers only ever shrink the unvisited set, so the loop
+    is bounded and every step is a keyed exchange (no driver adjacency).
+    The visited table is coalesced per hop (the union block-growth
+    lesson).  Early-exits when a frontier empties."""
+    import numpy as np
+
+    from .groupagg import auto_hash_aggregate
+    from .joins import semi_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([t.column("a").cast(pa.string())
+                              .combine_chunks(),
+                              t.column("b").cast(pa.string())
+                              .combine_chunks()])
+        v = pa.concat_arrays([t.column("b").cast(pa.string())
+                              .combine_chunks(),
+                              t.column("a").cast(pa.string())
+                              .combine_chunks()])
+        return pa.Table.from_arrays([u, v], names=["src", "dst"])
+
+    und = edges_ds.map_batches(
+        canon, batch_format="pyarrow").materialize()
+    n_blocks = max(1, und.num_blocks())
+
+    import ray.data as rd
+
+    def with_dist(ds, d: int):
+        return ds.map_batches(
+            lambda t, _d=d: pa.Table.from_arrays(
+                [t.column("node"),
+                 pa.array(np.full(t.num_rows, _d, dtype=np.int64))],
+                names=["node", "dist"]),
+            batch_format="pyarrow")
+
+    frontier = rd.from_arrow(pa.Table.from_arrays(
+        [pa.array(sorted(set(sources)), pa.string())],
+        names=["node"])).materialize()
+    visited = with_dist(frontier, 0).materialize()
+
+    for d in range(1, max_hops + 1):
+        reached = semi_join(und, frontier, left_key="src",
+                            right_key="node", left_key_nullable=False)
+        candidates = auto_hash_aggregate(
+            reached.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t.column("dst"),
+                     pa.array(np.ones(t.num_rows, dtype=np.int64))],
+                    names=["node", "n"]),
+                batch_format="pyarrow"),
+            ["node"], [("n", "sum")]).select_columns(["node"])
+        frontier = semi_join(candidates, visited, left_key="node",
+                             right_key="node", anti=True,
+                             left_key_nullable=False).materialize()
+        if frontier.count() == 0:
+            break
+        visited = visited.union(with_dist(frontier, d)) \
+            .repartition(n_blocks).materialize()
+    return visited

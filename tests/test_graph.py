@@ -205,3 +205,33 @@ def test_personalized_pagerank_localization_and_weights(ray_session):
     with pytest.raises(ValueError, match="broadcast bounds"):
         personalized_pagerank(ds, ["s"], weight="w",
                               broadcast_max_nodes=1)
+
+
+def test_bfs_distances_layers_and_early_exit(ray_session):
+    """bfs_distances must assign min-hop layers, cap at max_hops, early
+    exit on an exhausted frontier, keep unreached nodes absent, and be
+    block-structure invariant."""
+    import pandas as pd
+    import ray.data
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        bfs_distances,
+    )
+
+    # two sources s1/s2; diamond forces min-dist (x reachable from both
+    # at 1); chain y1-y2-y3 tests the hop cap; q-q2 is unreachable
+    edges = pd.DataFrame(
+        [("s1", "x"), ("s2", "x"), ("s1", "y1"), ("y1", "y2"),
+         ("y2", "y3"), ("q", "q2")],
+        columns=["a", "b"])
+
+    for parts in (1, 3):
+        ds = ray.data.from_pandas(edges).repartition(parts)
+        got = bfs_distances(ds, ["s1", "s2"], max_hops=2).to_pandas() \
+            .set_index("node")["dist"]
+        assert dict(got) == {"s1": 0, "s2": 0, "x": 1, "y1": 1, "y2": 2}
+
+    full = bfs_distances(ray.data.from_pandas(edges), ["s1", "s2"],
+                         max_hops=10).to_pandas().set_index("node")["dist"]
+    assert dict(full) == {"s1": 0, "s2": 0, "x": 1, "y1": 1, "y2": 2,
+                          "y3": 3}    # early exit after layer 3, q absent

@@ -194,6 +194,8 @@ PAST_WINDOW_PINS = {
                                   "node"]),
     # weighted personalized PageRank from seed 北京 (SQL-oracled)
     "transcripts_entity_ppr": (60, ["node", "rank_scaled"]),
+    # BFS hop distances from 北京: 1 seed + 35 @1 + 24 @2 (SQL-oracled)
+    "transcripts_entity_bfs": (60, ["dist", "node"]),
 }
 
 
