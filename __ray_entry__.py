@@ -900,79 +900,9 @@ def _q_transcripts_entity_bursts(sf_dir: str):
     return zs.map_batches(finish, batch_format="pyarrow")
 
 
-def _entity_triangles_ds(edges):
-    """Triangle enumeration (a < b < c, each listed once) over a
-    MATERIALIZED distinct-pair edge Dataset with columns (a, b), a < b.
-
-    Distributed shape (NO driver-side adjacency): wedges are emitted per
-    lower endpoint from the sorted edge stream (sorted_map_groups on
-    'a'; per-center numpy triu over its higher neighbors — the same
-    bucket-emit pattern as the entgraph pair sort), then ONE semi-join
-    of the packed 'b|c' wedge key against the packed edge key set closes
-    wedges into triangles.  The wedge stream is the quadratic term
-    (sum of deg(v)^2/2 over lower endpoints — the standard bound for
-    edge-iterator triangle counting); the gazetteer-bounded vocabulary
-    keeps it tiny HERE, and the semi-join's broadcast path engages
-    because the edge key set is materialized and small."""
-    import numpy as np
-    import pandas as pd
-    import pyarrow as pa
-
-    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
-        sorted_map_groups,
-    )
-    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
-        semi_join,
-    )
-
-    wedge_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
-                              ("c", pa.string())])
-
-    def wedge_emit(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["a", "b"], kind="stable")
-        a = df["a"].to_numpy()
-        b = df["b"].to_numpy()
-        change = np.empty(len(df), dtype=bool)
-        change[0] = True
-        change[1:] = a[1:] != a[:-1]
-        gid = np.cumsum(change) - 1
-        counts = np.bincount(gid)
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        oa, ob, oc = [], [], []
-        for g in np.nonzero(counts >= 2)[0]:
-            lo, d = starts[g], counts[g]
-            iu, ju = np.triu_indices(d, 1)
-            oa.append(np.repeat(a[lo], len(iu)))
-            ob.append(b[lo:lo + d][iu])
-            oc.append(b[lo:lo + d][ju])
-        if not oa:
-            return pd.DataFrame(columns=["a", "b", "c"])
-        return pd.DataFrame({"a": np.concatenate(oa),
-                             "b": np.concatenate(ob),
-                             "c": np.concatenate(oc)})
-
-    wedges = sorted_map_groups(edges, ["a"], block_fn=wedge_emit,
-                               schema=wedge_schema)
-
-    def pack_bc(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.append_column("k", pc.binary_join_element_wise(
-            t.column("b"), t.column("c"), "|"))
-
-    def pack_ab(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.Table.from_arrays(
-            [pc.binary_join_element_wise(t.column("a"),
-                                         t.column("b"), "|")],
-            names=["k"])
-
-    closed = semi_join(
-        wedges.map_batches(pack_bc, batch_format="pyarrow"),
-        edges.map_batches(pack_ab, batch_format="pyarrow").materialize(),
-        left_key="k", right_key="k", left_key_nullable=False)
-    return closed.drop_columns(["k"])
+from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (  # noqa: E402
+    enumerate_triangles as _entity_triangles_ds,
+)
 
 
 def _q_transcripts_entity_triangles(sf_dir: str):
@@ -1288,6 +1218,21 @@ def _q_transcripts_entity_bfs(sf_dir: str):
     edges = (_q_transcripts_entity_cooccurrence(sf_dir)
              .select_columns(["a", "b"]))
     return bfs_distances(edges, ["北京"], max_hops=3)
+
+
+def _q_transcripts_entity_ktruss(sf_dir: str):
+    """24-truss of the entity co-occurrence graph (stages/graph.k_truss):
+    iterative edge peel to the unique maximal subgraph where every edge
+    sits in >= 22 triangles — the EDGE-cohesion rung above
+    transcripts_entity_kcore (k=24 cascades over 4 peel rounds at
+    sf0.001: 1,225 -> 882 edges)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        k_truss,
+    )
+
+    edges = (_q_transcripts_entity_cooccurrence(sf_dir)
+             .select_columns(["a", "b"]))
+    return k_truss(edges, k=24)
 
 
 def _q_kg_predicate_clusters(sf_dir: str):
@@ -4123,6 +4068,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_analytics": _q_kg_entity_analytics,
         "transcripts_entity_ppr": _q_transcripts_entity_ppr,  # oracled
         "transcripts_entity_bfs": _q_transcripts_entity_bfs,  # oracled
+        "transcripts_entity_ktruss":
+            _q_transcripts_entity_ktruss,  # oracled (r4)
     }
 
 
@@ -4278,6 +4225,34 @@ def _hits_sql(edges_sql: str | None = None, iters: int = 4) -> str:
         SELECT node, round(h * (SELECT n FROM nn), 6) AS hub,
                round(a * (SELECT n FROM nn), 6) AS authority
         FROM s{iters}"""
+
+
+def _ktruss_sql(tglob: str, k: int = 24, rounds: int = 10) -> str:
+    """Unrolled fixed-round k-truss peel (``stages/graph.k_truss``
+    asserts fixpoint convergence; the truss is unique, so a
+    sufficiently-unrolled mirror matches bit-for-bit).  MATERIALIZED for
+    the usual CTE-inlining reason."""
+    parts = [f"e0 AS MATERIALIZED (SELECT a, b FROM "
+             f"({_cooccurrence_sql(tglob)}))"]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+            t{i} AS MATERIALIZED (
+                SELECT e1.a, e1.b, e2.b AS c
+                FROM e{i - 1} e1 JOIN e{i - 1} e2 ON e2.a = e1.b
+                     JOIN e{i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b)""")
+        parts.append(f"""
+            s{i} AS MATERIALIZED (
+                SELECT a, b, count(*)::BIGINT AS support FROM (
+                    SELECT a, b FROM t{i}
+                    UNION ALL SELECT a, c FROM t{i}
+                    UNION ALL SELECT b, c FROM t{i})
+                GROUP BY 1, 2)""")
+        parts.append(f"""
+            e{i} AS MATERIALIZED (
+                SELECT a, b FROM s{i} WHERE support >= {k - 2})""")
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT a, b, support FROM s{rounds} WHERE support >= {k - 2}"""
 
 
 def _bfs_sql(tglob: str, seed: str = "北京", max_hops: int = 3) -> str:
@@ -5885,6 +5860,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_lr": _logreg_sql(),
         "transcripts_entity_ppr": _ppr_sql(tglob),
         "transcripts_entity_bfs": _bfs_sql(tglob),
+        "transcripts_entity_ktruss": _ktruss_sql(tglob),
         # TextRank-style keywords: consecutive-token multiset edges ->
         # the same unrolled 4-round PageRank as graph_pagerank -> top-20
         # on the rounded rank with term-asc tie-break

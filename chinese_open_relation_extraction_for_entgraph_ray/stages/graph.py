@@ -2,8 +2,9 @@
 family (the EntGraph-style downstream of this engine's canonical edges;
 the reference itself stops at edge extraction, so these are
 downstream-capability operators, not ports): PageRank, personalized
-(weighted) PageRank, HITS hubs/authorities, k-core decomposition, seeded
-label propagation, and multi-source BFS distances.  PageRank's shape,
+(weighted) PageRank, HITS hubs/authorities, k-core / k-truss
+decomposition, triangle enumeration, seeded label propagation, and
+multi-source BFS distances.  PageRank's shape,
 documented below, is the template the others follow.
 
 Per iteration (all Dataset operators — no driver-side graph state):
@@ -878,3 +879,144 @@ def bfs_distances(edges_ds, sources: list[str], *, max_hops: int = 4):
         visited = visited.union(with_dist(frontier, d)) \
             .repartition(n_blocks).materialize()
     return visited
+
+
+def enumerate_triangles(edges):
+    """Triangle enumeration (a < b < c, each listed once) over a
+    MATERIALIZED distinct-pair edge Dataset with columns (a, b), a < b.
+
+    Distributed shape (NO driver-side adjacency): wedges are emitted per
+    lower endpoint from the sorted edge stream (sorted_map_groups on
+    'a'; per-center numpy triu over its higher neighbors — the same
+    bucket-emit pattern as the entgraph pair sort), then ONE semi-join
+    of the packed 'b|c' wedge key against the packed edge key set closes
+    wedges into triangles.  The wedge stream is the quadratic term
+    (sum of deg(v)^2/2 over lower endpoints — the standard bound for
+    edge-iterator triangle counting); the gazetteer-bounded vocabulary
+    keeps it tiny HERE, and the semi-join's broadcast path engages
+    because the edge key set is materialized and small."""
+    import numpy as np
+    import pandas as pd
+
+    from .blockgroup import sorted_map_groups
+    from .joins import semi_join
+
+    wedge_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                              ("c", pa.string())])
+
+    def wedge_emit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["a", "b"], kind="stable")
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        change = np.empty(len(df), dtype=bool)
+        change[0] = True
+        change[1:] = a[1:] != a[:-1]
+        gid = np.cumsum(change) - 1
+        counts = np.bincount(gid)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        oa, ob, oc = [], [], []
+        for g in np.nonzero(counts >= 2)[0]:
+            lo, d = starts[g], counts[g]
+            iu, ju = np.triu_indices(d, 1)
+            oa.append(np.repeat(a[lo], len(iu)))
+            ob.append(b[lo:lo + d][iu])
+            oc.append(b[lo:lo + d][ju])
+        if not oa:
+            return pd.DataFrame(columns=["a", "b", "c"])
+        return pd.DataFrame({"a": np.concatenate(oa),
+                             "b": np.concatenate(ob),
+                             "c": np.concatenate(oc)})
+
+    wedges = sorted_map_groups(edges, ["a"], block_fn=wedge_emit,
+                               schema=wedge_schema)
+
+    def pack_bc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("k", pc.binary_join_element_wise(
+            t.column("b"), t.column("c"), "|"))
+
+    def pack_ab(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [pc.binary_join_element_wise(t.column("a"),
+                                         t.column("b"), "|")],
+            names=["k"])
+
+    closed = semi_join(
+        wedges.map_batches(pack_bc, batch_format="pyarrow"),
+        edges.map_batches(pack_ab, batch_format="pyarrow").materialize(),
+        left_key="k", right_key="k", left_key_nullable=False)
+    return closed.drop_columns(["k"])
+
+
+def k_truss(edges_ds, k: int = 4, *, a: str = "a", b: str = "b",
+            max_rounds: int = 32):
+    """Iterative k-truss peel over an undirected distinct-pair edge list
+    (``a`` < ``b``): drop every edge supported by fewer than k-2
+    triangles, recompute, repeat to fixpoint — the EDGE-cohesion rung
+    above k-core on the graph-curation ladder (every k-truss edge sits in
+    >= k-2 triangles of the surviving subgraph).  Returns
+    (a, b, support), support >= k-2; empty when the truss is empty.
+
+    Distributed shape per round: one triangle enumeration over the
+    surviving edges (``enumerate_triangles`` — wedge emit + packed-key
+    semi-join, no driver adjacency), each triangle exploded to its three
+    edges, ONE pre-combined support aggregate; edges below k-2 vanish by
+    construction (they are absent from the support table), the rest
+    filter vectorized.  The peel strictly shrinks the edge set, so
+    ``max_rounds`` bounds rounds, never the result — the k-truss is the
+    unique maximal subgraph with min edge support >= k-2, so an unrolled
+    fixed-round SQL mirror matches bit-for-bit."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .groupagg import auto_hash_aggregate
+
+    if k < 3:
+        raise ValueError(
+            "k_truss requires k >= 3 (k=2 is the trivial all-edges truss; "
+            "zero-triangle edges are dropped implicitly here)")
+    out_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                            ("support", pa.int64())])
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column(a).cast(pa.string()), t.column(b).cast(pa.string())],
+            names=["a", "b"])
+
+    edges = edges_ds.map_batches(canon, batch_format="pyarrow").materialize()
+    for _ in range(max_rounds):
+        n_edges = edges.count()
+        if n_edges == 0:
+            return __import__("ray").data.from_arrow(
+                out_schema.empty_table())
+
+        def tri_edges(t: pa.Table) -> pa.Table:
+            ea = pa.concat_arrays([t.column("a").combine_chunks(),
+                                   t.column("a").combine_chunks(),
+                                   t.column("b").combine_chunks()])
+            eb = pa.concat_arrays([t.column("b").combine_chunks(),
+                                   t.column("c").combine_chunks(),
+                                   t.column("c").combine_chunks()])
+            return pa.Table.from_arrays(
+                [ea, eb,
+                 pa.array(np.ones(len(ea), dtype=np.int64))],
+                names=["a", "b", "support"])
+
+        sup = auto_hash_aggregate(
+            enumerate_triangles(edges)
+            .map_batches(tri_edges, batch_format="pyarrow"),
+            ["a", "b"], [("support", "sum")]).materialize()
+        kept = sup.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("support"), k - 2)),
+            batch_format="pyarrow").materialize()
+        if kept.count() == n_edges:
+            return kept
+        edges = kept.select_columns(["a", "b"]).materialize()
+    raise RuntimeError(
+        f"k_truss: no fixpoint after {max_rounds} rounds (k={k}) — raise "
+        f"max_rounds; the peel shrinks monotonically, so this bounds the "
+        f"round count, never the result")

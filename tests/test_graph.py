@@ -235,3 +235,37 @@ def test_bfs_distances_layers_and_early_exit(ray_session):
                          max_hops=10).to_pandas().set_index("node")["dist"]
     assert dict(full) == {"s1": 0, "s2": 0, "x": 1, "y1": 1, "y2": 2,
                           "y3": 3}    # early exit after layer 3, q absent
+
+
+def test_k_truss_cascade_support_and_guard(ray_session):
+    """k_truss must peel by triangle support with a cascade (removing one
+    edge's support collapses dependents), report the converged subgraph's
+    support values, reject k < 3, and be block-structure invariant."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        k_truss,
+    )
+
+    # K4 on c0..c3 (every edge in 2 triangles) + a pendant triangle
+    # c3-p0-p1 whose edges sit in exactly 1 triangle: at k=4 the pendant
+    # peels away (support 1 < 2), leaving the K4 with support 2.
+    k4 = [(f"c{i}", f"c{j}") for i in range(4) for j in range(i + 1, 4)]
+    pendant = [("c3", "p0"), ("c3", "p1"), ("p0", "p1")]
+    edges = pd.DataFrame(k4 + pendant, columns=["a", "b"])
+
+    for parts in (1, 4):
+        ds = ray.data.from_pandas(edges).repartition(parts)
+        got = (k_truss(ds, k=4).to_pandas()
+               .sort_values(["a", "b"]).reset_index(drop=True))
+        assert len(got) == 6 and set(got.a) | set(got.b) == \
+            {"c0", "c1", "c2", "c3"}
+        assert (got.support == 2).all()
+
+    # k above any support -> empty truss; k < 3 -> loud
+    assert len(k_truss(ray.data.from_pandas(edges), k=5)
+               .to_pandas()) == 0
+    with pytest.raises(ValueError, match="k >= 3"):
+        k_truss(ray.data.from_pandas(edges), k=2)

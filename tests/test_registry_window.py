@@ -196,6 +196,8 @@ PAST_WINDOW_PINS = {
     "transcripts_entity_ppr": (60, ["node", "rank_scaled"]),
     # BFS hop distances from 北京: 1 seed + 35 @1 + 24 @2 (SQL-oracled)
     "transcripts_entity_bfs": (60, ["dist", "node"]),
+    # 24-truss edge peel: 1,225 -> 882 edges over 4 rounds (SQL-oracled)
+    "transcripts_entity_ktruss": (882, ["a", "b", "support"]),
 }
 
 
