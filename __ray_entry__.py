@@ -3668,6 +3668,23 @@ def _q_embeddings_label_propagation(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_embeddings_knn_components(sf_dir: str):
+    """Connected components over the mutual 5-NN graph
+    (stages/cluster.dedup_cluster_representatives — min-label rounds +
+    pointer jumping): the cluster backbone of kNN-graph-based curation
+    (each component = one semantic neighborhood; keep marks the min-id
+    representative).  Completes the embeddings-graph family beside
+    knn_core (density) and label_propagation (supervision).  On the
+    synthetic corpus the mutual graph is globally connected (ONE
+    component at both sfs) — the oracle still hash-verifies every node's
+    label through the full min-label/pointer-jumping closure."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.cluster import (
+        dedup_cluster_representatives,
+    )
+
+    return dedup_cluster_representatives(_mutual_knn_edges(sf_dir))
+
+
 def _q_similarity_topk_ivf(sf_dir: str):
     """IVF (spherical-kmeans cells, nprobe probing) approximate top-k — the
     scale path beside the brute-force baseline."""
@@ -4070,6 +4087,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_entity_bfs": _q_transcripts_entity_bfs,  # oracled
         "transcripts_entity_ktruss":
             _q_transcripts_entity_ktruss,  # oracled (r4)
+        "embeddings_knn_components":
+            _q_embeddings_knn_components,  # oracled (r4)
     }
 
 
@@ -5861,6 +5880,21 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_entity_ppr": _ppr_sql(tglob),
         "transcripts_entity_bfs": _bfs_sql(tglob),
         "transcripts_entity_ktruss": _ktruss_sql(tglob),
+        # recursive-CTE closure over the mutual 5-NN graph (the
+        # docs_dedup_clusters oracle pattern on the embeddings family)
+        "embeddings_knn_components": f"""
+            WITH RECURSIVE
+            mutual AS ({_MUTUAL_KNN_SQL}),
+            cedges AS (SELECT a AS u, b AS v FROM mutual
+                       UNION SELECT b, a FROM mutual),
+            reach(node, r) AS (
+              SELECT u, u FROM cedges
+              UNION
+              SELECT reach.node, e.v FROM reach JOIN cedges e
+                ON reach.r = e.u)
+            SELECT node, min(r) AS component,
+                   (node = min(r)) AS keep
+            FROM reach GROUP BY node""",
         # TextRank-style keywords: consecutive-token multiset edges ->
         # the same unrolled 4-round PageRank as graph_pagerank -> top-20
         # on the rounded rank with term-asc tie-break

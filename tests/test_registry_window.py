@@ -198,6 +198,9 @@ PAST_WINDOW_PINS = {
     "transcripts_entity_bfs": (60, ["dist", "node"]),
     # 24-truss edge peel: 1,225 -> 882 edges over 4 rounds (SQL-oracled)
     "transcripts_entity_ktruss": (882, ["a", "b", "support"]),
+    # CC over the mutual 5-NN graph: 498 nodes, ONE global component
+    # (SQL-oracled recursive-CTE closure)
+    "embeddings_knn_components": (498, ["component", "keep", "node"]),
 }
 
 
