@@ -231,12 +231,12 @@ def test_past_window_queries_pinned(ray_session):
         rows, cols = PAST_WINDOW_PINS[name]
         assert sorted(df.columns) == cols, name
         assert len(df) == rows, f"{name}: {len(df)} rows != pinned {rows}"
-    # budget ~3x the measured sweep (66 queries, ~144 s at 4 CPUs on a
-    # quiet host after the r4 day-2 additions) — catches order-of-
-    # magnitude blowups, tolerates the documented 3x host noise (a 273 s
-    # run under external disk tenancy tripped the old 260 s budget with
-    # every row pin green)
-    assert time.time() - t0 < 430, "past-window sweep wall-time blowup"
+    # budget ~3x the measured sweep (90 queries, ~170-230 s at 4 CPUs
+    # after the day-4 graph-family additions; 231 s observed in a
+    # documented slow-host phase) — catches order-of-magnitude blowups,
+    # tolerates the documented 3x host noise (a 273 s run under external
+    # disk tenancy tripped an older, tighter budget with every pin green)
+    assert time.time() - t0 < 650, "past-window sweep wall-time blowup"
 
 
 @pytest.mark.slow
