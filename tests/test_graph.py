@@ -200,11 +200,52 @@ def test_personalized_pagerank_localization_and_weights(ray_session):
     assert got["s"] == got.max()
     assert got["a"] > got["b"] > got["c"] > got["d"]
 
-    with pytest.raises(ValueError, match="no restart node"):
+    # ANY missing restart node raises (a partially mistyped seed list
+    # must not silently renormalize over the remainder — ADVICE r4)
+    with pytest.raises(ValueError, match="not present in the graph"):
         personalized_pagerank(ds, ["zz"], weight="w")
-    with pytest.raises(ValueError, match="broadcast bounds"):
-        personalized_pagerank(ds, ["s"], weight="w",
-                              broadcast_max_nodes=1)
+    with pytest.raises(ValueError, match="zz"):
+        personalized_pagerank(ds, ["s", "zz"], weight="w")
+
+
+def test_personalized_pagerank_join_path_parity(ray_session):
+    """The over-bound all-Dataset join path must match the broadcast fast
+    path to float precision (same recurrence, float64 throughout), on a
+    weighted multi-seed graph with a dangling node, across block
+    structures (VERDICT r4 #2)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        personalized_pagerank,
+    )
+
+    edges = pd.DataFrame(
+        [("s", "a", 2.0), ("a", "s", 1.0), ("s", "b", 1.0),
+         ("b", "c", 3.0), ("c", "b", 1.0), ("c", "d", 1.0),
+         ("a", "d", 0.5), ("e", "a", 1.0)],   # d is dangling
+        columns=["src", "dst", "w"])
+    for parts in (1, 3):
+        ds = ray.data.from_pandas(edges).repartition(parts)
+        fast = personalized_pagerank(ds, ["s", "e"], weight="w", iters=4) \
+            .to_pandas().set_index("node")["rank"].sort_index()
+        join = personalized_pagerank(ds, ["s", "e"], weight="w", iters=4,
+                                     broadcast_max_nodes=0) \
+            .to_pandas().set_index("node")["rank"].sort_index()
+        assert list(fast.index) == list(join.index)
+        np.testing.assert_allclose(join.to_numpy(), fast.to_numpy(),
+                                   atol=1e-12)
+        assert abs(join.sum() - 1.0) < 1e-9
+    # unweighted parity too (w=None exercises the ones() path)
+    ds = ray.data.from_pandas(edges[["src", "dst"]]).repartition(2)
+    fast = personalized_pagerank(ds, ["s"], iters=3) \
+        .to_pandas().set_index("node")["rank"].sort_index()
+    join = personalized_pagerank(ds, ["s"], iters=3,
+                                 broadcast_max_nodes=0) \
+        .to_pandas().set_index("node")["rank"].sort_index()
+    np.testing.assert_allclose(join.to_numpy(), fast.to_numpy(),
+                               atol=1e-12)
 
 
 def test_bfs_distances_layers_and_early_exit(ray_session):
@@ -269,3 +310,37 @@ def test_k_truss_cascade_support_and_guard(ray_session):
                .to_pandas()) == 0
     with pytest.raises(ValueError, match="k >= 3"):
         k_truss(ray.data.from_pandas(edges), k=2)
+
+
+def test_triangle_key_separator_is_collision_safe(ray_session):
+    """ADVICE r4: '|'-bearing node ids collided in the packed wedge/edge
+    join key ('x|y'+'z' == 'x'+'y|z'), closing false triangles.  The
+    separator is now \\x1f and pack sites assert nodes are
+    separator-free: the pipe graph below must close NO triangle, and a
+    node containing \\x1f itself must raise loudly."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        enumerate_triangles,
+    )
+
+    # wedge ('x', 'x|y', 'y') packs b|c as 'x|y\x1fy'; the edge ('x|y',
+    # 'y') packs as 'x|y\x1fy' too -> that IS a real triangle.  The
+    # collision case is the non-edge: wedge ('a', 'x', 'y|z') vs edge
+    # ('x|y', 'z') — under '|' both packed to 'x|y|z', closing a false
+    # triangle; under \x1f they differ.
+    edges = pd.DataFrame(
+        [("a", "x"), ("a", "y|z"), ("x|y", "z")],
+        columns=["a", "b"])
+    got = enumerate_triangles(
+        ray.data.from_pandas(edges).repartition(2).materialize()) \
+        .to_pandas()
+    assert len(got) == 0
+
+    bad = pd.DataFrame([("a", "b\x1fc"), ("a", "d"), ("b\x1fc", "d")],
+                       columns=["a", "b"])
+    with pytest.raises(Exception, match="separator"):
+        enumerate_triangles(
+            ray.data.from_pandas(bad).materialize()).to_pandas()
