@@ -46,6 +46,10 @@ import pyarrow as pa
 # per-round distributed aggregate is the right trade.
 BROADCAST_MAX_NODES = 200_000
 BROADCAST_MAX_EDGES = 50_000_000
+#: HITS driver-local sub-path bound: int64 (src, dst) index pairs pulled to
+#: the driver once instead of 2*iters distributed half-round scans
+#: (~32 MB at the bound; see hits()).
+HITS_DRIVER_EDGES = 2_000_000
 
 
 def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
@@ -519,6 +523,50 @@ def label_propagation(edges_ds, seeds_ds, *, rounds: int = 4,
     return labels
 
 
+def _hits_driver_local(edges, iters: int, broadcast_max_nodes: int):
+    """HITS fast tier for edge lists already verified <= HITS_DRIVER_EDGES:
+    one streamed pull of the (src, dst) pairs, Arrow-vectorized node
+    indexing (sorted unique + index_in), and 2*iters local np.bincount
+    half-rounds.  Returns None when the observed node count exceeds the
+    broadcast bound (caller falls through to the distributed tiers)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    parts = [b for b in edges.iter_batches(batch_format="pyarrow")
+             if b.num_rows]
+    if not parts:
+        return __import__("ray").data.from_arrow(pa.schema(
+            [("node", pa.string()), ("hub", pa.float64()),
+             ("authority", pa.float64())]).empty_table())
+    tbl = pa.concat_tables(parts)
+    src_a = tbl.column("src").combine_chunks()
+    dst_a = tbl.column("dst").combine_chunks()
+    uniq = pc.unique(pa.concat_arrays([src_a, dst_a]))
+    node_arr = uniq.take(pc.array_sort_indices(uniq))
+    n_nodes = len(node_arr)
+    if n_nodes > broadcast_max_nodes:
+        return None
+    si = pc.index_in(src_a, value_set=node_arr).to_numpy()
+    di = pc.index_in(dst_a, value_set=node_arr).to_numpy()
+
+    def half(w, frm, to):
+        out = np.bincount(to, weights=w[frm], minlength=n_nodes)
+        s = float(out.sum())
+        return out / s if s > 0 else out
+
+    hub = np.full(n_nodes, 1.0 / n_nodes)
+    authority = np.zeros(n_nodes)
+    for _ in range(iters):
+        authority = half(hub, si, di)
+        hub = half(authority, di, si)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_arrays(
+        [node_arr, pa.array(hub, pa.float64()),
+         pa.array(authority, pa.float64())],
+        names=["node", "hub", "authority"]))
+
+
 def hits(edges_ds, *, src: str = "src", dst: str = "dst", iters: int = 4,
          broadcast_max_nodes: int = BROADCAST_MAX_NODES,
          broadcast_max_edges: int = BROADCAST_MAX_EDGES):
@@ -549,6 +597,25 @@ def hits(edges_ds, *, src: str = "src", dst: str = "dst", iters: int = 4,
              t.column(dst).cast(pa.string())],
             names=["src", "dst"]),
         batch_format="pyarrow").materialize()
+
+    # Driver-local fast tier: HITS alternates two strictly dependent
+    # half-rounds, so the distributed broadcast scheme below pays 2*iters
+    # full Dataset executions plus a node-sort exchange whose FIXED costs
+    # dominate on small graphs (measured 8.2 s for 4 rounds at sf0.1 — the
+    # largest non-dedup bench line in r4, VERDICT r4 next-round #3).  When
+    # the edge list itself fits comfortably on the driver
+    # (<= HITS_DRIVER_EDGES pairs), pull it ONCE and run node indexing +
+    # every half-round locally (vectorized Arrow/numpy): zero per-round Ray
+    # executions, and bit-stable across block layouts (one fixed summation
+    # order).  Skipped when the caller forces the join path
+    # (broadcast_max_nodes/edges overrides), and falls through if the
+    # observed node count exceeds the broadcast bound.
+    n_edges_obs = edges.count()
+    if (broadcast_max_nodes > 0
+            and n_edges_obs <= min(HITS_DRIVER_EDGES, broadcast_max_edges)):
+        res = _hits_driver_local(edges, iters, broadcast_max_nodes)
+        if res is not None:
+            return res
 
     def endpoints(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(

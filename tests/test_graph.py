@@ -158,10 +158,21 @@ def test_hits_vs_numpy_reference_both_paths(ray_session):
             h[idx[s]] += a[idx[d]]
         h = h / h.sum()
 
+    import chinese_open_relation_extraction_for_entgraph_ray.stages.graph as graph_mod
+
     ds = ray.data.from_pandas(edges).repartition(3)
-    for kwargs in ({}, {"broadcast_max_nodes": 0}):   # fast + join paths
-        got = (hits(ds, iters=4, **kwargs).to_pandas()
-               .set_index("node").loc[nodes])
+    # three dispatch tiers: driver-local bincount (default here), streaming
+    # broadcast half-rounds (driver-edge bound forced to 0), all-Dataset join
+    for kwargs, driver_edges in (({}, None), ({}, 0),
+                                 ({"broadcast_max_nodes": 0}, None)):
+        orig = graph_mod.HITS_DRIVER_EDGES
+        if driver_edges is not None:
+            graph_mod.HITS_DRIVER_EDGES = driver_edges
+        try:
+            got = (hits(ds, iters=4, **kwargs).to_pandas()
+                   .set_index("node").loc[nodes])
+        finally:
+            graph_mod.HITS_DRIVER_EDGES = orig
         np.testing.assert_allclose(got.hub.to_numpy(), h, atol=1e-12)
         np.testing.assert_allclose(got.authority.to_numpy(), a,
                                    atol=1e-12)

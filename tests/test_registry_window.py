@@ -27,6 +27,22 @@ WINDOW = 50
 # (rows, sorted columns) at sf0.001 — all past-window outputs are
 # deterministic by construction (seeded samples, fixed-round iterations).
 PAST_WINDOW_PINS = {
+    # full-corpus flagship outputs — demoted from the window in r5 when
+    # the VALUES-oracled kg_golden_* family took their four slots (the
+    # same operators, hash-checked in-window on the pinned golden corpus)
+    "kg_triples": (5299, ["conv_id", "negated", "obj", "obj_ent",
+                          "obj_idx", "pred", "pred_idx", "rel_kind",
+                          "sent_idx", "subj", "subj_ent", "subj_idx",
+                          "turn_idx"]),
+    "kg_edges": (1937, ["obj", "obj_ent", "pred", "sample_conv_id",
+                        "sample_turn_idx", "subj", "subj_ent", "weight"]),
+    "kg_coref_delta": (54, ["antecedent", "conv_id", "obj", "obj_idx",
+                            "pred", "pred_idx", "rel_kind", "sent_idx",
+                            "subj", "subj_idx", "turn_idx"]),
+    "kg_mentions_corefed": (3560, ["conv_id", "entity_id", "label",
+                                   "link_score", "sent_idx", "source",
+                                   "span_end", "span_start", "surface",
+                                   "turn_idx"]),
     # demoted from the window day-3 (docs_dsir_weights took its slot)
     "multimodal_features": (500, ["doc_id", "feature_norm"]),
     "kg_rejected_turns": (159, ["conv_id", "turn_idx"]),
@@ -249,8 +265,9 @@ def test_in_window_gate_wall_budget(ray_session):
     q = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     in_window = list(q)[:WINDOW]
-    assert [k for k in in_window if k not in oracles] == [
-        "kg_triples", "kg_edges", "kg_coref_delta", "kg_mentions_corefed"]
+    # r5 contract: EVERY in-window query is SQL-oracled (the kg_golden_*
+    # family replaced the rows-only flagship slots)
+    assert [k for k in in_window if k not in oracles] == []
     t0 = time.time()
     slowest: list[tuple[float, str]] = []
     for name in in_window:
