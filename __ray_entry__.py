@@ -2922,6 +2922,80 @@ def _q_docs_bpe_merges(sf_dir: str):
                      n_merges=30)
 
 
+def _q_bpe_golden_merges(sf_dir: str):
+    """BPE trainer over the classic worked example (Sennrich et al. 2016:
+    low x5, lower x2, newest x6, widest x3) — the distributed
+    word-frequency aggregate + merge loop must reproduce the 12
+    hand-derivable merges (max pair frequency, lexicographically smallest
+    pair on ties), pinned as a VALUES oracle.  Promotes the BPE family
+    from rows-only to hash-checked (VERDICT r4 next-round #6); sf_dir is
+    ignored (fixed fixture)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.bpe import (
+        bpe_train,
+    )
+
+    words = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    docs = rd.from_arrow(pa.table(
+        {"text": [" ".join([w] * n) for w, n in words]})).repartition(2)
+    return bpe_train(docs, n_merges=12)
+
+
+_BPE_GOLDEN_EXPECTED = [
+    # hand-derived: 9x es/est/est</w> (newest+widest suffix), 7x lo/low,
+    # then the 6x newest spellout, 5x low</w>, 3x widest spellout; ties
+    # broken by lexicographically smallest pair ((e,s) before (s,t) at 9,
+    # (e,w) before (n,e)/(w,est</w>) at 6, (d,est</w>) first at 3)
+    (0, "e", "s", 9), (1, "es", "t", 9), (2, "est", "</w>", 9),
+    (3, "l", "o", 7), (4, "lo", "w", 7), (5, "e", "w", 6),
+    (6, "ew", "est</w>", 6), (7, "n", "ewest</w>", 6),
+    (8, "low", "</w>", 5), (9, "d", "est</w>", 3),
+    (10, "i", "dest</w>", 3), (11, "w", "idest</w>", 3),
+]
+
+
+def _q_semdedup_golden(sf_dir: str):
+    """SemDeDup over a planted fixture whose keep-set is provable
+    independently of the k-means partition: 6 groups of EXACT-duplicate
+    unit vectors on mutually orthogonal directions (in-group cosine 1.0,
+    cross-group 0.0) plus 4 singletons.  Identical vectors always share a
+    cluster (identical centroid cosines), orthogonal vectors can never
+    cross the 0.95 threshold, so keep=False exactly for the non-min-id
+    members of each duplicate group — a hand-checkable VALUES oracle for
+    the iterative operator (VERDICT r4 next-round #6).  The cluster
+    column is dropped (k-means label numbering is an internal detail);
+    sf_dir is ignored (fixed fixture)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.semdedup import (
+        semdedup,
+    )
+
+    ids, vecs = [], []
+    for gi, members in enumerate(_SEMDEDUP_GOLDEN_GROUPS):
+        v = np.zeros(16)
+        v[gi] = 1.0
+        for m in members:
+            ids.append(m)
+            vecs.append(v.tolist())
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl).repartition(3)
+    return semdedup(ds, threshold=0.95).select_columns(["vec_id", "keep"])
+
+
+#: group -> member vec_ids (ids deliberately interleaved so the min-id
+#: survivor rule is exercised across the id range, not just at 0)
+_SEMDEDUP_GOLDEN_GROUPS = [
+    [0, 7, 13, 19], [1, 8, 14], [2, 9, 15], [3, 10], [4, 16], [5, 11],
+    [6], [12], [17], [18],
+]
+
+
 def _q_docs_bpe_token_counts(sf_dir: str):
     """Apply a corpus-trained BPE merge table back to the corpus
     (stages/bpe.py): merge ranks broadcast once, per-block unique-word
@@ -4108,6 +4182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pretrain_corpus":
             _q_docs_pretrain_corpus,  # oracled (r4 day-3, composed chain)
         "docs_bpe_merges": _q_docs_bpe_merges,  # rows-only (iterative)
+        # worked-example VALUES oracle beside it (merges hand-derived)
+        "bpe_golden_merges": _q_bpe_golden_merges,  # oracled (r5)
         "docs_bpe_token_counts":
             _q_docs_bpe_token_counts,  # rows-only (iterative)
         "orders_rollup": _q_orders_rollup,  # oracled (r4)
@@ -4115,6 +4191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_events_value_quantiles_by_type,  # oracled (r4)
         "events_funnel": _q_events_funnel,  # oracled (r4)
         "embeddings_semdedup": _q_embeddings_semdedup,  # rows-only
+        # planted-fixture VALUES oracle beside it (keep-set provable
+        # independently of the k-means partition)
+        "semdedup_golden": _q_semdedup_golden,  # oracled (r5)
         "events_type_pivot": _q_events_type_pivot,  # oracled (r4)
         "events_value_winsorized": _q_events_value_winsorized,  # oracled
         "events_value_deciles": _q_events_value_deciles,  # oracled (r4)
@@ -4877,8 +4956,8 @@ def _values_sql(rows, cols, *, float_cols=(), bool_cols=()) -> str:
     body = ",\n".join(
         "(" + ", ".join(lit(v, c) for v, c in zip(r, cols)) + ")"
         for r in rows)
-    return (f"SELECT * FROM (VALUES\n{body}\n) "
-            f"AS t({', '.join(cols)})")
+    quoted = ", ".join(f'"{c}"' for c in cols)   # left/right are reserved
+    return f"SELECT * FROM (VALUES\n{body}\n) AS t({quoted})"
 
 
 def _golden_oracles() -> dict[str, str]:
@@ -4909,6 +4988,12 @@ def _golden_oracles() -> dict[str, str]:
         "kg_golden_mentions_corefed": _values_sql(
             EXPECTED_MENTIONS_COREFED, mention_cols,
             float_cols=("link_score",)),
+        "bpe_golden_merges": _values_sql(
+            _BPE_GOLDEN_EXPECTED, ["rank", "left", "right", "pair_freq"]),
+        "semdedup_golden": _values_sql(
+            sorted((m, m == min(g)) for g in _SEMDEDUP_GOLDEN_GROUPS
+                   for m in g),
+            ["vec_id", "keep"], bool_cols=("keep",)),
     }
 
 

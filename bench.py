@@ -166,8 +166,20 @@ def _host_conditions() -> dict:
             "steal_pct": round(100 * d[7] / tot, 1) if len(d) > 7 else 0.0}
 
 
-def scaling():
-    """Same pipeline at num_cpus=8 and 32 in fresh processes."""
+def _host_stalled(cond: dict) -> bool:
+    """The documented external-I/O-stall signature on this shared VM
+    (BASELINE.md forensics): loadavg inflated by D-state tasks while the
+    CPU is largely idle (e.g. load1 41.3 at 99.9% idle during the r4
+    degraded phase), or visible hypervisor steal.  Sampled when the bench
+    itself is quiescent, so high idle alone is normal — it is the
+    combination with high load1 that marks external tenancy."""
+    return (cond["load1"] >= 8.0 and cond["idle_pct"] >= 70.0) \
+        or cond["steal_pct"] >= 5.0
+
+
+def _scaling_once() -> dict:
+    """One scaling sample: same pipeline at num_cpus=8 and 32 in fresh
+    processes, with host forensics bracketing the legs."""
     pre = _host_conditions()
     results = {}
     for ncpu in (8, 32):
@@ -184,18 +196,44 @@ def scaling():
     tput8 = results[8]["triples_per_sec"]
     tput32 = results[32]["triples_per_sec"]
     eff = tput32 / (4 * tput8) if tput8 else 0.0
-    print(json.dumps({
+    post = _host_conditions()
+    return {
         "metric": "scaling_efficiency",
         "sec_8cpu": t8, "sec_32cpu": t32,
         "triples_per_sec_8cpu": tput8, "triples_per_sec_32cpu": tput32,
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
-        "host_pre": pre, "host_post": _host_conditions(),
-    }))
+        "host_pre": pre, "host_post": post,
+        "host_clean": not (_host_stalled(pre) or _host_stalled(post)),
+    }
+
+
+def scaling(retries: int = 1):
+    """--scaling [--retry-until-clean N]: re-sample (up to N attempts)
+    while the host forensics show the external-stall signature, and record
+    EVERY attempt in the emitted record — the retry selects for clean
+    MEASUREMENT CONDITIONS, never for a favorable ratio (an attempt with
+    clean forensics is final whatever its efficiency)."""
+    attempts = []
+    for _ in range(max(1, retries)):
+        rec = _scaling_once()
+        attempts.append(rec)
+        if rec["host_clean"]:
+            break
+    final = dict(attempts[-1])
+    final["attempts"] = [
+        {k: a[k] for k in ("scaling_efficiency", "sec_8cpu", "sec_32cpu",
+                           "host_pre", "host_post", "host_clean")}
+        for a in attempts]
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        scaling()
+        n = 1
+        if "--retry-until-clean" in sys.argv:
+            i = sys.argv.index("--retry-until-clean")
+            n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 3
+        scaling(n)
     else:
         main()

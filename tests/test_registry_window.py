@@ -93,6 +93,8 @@ PAST_WINDOW_PINS = {
     "docs_pretrain_corpus": (284, ["chunk_idx", "chunk_text", "doc_id",
                                    "n_tok"]),
     "docs_bpe_merges": (30, ["left", "pair_freq", "rank", "right"]),
+    # worked-example VALUES oracle beside it (hash-checked by full gate)
+    "bpe_golden_merges": (12, ["left", "pair_freq", "rank", "right"]),
     "docs_bpe_token_counts": (500, ["doc_id", "n_bpe_tokens",
                                     "n_words"]),
     # SQL-oracled past-window (full local gate hash-checks them)
@@ -102,6 +104,8 @@ PAST_WINDOW_PINS = {
                                            "p75"]),
     "events_funnel": (3, ["n_users", "stage", "stage_idx"]),
     "embeddings_semdedup": (500, ["cluster", "keep", "vec_id"]),
+    # planted-fixture VALUES oracle beside it (hash-checked by full gate)
+    "semdedup_golden": (20, ["keep", "vec_id"]),
     "events_type_pivot": (15, ["n_click", "n_error", "n_purchase",
                                "n_signup", "n_total", "n_view",
                                "user_id"]),
