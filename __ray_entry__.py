@@ -2956,6 +2956,35 @@ _BPE_GOLDEN_EXPECTED = [
 ]
 
 
+def _q_bpe_golden_token_counts(sf_dir: str):
+    """BPE inference over the classic corpus with the 12 hand-derived
+    merges: low -> 1 token (low</w> is a learned merge), lower -> 4
+    (low + e + r + </w>: no (w,e)/(e,r)/(r,</w>) merge exists), newest and
+    widest -> 1 each (their full spellouts are merges 5-7 and 9-11).
+    Hand-derivable VALUES oracle; sf_dir is ignored (fixed fixture)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.bpe import (
+        bpe_token_counts,
+    )
+
+    words = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(1, len(words) + 1), pa.int64()),
+        "text": [" ".join([w] * n) for w, n in words]})).repartition(2)
+    ranks = {(m[1], m[2]): m[0] for m in _BPE_GOLDEN_EXPECTED}
+    return bpe_token_counts(docs, ray.put(ranks))
+
+
+#: (doc_id, n_words, n_bpe_tokens) — hand-derived: one token per word for
+#: low/newest/widest (whole-word merges exist), 4 tokens per "lower"
+_BPE_GOLDEN_TOKEN_COUNTS = [
+    (1, 5, 5), (2, 2, 8), (3, 6, 6), (4, 3, 3),
+]
+
+
 def _q_semdedup_golden(sf_dir: str):
     """SemDeDup over a planted fixture whose keep-set is provable
     independently of the k-means partition: 6 groups of EXACT-duplicate
@@ -3466,15 +3495,12 @@ def _q_docs_edit_distance_pairs(sf_dir: str):
     between the 64-char prefixes of each Jaccard>=0.5 pair — two keyed
     prefix lookups + an O(prefix^2) DP per pair, cost independent of
     corpus size."""
-    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
-        similar_pairs_exact,
-    )
     from chinese_open_relation_extraction_for_entgraph_ray.stages.editdist import (
         edit_distance_pairs,
     )
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return edit_distance_pairs(similar_pairs_exact(docs, threshold=0.5),
+    return edit_distance_pairs(_exact_pairs(sf_dir, threshold=0.5),
                                docs, prefix_chars=64)
 
 
@@ -3657,18 +3683,32 @@ def _q_docs_jaccard_near_dups(sf_dir: str):
     return _jaccard_pairs(sf_dir, threshold=0.5)
 
 
+def _exact_pairs(sf_dir: str, threshold: float = 0.5):
+    """Shared memo for the exact shingle-pair detector — the most
+    expensive query in the gate, consumed by BOTH
+    docs_similar_pairs_exact and docs_edit_distance_pairs; one pipeline
+    cost total per process (the _KG_MEMO gate-delivery rationale —
+    docs_edit_distance_pairs measured 19.7 s standalone, almost all of it
+    this recomputation)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        similar_pairs_exact,
+    )
+
+    key = ("exact", sf_dir, threshold)
+    out = _PAIRS_MEMO.get(key)
+    if out is None:
+        out = _PAIRS_MEMO[key] = similar_pairs_exact(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            threshold=threshold).materialize()
+    return out
+
+
 def _q_docs_similar_pairs_exact(sf_dir: str):
     """EXACT all-pairs word-3-shingle Jaccard >= 0.5 via the distributed
     inverted shingle index (stages/dedup.similar_pairs_exact) — the
     deterministic, SQL-oracled complement to the LSH candidate path (no
     recall probability anywhere)."""
-    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
-        similar_pairs_exact,
-    )
-
-    return similar_pairs_exact(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]),
-        threshold=0.5)
+    return _exact_pairs(sf_dir, threshold=0.5)
 
 
 def _q_docs_dedup_clusters(sf_dir: str):
@@ -4182,8 +4222,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pretrain_corpus":
             _q_docs_pretrain_corpus,  # oracled (r4 day-3, composed chain)
         "docs_bpe_merges": _q_docs_bpe_merges,  # rows-only (iterative)
-        # worked-example VALUES oracle beside it (merges hand-derived)
+        # worked-example VALUES oracles beside it (merges + inference
+        # token counts both hand-derived)
         "bpe_golden_merges": _q_bpe_golden_merges,  # oracled (r5)
+        "bpe_golden_token_counts":
+            _q_bpe_golden_token_counts,  # oracled (r5)
         "docs_bpe_token_counts":
             _q_docs_bpe_token_counts,  # rows-only (iterative)
         "orders_rollup": _q_orders_rollup,  # oracled (r4)
@@ -4990,6 +5033,9 @@ def _golden_oracles() -> dict[str, str]:
             float_cols=("link_score",)),
         "bpe_golden_merges": _values_sql(
             _BPE_GOLDEN_EXPECTED, ["rank", "left", "right", "pair_freq"]),
+        "bpe_golden_token_counts": _values_sql(
+            _BPE_GOLDEN_TOKEN_COUNTS,
+            ["doc_id", "n_words", "n_bpe_tokens"]),
         "semdedup_golden": _values_sql(
             sorted((m, m == min(g)) for g in _SEMDEDUP_GOLDEN_GROUPS
                    for m in g),

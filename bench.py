@@ -177,20 +177,75 @@ def _host_stalled(cond: dict) -> bool:
         or cond["steal_pct"] >= 5.0
 
 
+def _leg_stalled(leg: dict) -> bool:
+    """DURING-leg stall signature — the only window where external
+    contention can actually corrupt the measurement, and free of the
+    loadavg-decay ambiguity that plagues pre/post sampling (our own
+    finished 32-CPU leg inflates load1 for minutes): hypervisor steal
+    while our job runs, sustained I/O wait, or our own tasks sitting in
+    D-state while the CPU idles (the r4 "41.3 load at 99.9% idle"
+    signature, seen from inside the run).  The steal threshold matches
+    _host_stalled's long-standing 5% convention."""
+    return (leg["steal_med"] >= 5.0 or leg["iowait_med"] >= 15.0
+            or (leg["blocked_med"] >= 4 and leg["idle_med"] >= 50.0))
+
+
+def _run_leg_monitored(ncpu: int) -> tuple[dict, dict]:
+    """Run one bench leg in a subprocess while sampling /proc every 3 s;
+    returns (leg json, during-leg forensic medians)."""
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               GRAFT_SKIP_QUERIES="1")
+    proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                            env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    idles, iowaits, steals, blocked = [], [], [], []
+
+    def ticks():
+        with open("/proc/stat") as f:
+            cpu = list(map(int, f.readline().split()[1:]))
+            nblocked = 0
+            for line in f:
+                if line.startswith("procs_blocked"):
+                    nblocked = int(line.split()[1])
+        return cpu, nblocked
+
+    prev, _ = ticks()
+    while proc.poll() is None:
+        time.sleep(3)
+        cur, nb = ticks()
+        d = [y - x for x, y in zip(prev, cur)]
+        prev = cur
+        tot = max(sum(d), 1)
+        idles.append(100 * d[3] / tot)
+        iowaits.append(100 * d[4] / tot)
+        steals.append(100 * d[7] / tot if len(d) > 7 else 0.0)
+        blocked.append(nb)
+    out, err = proc.communicate()
+    if proc.returncode:
+        raise RuntimeError(f"bench leg ncpu={ncpu} failed: {err[-2000:]}")
+
+    def med(v):
+        s = sorted(v)
+        return round(s[len(s) // 2], 1) if s else 0.0
+
+    leg_forensics = {"idle_med": med(idles), "iowait_med": med(iowaits),
+                     "steal_med": med(steals), "blocked_med": med(blocked),
+                     "n_samples": len(idles)}
+    return json.loads(out.strip().splitlines()[-1]), leg_forensics
+
+
 def _scaling_once() -> dict:
     """One scaling sample: same pipeline at num_cpus=8 and 32 in fresh
-    processes, with host forensics bracketing the legs."""
+    monitored processes; cleanliness is judged on DURING-leg forensics
+    (pre/post loadavg snapshots are recorded for continuity but do not
+    enter the verdict — they cannot distinguish our own decaying load
+    from external tenancy)."""
     pre = _host_conditions()
-    results = {}
+    results, leg_cond = {}, {}
     for ncpu in (8, 32):
         # per-query timings don't enter the efficiency ratio — skip them in
         # the legs to shorten each run's exposure to VM timing noise
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SKIP_QUERIES="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        results[ncpu], leg_cond[ncpu] = _run_leg_monitored(ncpu)
     t8 = results[8]["value"]
     t32 = results[32]["value"]
     tput8 = results[8]["triples_per_sec"]
@@ -204,8 +259,24 @@ def _scaling_once() -> dict:
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
         "host_pre": pre, "host_post": post,
-        "host_clean": not (_host_stalled(pre) or _host_stalled(post)),
+        "leg_8cpu": leg_cond[8], "leg_32cpu": leg_cond[32],
+        "host_clean": not (_leg_stalled(leg_cond[8])
+                           or _leg_stalled(leg_cond[32])),
     }
+
+
+def _settle(max_wait: int = 180) -> None:
+    """Wait for load1 to decay below the stall threshold before sampling
+    host_pre: our own just-finished 32-CPU leg inflates 1-minute loadavg
+    for ~2 min even at 100% idle, which would otherwise be misread as the
+    external-stall signature and burn a retry.  Persistent external load
+    does NOT decay and correctly times out here."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        with open("/proc/loadavg") as f:
+            if float(f.read().split()[0]) < 8.0:
+                return
+        time.sleep(10)
 
 
 def scaling(retries: int = 1):
@@ -215,7 +286,9 @@ def scaling(retries: int = 1):
     MEASUREMENT CONDITIONS, never for a favorable ratio (an attempt with
     clean forensics is final whatever its efficiency)."""
     attempts = []
-    for _ in range(max(1, retries)):
+    for k in range(max(1, retries)):
+        if k:
+            _settle()
         rec = _scaling_once()
         attempts.append(rec)
         if rec["host_clean"]:
@@ -223,7 +296,8 @@ def scaling(retries: int = 1):
     final = dict(attempts[-1])
     final["attempts"] = [
         {k: a[k] for k in ("scaling_efficiency", "sec_8cpu", "sec_32cpu",
-                           "host_pre", "host_post", "host_clean")}
+                           "leg_8cpu", "leg_32cpu", "host_clean")
+         if k in a}
         for a in attempts]
     print(json.dumps(final))
 

@@ -93,8 +93,9 @@ PAST_WINDOW_PINS = {
     "docs_pretrain_corpus": (284, ["chunk_idx", "chunk_text", "doc_id",
                                    "n_tok"]),
     "docs_bpe_merges": (30, ["left", "pair_freq", "rank", "right"]),
-    # worked-example VALUES oracle beside it (hash-checked by full gate)
+    # worked-example VALUES oracles beside it (hash-checked by full gate)
     "bpe_golden_merges": (12, ["left", "pair_freq", "rank", "right"]),
+    "bpe_golden_token_counts": (4, ["doc_id", "n_bpe_tokens", "n_words"]),
     "docs_bpe_token_counts": (500, ["doc_id", "n_bpe_tokens",
                                     "n_words"]),
     # SQL-oracled past-window (full local gate hash-checks them)
