@@ -127,6 +127,8 @@ _GOLDEN_EDGE_COLS = ["subj", "pred", "obj", "subj_ent", "obj_ent", "weight",
 
 
 def _kg_golden() -> dict:
+    import shutil
+
     from chinese_open_relation_extraction_for_entgraph_ray.pipelines.kg import (
         build_kg,
     )
@@ -137,8 +139,16 @@ def _kg_golden() -> dict:
     out = _GOLDEN_MEMO.get("kg")
     if out is None:
         tdir = write_golden_transcripts("/tmp/entgraph_golden/transcripts")
+        # COLD build, once per process: the lineage fingerprint covers
+        # inputs + config, not CODE, and the gate exists precisely to
+        # catch pipeline-code regressions — resuming a checkpoint left by
+        # an older build would replay the old code's outputs and keep the
+        # gate green while the live pipeline is broken.  The corpus is
+        # tiny (~2 s build), so the cold run costs the window nothing.
+        shutil.rmtree("/tmp/entgraph_golden/kg", ignore_errors=True)
         out = _GOLDEN_MEMO["kg"] = build_kg(
-            tdir, "/tmp/entgraph_golden/kg", parse_concurrency=2)
+            tdir, "/tmp/entgraph_golden/kg", parse_concurrency=2,
+            resume=False)
     return out
 
 

@@ -193,11 +193,20 @@ def _leg_stalled(leg: dict) -> bool:
 def _run_leg_monitored(ncpu: int) -> tuple[dict, dict]:
     """Run one bench leg in a subprocess while sampling /proc every 3 s;
     returns (leg json, during-leg forensic medians)."""
+    import tempfile
+
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                GRAFT_SKIP_QUERIES="1")
+    # stdout/stderr go to temp FILES, not pipes: a leg that spews Ray
+    # warnings past the ~64 KB pipe buffer would block in write() and
+    # deadlock the poll loop below (pipes are only safe with a
+    # concurrent drain, which subprocess.run provided and this loop
+    # does not)
+    out_f = tempfile.TemporaryFile(mode="w+")
+    err_f = tempfile.TemporaryFile(mode="w+")
     proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
-                            env=env, stdout=subprocess.PIPE,
-                            stderr=subprocess.PIPE, text=True)
+                            env=env, stdout=out_f, stderr=err_f,
+                            text=True)
     idles, iowaits, steals, blocked = [], [], [], []
 
     def ticks():
@@ -220,7 +229,13 @@ def _run_leg_monitored(ncpu: int) -> tuple[dict, dict]:
         iowaits.append(100 * d[4] / tot)
         steals.append(100 * d[7] / tot if len(d) > 7 else 0.0)
         blocked.append(nb)
-    out, err = proc.communicate()
+    proc.wait()
+    out_f.seek(0)
+    out = out_f.read()
+    out_f.close()
+    err_f.seek(0)
+    err = err_f.read()
+    err_f.close()
     if proc.returncode:
         raise RuntimeError(f"bench leg ncpu={ncpu} failed: {err[-2000:]}")
 

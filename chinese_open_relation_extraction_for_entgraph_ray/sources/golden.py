@@ -107,11 +107,23 @@ def golden_transcripts_table() -> pa.Table:
 
 def write_golden_transcripts(out_dir: str) -> str:
     """Idempotent two-file parquet write (two files so the read, parse and
-    aggregate stages genuinely run multi-block)."""
+    aggregate stages genuinely run multi-block).
+
+    The done-marker is derived from the CORPUS CONTENT, so editing
+    GOLDEN_CONVS invalidates any previously written directory on every
+    machine — a stale fixed-name marker would silently serve the old
+    corpus and desynchronize the pipeline from golden_expected.py."""
+    import hashlib
+
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, "_DONE_golden_v1")
+    digest = hashlib.md5(
+        "\x1e".join("\x1f".join(turns) for turns in GOLDEN_CONVS)
+        .encode()).hexdigest()[:16]
+    marker = os.path.join(out_dir, f"_DONE_{digest}")
     if os.path.exists(marker):
         return out_dir
+    for stale in os.listdir(out_dir):      # stale markers/parquet
+        os.remove(os.path.join(out_dir, stale))
     t = golden_transcripts_table()
     half = (len(GOLDEN_CONVS) + 1) // 2
     cut = 0

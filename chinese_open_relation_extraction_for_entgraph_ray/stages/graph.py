@@ -46,10 +46,13 @@ import pyarrow as pa
 # per-round distributed aggregate is the right trade.
 BROADCAST_MAX_NODES = 200_000
 BROADCAST_MAX_EDGES = 50_000_000
-#: HITS driver-local sub-path bound: int64 (src, dst) index pairs pulled to
-#: the driver once instead of 2*iters distributed half-round scans
-#: (~32 MB at the bound; see hits()).
+#: HITS driver-local sub-path bounds: the RAW string (src, dst) pairs are
+#: pulled to the driver once instead of 2*iters distributed half-round
+#: scans, so both the row count AND the byte size must be bounded — long
+#: node ids (entity surfaces, document keys) make a row-count bound alone
+#: unbounded in bytes (see hits()).
 HITS_DRIVER_EDGES = 2_000_000
+HITS_DRIVER_BYTES = 256 * 1024 * 1024
 
 
 def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
@@ -611,8 +614,13 @@ def hits(edges_ds, *, src: str = "src", dst: str = "dst", iters: int = 4,
     # (broadcast_max_nodes/edges overrides), and falls through if the
     # observed node count exceeds the broadcast bound.
     n_edges_obs = edges.count()
+    try:
+        edge_bytes = edges.size_bytes() or 0
+    except Exception:
+        edge_bytes = HITS_DRIVER_BYTES + 1     # unknown -> not eligible
     if (broadcast_max_nodes > 0
-            and n_edges_obs <= min(HITS_DRIVER_EDGES, broadcast_max_edges)):
+            and n_edges_obs <= min(HITS_DRIVER_EDGES, broadcast_max_edges)
+            and edge_bytes <= HITS_DRIVER_BYTES):
         res = _hits_driver_local(edges, iters, broadcast_max_nodes)
         if res is not None:
             return res
@@ -801,13 +809,11 @@ def personalized_pagerank(edges_ds, restart_nodes: list[str], *,
         edges.map_batches(endpoints, batch_format="pyarrow"),
         ["node"], [("n", "sum")]).materialize()
     n_nodes = nodes.count()
-    if n_nodes == 0:
-        return __import__("ray").data.from_arrow(pa.schema(
-            [("node", pa.string()),
-             ("rank", pa.float64())]).empty_table())
 
-    # seed validation BEFORE dispatch, distributed (bounded: the filter
-    # returns at most len(restart_nodes) rows regardless of graph size)
+    # seed validation BEFORE dispatch AND before any empty-graph
+    # shortcut (an empty graph with requested seeds is the mistyped-seed
+    # case, not a quiet no-op); distributed and bounded — the filter
+    # returns at most len(restart_nodes) rows regardless of graph size
     want = sorted(set(restart_nodes))
     if not want:
         raise ValueError("personalized_pagerank: empty restart_nodes")

@@ -217,6 +217,17 @@ def test_personalized_pagerank_localization_and_weights(ray_session):
         personalized_pagerank(ds, ["zz"], weight="w")
     with pytest.raises(ValueError, match="zz"):
         personalized_pagerank(ds, ["s", "zz"], weight="w")
+    # an EMPTY graph with requested seeds is the same mistyped-seed case,
+    # not a quiet no-op (r5 review: the old empty-graph shortcut bypassed
+    # the validation)
+    import pandas as pd
+    import ray.data
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"src": pd.Series([], dtype=str),
+                      "dst": pd.Series([], dtype=str)}))
+    with pytest.raises(ValueError, match="not present in the graph"):
+        personalized_pagerank(empty, ["s"])
 
 
 def test_personalized_pagerank_join_path_parity(ray_session):
