@@ -79,6 +79,8 @@ PAST_WINDOW_PINS = {
     "embeddings_kmeans": (500, ["cluster", "cosine_to_centroid",
                                 "vec_id"]),
     "docs_top_tokens_approx": (20, ["approx_count", "value"]),
+    # hand-derivable MG-compression VALUES oracle (hash-checked by gate)
+    "mg_golden_topk": (3, ["approx_count", "value"]),
     # SQL-oracled past-window (full local gate hash-checks them)
     "docs_duplicate_spans": (47, ["doc_id", "span_end", "span_start"]),
     "docs_substring_deduped": (500, ["cleaned_md5", "doc_id",
