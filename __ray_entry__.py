@@ -186,6 +186,33 @@ def _q_kg_golden_edges(sf_dir: str):
     return _kg_golden()["edges"].map_batches(shape, batch_format="pyarrow")
 
 
+def _q_kg_golden_sentences(sf_dir: str):
+    """Preprocessing stage over the golden corpus: turn -> kept sentence
+    rows.  The oracle is built INDEPENDENTLY from GOLDEN_CONVS by the
+    trivial split rule the corpus was designed to satisfy (chunks ending
+    at 。 with >4 Chinese chars; noise turns yield nothing) — a
+    compositional check of explode_turns, not a pin of its output."""
+    return _kg_golden()["sentences"]
+
+
+def _q_kg_golden_entities(sf_dir: str):
+    """Entity aggregation over the golden corpus.  The oracle DERIVES
+    mention counts from the pinned edges VALUES (sum of weight over
+    non-empty subj_ent/obj_ent sides) — verifying aggregate_entities
+    compositionally against the already-oracled edge table."""
+    return _kg_golden()["entities"]
+
+
+def _q_kg_golden_rel_kind_counts(sf_dir: str):
+    """Per-stream triple counts over the golden corpus (the reference's
+    per-slice stats totals); oracle = GROUP BY over the pinned triples
+    VALUES — compositional, not a separate pin."""
+    from ray.data.aggregate import Count
+
+    return _kg_golden()["triples"].groupby("rel_kind").aggregate(
+        Count(alias_name="n_triples"))
+
+
 def _q_kg_golden_coref_delta(sf_dir: str):
     """Coref branch over the golden pronoun conversation (golden-0005):
     delta triples found only after antecedent substitution, VALUES-oracled."""
@@ -4237,6 +4264,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sentences": _q_kg_sentences,
         "kg_entities": _q_kg_entities,
         "kg_rel_kind_counts": _q_kg_rel_kind_counts,
+        # golden-stage compositional oracles beside the full-corpus
+        # variants (sentences from the independent split rule; entities /
+        # rel-kind counts derived in SQL from the pinned edges/triples)
+        "kg_golden_sentences": _q_kg_golden_sentences,       # oracled r5
+        "kg_golden_entities": _q_kg_golden_entities,         # oracled r5
+        "kg_golden_rel_kind_counts":
+            _q_kg_golden_rel_kind_counts,                    # oracled r5
         "kg_sample": _q_kg_sample,
         "kg_mentions": _q_kg_mentions,
         "kg_coref_chain_buckets": _q_kg_coref_chain_buckets,
@@ -5086,6 +5120,58 @@ def _golden_oracles() -> dict[str, str]:
             sorted((m, m == min(g)) for g in _SEMDEDUP_GOLDEN_GROUPS
                    for m in g),
             ["vec_id", "keep"], bool_cols=("keep",)),
+        **_golden_derived_oracles(),
+    }
+
+
+def _golden_sentences_values() -> str:
+    """Expected golden sentence rows, derived from GOLDEN_CONVS by an
+    INDEPENDENT split rule (not textnorm.split_text): chunks ending at 。
+    with more than 4 Chinese characters are kept, in order.  The golden
+    corpus is designed so this trivial rule and the full normalizer agree
+    (clean text, no #/::/space noise, every template sentence ends 。)."""
+    import re
+
+    from chinese_open_relation_extraction_for_entgraph_ray.sources.golden import (
+        GOLDEN_CONVS,
+    )
+
+    rows = []
+    for ci, turns in enumerate(GOLDEN_CONVS):
+        for ti, text in enumerate(turns):
+            kept = [c for c in re.findall(r"[^。]*。", text)
+                    if sum("一" <= ch <= "鿿" for ch in c) > 4]
+            for si, sent in enumerate(kept):
+                rows.append((f"golden-{ci:04d}", ti, si, sent))
+    return _values_sql(rows, ["conv_id", "turn_idx", "sent_idx", "text"])
+
+
+def _golden_derived_oracles() -> dict[str, str]:
+    """Compositional oracles for the golden stage outputs: sentences from
+    the independent split rule; entities and rel-kind counts DERIVED in
+    SQL from the already-pinned edges/triples VALUES."""
+    from chinese_open_relation_extraction_for_entgraph_ray.sources.golden_expected import (
+        EXPECTED_EDGES,
+        EXPECTED_TRIPLES,
+    )
+
+    edges_vals = _values_sql(EXPECTED_EDGES, _GOLDEN_EDGE_COLS)
+    triples_vals = _values_sql(
+        EXPECTED_TRIPLES, _GOLDEN_TRIPLE_COLS,
+        float_cols=("subj_idx", "obj_idx"), bool_cols=("negated",))
+    return {
+        "kg_golden_sentences": _golden_sentences_values(),
+        "kg_golden_entities": f"""
+            SELECT entity_id, sum(weight)::BIGINT AS mention_count
+            FROM (SELECT subj_ent AS entity_id, weight
+                  FROM ({edges_vals}) WHERE subj_ent <> ''
+                  UNION ALL
+                  SELECT obj_ent, weight
+                  FROM ({edges_vals}) WHERE obj_ent <> '')
+            GROUP BY entity_id""",
+        "kg_golden_rel_kind_counts": f"""
+            SELECT rel_kind, count(*)::BIGINT AS n_triples
+            FROM ({triples_vals}) GROUP BY rel_kind""",
     }
 
 

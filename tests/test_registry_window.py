@@ -54,6 +54,11 @@ PAST_WINDOW_PINS = {
     "kg_sentences": (1287, ["conv_id", "sent_idx", "text", "turn_idx"]),
     "kg_entities": (58, ["entity_id", "mention_count"]),
     "kg_rel_kind_counts": (5, ["n_triples", "rel_kind"]),
+    # golden-stage compositional oracles (hash-checked by the full gate)
+    "kg_golden_sentences": (28, ["conv_id", "sent_idx", "text",
+                                 "turn_idx"]),
+    "kg_golden_entities": (19, ["entity_id", "mention_count"]),
+    "kg_golden_rel_kind_counts": (5, ["n_triples", "rel_kind"]),
     "kg_sample": (40, ["obj", "obj_ent", "pred", "sample_conv_id",
                        "sample_turn_idx", "subj", "subj_ent", "weight"]),
     "kg_mentions": (3533, ["conv_id", "entity_id", "label", "link_score",
