@@ -235,6 +235,85 @@ def _q_kg_golden_mentions_corefed(sf_dir: str):
     return mentions_with_coref(kg["sentences"], kg["parses"], concurrency=2)
 
 
+def _q_kg_golden_pagerank(sf_dir: str):
+    """PageRank over the golden canonical edge graph — hash-checks the
+    flagship COMPOSITION cascade -> canonicalize -> graph analytics
+    end-to-end: the engine ranks its LIVE golden edges while the DuckDB
+    oracle independently unrolls the identical float64 update rule over
+    the PINNED edges VALUES (sources/golden_expected.EXPECTED_EDGES) —
+    the SQL-green companion of the rows-only full-corpus kg_pagerank."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        pagerank,
+    )
+
+    def non_empty(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.not_equal(batch.column("subj"), ""),
+                    pc.not_equal(batch.column("obj"), ""))
+        t = batch.filter(m)
+        return pa.Table.from_arrays([t.column("subj"), t.column("obj")],
+                                    names=["src", "dst"])
+
+    edges = _kg_golden()["edges"].map_batches(non_empty,
+                                              batch_format="pyarrow")
+    ranks = pagerank(edges, iters=4, tol=None).materialize()
+    n_nodes = ranks.count()
+
+    def scale(t: pa.Table, _n=n_nodes) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("node"),
+             pc_round_away(pc.multiply(t.column("rank"),
+                                       pa.scalar(float(_n))), 6)],
+            names=["node", "rank_scaled"])
+
+    return ranks.map_batches(scale, batch_format="pyarrow")
+
+
+def _golden_linked_triples():
+    """(pred, subj, obj) over the LIVE golden cascade output — linked
+    argument pairs only (both ents non-null), the EntGraph construction
+    input shape (mirrors _linked_cascade_triples at golden scale)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def linked(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch.column("subj_ent")),
+                    pc.is_valid(batch.column("obj_ent")))
+        t = batch.filter(m)
+        return pa.Table.from_arrays(
+            [t.column("pred"), t.column("subj_ent"), t.column("obj_ent")],
+            names=["pred", "subj", "obj"])
+
+    return _kg_golden()["triples"].map_batches(linked,
+                                               batch_format="pyarrow")
+
+
+def _q_kg_golden_predicate_entailment(sf_dir: str):
+    """EntGraph local cosine over the golden cascade triples — the
+    SQL-green companion of the rows-only kg_predicate_similarity: the
+    oracle recomputes the argument-pair count vectors and cosines in
+    DuckDB from the PINNED triples VALUES, so the whole chain
+    cascade -> link -> entgraph scoring is hash-checked."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.entgraph import (
+        predicate_similarity,
+    )
+
+    return predicate_similarity(_golden_linked_triples())
+
+
+def _q_kg_golden_predicate_binc(sf_dir: str):
+    """Directional Weeds/Lin/BInc over the golden cascade triples
+    (SQL-green companion of kg_predicate_binc; same pinned-VALUES
+    derivation as kg_golden_predicate_entailment)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.entgraph import (
+        entailment_scores,
+    )
+
+    return entailment_scores(_golden_linked_triples())
+
+
 def _q_kg_entities(sf_dir: str):
     return _kg(sf_dir)["entities"]
 
@@ -4259,6 +4338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "kg_rejected_turns": _q_kg_rejected_turns,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_golden_pagerank": _q_kg_golden_pagerank,  # oracled (r5)
         "kg_transe_embeddings": _q_kg_transe_embeddings,  # rows-only (r4)
         "kg_link_prediction": _q_kg_link_prediction,  # rows-only (r4)
         "kg_sentences": _q_kg_sentences,
@@ -4353,9 +4433,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_predicate_entailment":
             _q_transcripts_predicate_entailment,  # oracled (r4)
         "kg_predicate_similarity": _q_kg_predicate_similarity,
+        "kg_golden_predicate_entailment":
+            _q_kg_golden_predicate_entailment,  # oracled (r5)
         "transcripts_predicate_binc":
             _q_transcripts_predicate_binc,  # oracled (r4)
         "kg_predicate_binc": _q_kg_predicate_binc,
+        "kg_golden_predicate_binc":
+            _q_kg_golden_predicate_binc,  # oracled (r5)
         "transcripts_predicate_clusters":
             _q_transcripts_predicate_clusters,  # oracled (r4)
         "transcripts_triple_temporal":
@@ -5172,6 +5256,64 @@ def _golden_derived_oracles() -> dict[str, str]:
         "kg_golden_rel_kind_counts": f"""
             SELECT rel_kind, count(*)::BIGINT AS n_triples
             FROM ({triples_vals}) GROUP BY rel_kind""",
+        # PageRank recomputed INDEPENDENTLY in DuckDB (unrolled float64
+        # update rule) over the pinned edge multiset — one row per
+        # canonical (subj, pred, obj) edge with both endpoints non-empty,
+        # exactly the engine-side graph in _q_kg_golden_pagerank.
+        "kg_golden_pagerank": _pagerank_sql(edges_sql=f"""
+            SELECT subj AS src, obj AS dst FROM ({edges_vals})
+            WHERE subj <> '' AND obj <> ''"""),
+        # EntGraph scores recomputed from the pinned triples VALUES: the
+        # feature vectors (argument-pair counts of linked triples) and the
+        # cosine / Weeds / Lin / BInc math are all DuckDB-side.
+        "kg_golden_predicate_entailment": f"""
+            WITH feat AS (SELECT pred, subj_ent AS subj, obj_ent AS obj,
+                                 count(*)::BIGINT AS cnt
+                          FROM ({triples_vals})
+                          WHERE subj_ent IS NOT NULL
+                            AND obj_ent IS NOT NULL
+                          GROUP BY 1, 2, 3),
+            nrm AS (SELECT pred, sum(cnt * cnt)::BIGINT AS sq
+                    FROM feat GROUP BY 1),
+            dots AS (SELECT x.pred AS pred_a, y.pred AS pred_b,
+                            sum(x.cnt * y.cnt)::BIGINT AS dot,
+                            count(*)::BIGINT AS n_shared
+                     FROM feat x JOIN feat y
+                       ON x.subj = y.subj AND x.obj = y.obj
+                      AND x.pred < y.pred
+                     GROUP BY 1, 2)
+            SELECT pred_a, pred_b, n_shared, dot,
+                   round(dot / sqrt(nx.sq::DOUBLE * ny.sq::DOUBLE), 4)
+                       AS cosine
+            FROM dots JOIN nrm nx ON nx.pred = pred_a
+                      JOIN nrm ny ON ny.pred = pred_b""",
+        "kg_golden_predicate_binc": f"""
+            WITH feat AS (SELECT pred, subj_ent AS subj, obj_ent AS obj,
+                                 count(*)::BIGINT AS cnt
+                          FROM ({triples_vals})
+                          WHERE subj_ent IS NOT NULL
+                            AND obj_ent IS NOT NULL
+                          GROUP BY 1, 2, 3),
+            tot AS (SELECT pred, sum(cnt)::BIGINT AS tot
+                    FROM feat GROUP BY 1),
+            shr AS (SELECT x.pred AS pred_a, y.pred AS pred_b,
+                           sum(x.cnt)::BIGINT AS sa,
+                           sum(y.cnt)::BIGINT AS sb,
+                           count(*)::BIGINT AS n_shared
+                    FROM feat x JOIN feat y
+                      ON x.subj = y.subj AND x.obj = y.obj
+                     AND x.pred < y.pred
+                    GROUP BY 1, 2)
+            SELECT pred_a, pred_b, n_shared,
+                   round(sa / ta.tot::DOUBLE, 4) AS weeds_ab,
+                   round(sb / tb.tot::DOUBLE, 4) AS weeds_ba,
+                   round((sa + sb) / (ta.tot + tb.tot)::DOUBLE, 4) AS lin,
+                   round(sqrt(((sa + sb) / (ta.tot + tb.tot)::DOUBLE)
+                              * (sa / ta.tot::DOUBLE)), 4) AS binc_ab,
+                   round(sqrt(((sa + sb) / (ta.tot + tb.tot)::DOUBLE)
+                              * (sb / tb.tot::DOUBLE)), 4) AS binc_ba
+            FROM shr JOIN tot ta ON ta.pred = pred_a
+                     JOIN tot tb ON tb.pred = pred_b""",
     }
 
 

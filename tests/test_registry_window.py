@@ -47,6 +47,15 @@ PAST_WINDOW_PINS = {
     "multimodal_features": (500, ["doc_id", "feature_norm"]),
     "kg_rejected_turns": (159, ["conv_id", "turn_idx"]),
     "kg_pagerank": (109, ["node", "rank"]),
+    # golden-composition oracles, r5 (hash-checked by the full gate):
+    # cascade -> canonicalize -> pagerank / entgraph scoring, recomputed
+    # independently in DuckDB over the pinned golden VALUES
+    "kg_golden_pagerank": (41, ["node", "rank_scaled"]),
+    "kg_golden_predicate_entailment": (9, ["cosine", "dot", "n_shared",
+                                           "pred_a", "pred_b"]),
+    "kg_golden_predicate_binc": (9, ["binc_ab", "binc_ba", "lin",
+                                     "n_shared", "pred_a", "pred_b",
+                                     "weeds_ab", "weeds_ba"]),
     "kg_transe_embeddings": (259, ["embedding", "final_loss", "kind",
                                    "name"]),
     "kg_link_prediction": (1, ["hits_at_1", "hits_at_10", "mrr",
