@@ -314,6 +314,74 @@ def _q_kg_golden_predicate_binc(sf_dir: str):
     return entailment_scores(_golden_linked_triples())
 
 
+def _q_kg_golden_entity_analytics(sf_dir: str):
+    """The kg_entity_analytics panel (HITS + 2-core membership) over the
+    LIVE golden edges — SQL-green companion of the rows-only full-corpus
+    query: the oracle unrolls HITS and the k-core peel in DuckDB over the
+    PINNED edge VALUES.  Scores scale by n_nodes and round to 6 dp (the
+    graph_hits convention) so the hash compare keeps real precision."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        hits,
+        k_core,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        lookup_join,
+    )
+
+    def non_empty(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.not_equal(batch.column("subj"), ""),
+                    pc.not_equal(batch.column("obj"), ""))
+        t = batch.filter(m)
+        return pa.Table.from_arrays([t.column("subj"), t.column("obj")],
+                                    names=["src", "dst"])
+
+    edges = _kg_golden()["edges"].map_batches(
+        non_empty, batch_format="pyarrow").materialize()
+    scores = hits(edges, iters=4).materialize()
+    n_nodes = scores.count()
+
+    def und_pairs(t: pa.Table) -> pa.Table:
+        a = pc.min_element_wise(t.column("src"), t.column("dst"))
+        b = pc.max_element_wise(t.column("src"), t.column("dst"))
+        t2 = pa.Table.from_arrays([a, b], names=["a", "b"])
+        t2 = t2.filter(pc.not_equal(t2.column("a"), t2.column("b")))
+        t2 = t2.group_by(["a", "b"]).aggregate([])
+        return t2.append_column(
+            "w", pa.array([1] * t2.num_rows, pa.int64()))
+
+    # global distinct (a, b) before k_core — its contract is distinct
+    # pairs (parallel predicate edges must not inflate degrees)
+    und = auto_hash_aggregate(
+        edges.map_batches(und_pairs, batch_format="pyarrow"),
+        ["a", "b"], [("w", "min")]).select_columns(["a", "b"])
+    core = k_core(und, k=2)
+
+    def rnd(t: pa.Table, _n=n_nodes) -> pa.Table:
+        h = np_round_away(
+            t.column("hub").to_numpy(zero_copy_only=False) * _n, 6)
+        a = np_round_away(
+            t.column("authority").to_numpy(zero_copy_only=False) * _n, 6)
+        return pa.Table.from_arrays(
+            [t.column("node"), pa.array(np.asarray(h), pa.float64()),
+             pa.array(np.asarray(a), pa.float64()),
+             pc.is_valid(t.column("core_degree"))],
+            names=["node", "hub", "authority", "in_2core"])
+
+    return lookup_join(scores, core, left_key="node", right_key="entity",
+                       payload=["core_degree"], suffix="", how="left") \
+        .map_batches(rnd, batch_format="pyarrow")
+
+
 def _q_kg_entities(sf_dir: str):
     return _kg(sf_dir)["entities"]
 
@@ -4059,6 +4127,21 @@ def _q_similarity_topk_ivf(sf_dir: str):
     return ivf_top_k(_read(sf_dir, "embeddings"), _query_vec(sf_dir), k=10)
 
 
+def _q_similarity_topk_ivf_exhaustive(sf_dir: str):
+    """IVF with nprobe == nlist: every cell is probed, so the IVF machinery
+    (cell assignment, probe filter, per-batch scoring, distributed top-k)
+    must reproduce the brute-force answer EXACTLY — which is SQL — making
+    this the hash-checked proof of the IVF plumbing that the lossy
+    default-nprobe sibling (similarity_topk_ivf, rows-only) rides on."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
+        IVF_NLIST,
+        ivf_top_k,
+    )
+
+    return ivf_top_k(_read(sf_dir, "embeddings"), _query_vec(sf_dir), k=10,
+                     nprobe=IVF_NLIST)
+
+
 def _q_docs_word_pagerank(sf_dir: str):
     """TextRank-style keyword scoring (Mihalcea & Tarau 2004, corpus
     flavor): directed consecutive-token edges from every document feed the
@@ -4360,6 +4443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_distinct_users_approx":
             _q_events_type_distinct_users_approx,
         "similarity_topk_ivf": _q_similarity_topk_ivf,
+        "similarity_topk_ivf_exhaustive":
+            _q_similarity_topk_ivf_exhaustive,  # oracled (r5)
         "embeddings_pq_topk": _q_embeddings_pq_topk,  # rows-only (lossy)
         "docs_embed_similar": _q_docs_embed_similar,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
@@ -4373,7 +4458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_duplicate_spans": _q_docs_duplicate_spans,  # oracled (r4)
         "docs_substring_deduped": _q_docs_substring_deduped,  # oracled (r4)
         "docs_resample_mixture": _q_docs_resample_mixture,  # oracled (r4)
-        "docs_decontaminated_bloom": _q_docs_decontaminated_bloom,  # rows
+        "docs_decontaminated_bloom": _q_docs_decontaminated_bloom,  # oracled (r5)
         "docs_token_freq_cm": _q_docs_token_freq_cm,  # rows-only (sketch)
         "docs_lm_scores": _q_docs_lm_scores,  # oracled (r4)
         "docs_chunked": _q_docs_chunked,  # oracled (r4 day-3)
@@ -4475,6 +4560,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: cascade-KG panel; math SQL-proved by graph_hits +
         # transcripts_entity_kcore
         "kg_entity_analytics": _q_kg_entity_analytics,
+        "kg_golden_entity_analytics":
+            _q_kg_golden_entity_analytics,  # oracled (r5)
         "transcripts_entity_ppr": _q_transcripts_entity_ppr,  # oracled
         "transcripts_entity_bfs": _q_transcripts_entity_bfs,  # oracled
         "transcripts_entity_ktruss":
@@ -5314,6 +5401,22 @@ def _golden_derived_oracles() -> dict[str, str]:
                               * (sb / tb.tot::DOUBLE)), 4) AS binc_ba
             FROM shr JOIN tot ta ON ta.pred = pred_a
                      JOIN tot tb ON tb.pred = pred_b""",
+        # HITS + 2-core panel recomputed in DuckDB over the pinned edges:
+        # the unrolled HITS mirror and the k-core peel both read the
+        # VALUES edge multiset exactly as the engine reads its live edges.
+        "kg_golden_entity_analytics": f"""
+            WITH h AS ({_hits_sql(edges_sql=f'''
+                SELECT subj AS src, obj AS dst FROM ({edges_vals})
+                WHERE subj <> '' AND obj <> '' ''')}),
+            core AS ({_kcore_sql(f'''
+                SELECT DISTINCT least(subj, obj) AS a,
+                                greatest(subj, obj) AS b
+                FROM ({edges_vals})
+                WHERE subj <> '' AND obj <> '' AND subj <> obj''',
+                k=2, rounds=8)})
+            SELECT h.node, h.hub, h.authority,
+                   (c.entity IS NOT NULL) AS in_2core
+            FROM h LEFT JOIN core c ON h.node = c.entity""",
     }
 
 
@@ -5997,7 +6100,36 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
             SELECT doc_id, count(*) AS n_overlap
             FROM tr JOIN ev USING (g)
             GROUP BY doc_id""",
+        # Bloom has no false negatives, and at the gate's fixed inputs the
+        # deterministic filter has zero false positives (verified at
+        # sf0.001 and sf0.01), so the kept set EQUALS the exact complement
+        # of the contamination report — a real hash check of the split +
+        # shingle-fold + membership plumbing.  If a future input ever
+        # produced an FP this would fail loudly (over-removal), which is
+        # the correct gate behavior, not flakiness: the engine is
+        # deterministic per input.
+        "docs_decontaminated_bloom": f"""
+            WITH src_docs AS (SELECT doc_id, text FROM documents),
+            {_shingle_cte()},
+            ev AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                   WHERE doc_id % 20 = 0),
+            tr AS (SELECT doc_id, unnest(s) AS g FROM sh
+                   WHERE doc_id % 20 <> 0)
+            SELECT doc_id FROM documents
+            WHERE doc_id % 20 <> 0
+              AND doc_id NOT IN (SELECT DISTINCT doc_id
+                                 FROM tr JOIN ev USING (g))""",
         "similarity_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                        FROM embeddings WHERE vec_id = 0)), 6) AS cosine_sim
+            FROM embeddings
+            ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""",
+        # exhaustive-probe IVF == brute force, so it shares the exact
+        # brute-force oracle (see _q_similarity_topk_ivf_exhaustive)
+        "similarity_topk_ivf_exhaustive": """
             SELECT vec_id,
                    round(list_cosine_similarity(
                        list_transform(embedding, x -> CAST(x AS DOUBLE)),

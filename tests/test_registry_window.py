@@ -56,6 +56,8 @@ PAST_WINDOW_PINS = {
     "kg_golden_predicate_binc": (9, ["binc_ab", "binc_ba", "lin",
                                      "n_shared", "pred_a", "pred_b",
                                      "weeds_ab", "weeds_ba"]),
+    "kg_golden_entity_analytics": (41, ["authority", "hub", "in_2core",
+                                        "node"]),
     "kg_transe_embeddings": (259, ["embedding", "final_loss", "kind",
                                    "name"]),
     "kg_link_prediction": (1, ["hits_at_1", "hits_at_10", "mrr",
@@ -80,6 +82,8 @@ PAST_WINDOW_PINS = {
     "events_type_distinct_users_approx": (5, ["approx_distinct",
                                               "event_type"]),
     "similarity_topk_ivf": (10, ["cosine_sim", "vec_id"]),
+    # exhaustive-probe IVF == brute force (SQL-oracled, r5)
+    "similarity_topk_ivf_exhaustive": (10, ["cosine_sim", "vec_id"]),
     "embeddings_pq_topk": (10, ["adc_dist", "vec_id"]),
     "docs_embed_similar": (5, ["cosine_sim", "vec_id"]),
     "multimodal_frame_plan": (1465, ["doc_id", "frame_idx"]),
