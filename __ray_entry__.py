@@ -3306,6 +3306,30 @@ def _q_embeddings_kmeans(sf_dir: str):
     return assigned
 
 
+def _q_embeddings_kmeans_explicit(sf_dir: str):
+    """The SAME distributed Lloyd machinery as embeddings_kmeans, but from
+    an explicit quantile-rank init (cluster i starts at the vector of
+    vec_id rank i*n//16) instead of the seeded driver sample — making the
+    whole 4-round computation a pure function of the data that DuckDB can
+    mirror round for round (unrolled CTE, see _kmeans_sql).  This is the
+    hash-checked proof of the distributed partial-sum/assign plumbing that
+    the rows-only seeded sibling rides on (same promotion pattern as
+    similarity_topk_ivf_exhaustive).  The rank scan is a one-column
+    driver-side sort — fine for the verification companion; the seeded
+    sample is the scale path."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.kmeans import (
+        kmeans_embeddings,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ids = sorted(r["vec_id"]
+                 for r in ds.select_columns(["vec_id"]).take_all())
+    init = [ids[i * len(ids) // 16] for i in range(16)]
+    assigned, _ = kmeans_embeddings(ds, n_clusters=16, iters=4,
+                                    init_ids=init)
+    return assigned
+
+
 def _q_docs_tfidf_top_terms(sf_dir: str):
     """Per-doc TF-IDF top-5 terms (stages/tfidf.py): in-batch tf, one df
     aggregate, one lookup join, one grouped top-k — ranking on the ROUNDED
@@ -4452,6 +4476,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_sequences": _q_docs_pack_sequences,   # oracled (r4)
         "docs_tfidf_top_terms": _q_docs_tfidf_top_terms,  # oracled (r4)
         "embeddings_kmeans": _q_embeddings_kmeans,   # rows-only (iterative)
+        # explicit-init Lloyd == pure function of the data (SQL, r5)
+        "embeddings_kmeans_explicit": _q_embeddings_kmeans_explicit,
         "docs_top_tokens_approx": _q_docs_top_tokens_approx,  # rows-only
         # hand-derivable MG-compression VALUES oracle beside it
         "mg_golden_topk": _q_mg_golden_topk,  # oracled (r5)
@@ -4723,6 +4749,73 @@ def _hits_sql(edges_sql: str | None = None, iters: int = 4) -> str:
         SELECT node, round(h * (SELECT n FROM nn), 6) AS hub,
                round(a * (SELECT n FROM nn), 6) AS authority
         FROM s{iters}"""
+
+
+def _kmeans_sql(k: int = 16, iters: int = 4) -> str:
+    """Unrolled fixed-round spherical k-means — the exact float64 update
+    rule of ``stages/kmeans._lloyd_rounds`` (assign = argmax cosine, ties
+    to lowest cluster id; update = member mean, empty cluster keeps its
+    previous centroid; L2-normalize per round) from the quantile-rank
+    explicit init of ``embeddings_kmeans_explicit``.  Long (vec, dim)
+    format so dot products and means are plain joins + aggregates;
+    MATERIALIZED per round for the usual 3^rounds-inlining reason."""
+    parts = [
+        """v AS MATERIALIZED (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings)""",
+        """ve AS (SELECT vec_id, rn,
+                         generate_subscripts(e, 1) - 1 AS i,
+                         unnest(e) AS x
+                  FROM v)""",
+        """u AS MATERIALIZED (
+            SELECT ve.vec_id, ve.rn, ve.i,
+                   ve.x / (CASE WHEN nr.nrm = 0 THEN 1
+                                ELSE nr.nrm END) AS x
+            FROM ve JOIN (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+                          FROM ve GROUP BY vec_id) nr USING (vec_id))""",
+        f"""c0 AS MATERIALIZED (
+            SELECT t.ci AS cluster, u.i, u.x
+            FROM range({k}) t(ci)
+            JOIN u ON u.rn = (t.ci * (SELECT count(*) FROM v)) // {k})""",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(f"""
+            a{r} AS MATERIALIZED (
+                SELECT vec_id, cluster FROM (
+                    SELECT u.vec_id, c.cluster,
+                           row_number() OVER (
+                               PARTITION BY u.vec_id
+                               ORDER BY sum(u.x * c.x) DESC,
+                                        c.cluster ASC) AS rk
+                    FROM u JOIN c{r - 1} c USING (i)
+                    GROUP BY u.vec_id, c.cluster)
+                WHERE rk = 1)""")
+        parts.append(f"""
+            cr{r} AS (SELECT p.cluster, p.i, coalesce(m.x, p.x) AS x
+                      FROM c{r - 1} p LEFT JOIN
+                           (SELECT a.cluster, u.i, avg(u.x) AS x
+                            FROM a{r} a JOIN u USING (vec_id)
+                            GROUP BY a.cluster, u.i) m
+                           ON p.cluster = m.cluster AND p.i = m.i)""")
+        parts.append(f"""
+            c{r} AS MATERIALIZED (
+                SELECT cr.cluster, cr.i,
+                       cr.x / (CASE WHEN cn.nrm = 0 THEN 1
+                                    ELSE cn.nrm END) AS x
+                FROM cr{r} cr JOIN
+                     (SELECT cluster, sqrt(sum(x * x)) AS nrm
+                      FROM cr{r} GROUP BY cluster) cn USING (cluster))""")
+    return f"""
+        WITH {', '.join(parts)}
+        SELECT vec_id, cluster, round(dot, 6) AS cosine_to_centroid
+        FROM (SELECT u.vec_id, c.cluster, sum(u.x * c.x) AS dot,
+                     row_number() OVER (PARTITION BY u.vec_id
+                         ORDER BY sum(u.x * c.x) DESC,
+                                  c.cluster ASC) AS rk
+              FROM u JOIN c{iters} c USING (i)
+              GROUP BY u.vec_id, c.cluster)
+        WHERE rk = 1"""
 
 
 def _ktruss_sql(tglob: str, k: int = 24, rounds: int = 10) -> str:
@@ -6138,6 +6231,9 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""",
         "simhash_near_dups": _simhash_pairs_sql(),
+        # 4 unrolled Lloyd rounds from the quantile-rank explicit init —
+        # mirrors stages/kmeans._lloyd_rounds bit-for-bit up to 6 dp
+        "embeddings_kmeans_explicit": _kmeans_sql(),
         "graph_pagerank": _pagerank_sql(),
         "minhash_candidate_pairs": _minhash_pairs_sql(),
         # past-window but still oracled: hash-checked by the full local

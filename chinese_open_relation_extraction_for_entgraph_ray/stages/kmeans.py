@@ -43,12 +43,47 @@ def _partial_sums(batch: pa.Table, centroids: np.ndarray) -> pa.Table:
 
 def kmeans_embeddings(embeddings_ds, *, n_clusters: int = 16,
                       iters: int = 4, train_sample: int = 4096,
-                      id_col: str = "vec_id"):
+                      id_col: str = "vec_id",
+                      init_ids: "list | None" = None):
     """embeddings -> one row per vector: (id_col, cluster,
     cosine_to_centroid), plus the trained centroids as the second return
-    value (k x dim numpy)."""
+    value (k x dim numpy).
+
+    ``init_ids`` (optional): explicit id_col values whose normalized
+    embeddings become the initial centroids, in the listed order, and the
+    seeded-sample warm-up round is skipped — cluster i starts at
+    init_ids[i] exactly.  This makes the WHOLE computation a pure
+    function of (init_ids, iters, data), reproducible by any engine —
+    the cross-engine verification seam (the DuckDB oracle of
+    ``embeddings_kmeans_explicit`` mirrors it round for round); the
+    seeded-sample default stays the scale path."""
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    if init_ids is not None:
+        if len(init_ids) != n_clusters:
+            raise ValueError(
+                f"init_ids has {len(init_ids)} entries for "
+                f"n_clusters={n_clusters}")
+        if len(set(init_ids)) != len(init_ids):
+            raise ValueError("init_ids must be distinct")
+        wanted = set(init_ids)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return batch.filter(
+                pc.is_in(batch.column(id_col),
+                         pa.array(list(wanted),
+                                  batch.schema.field(id_col).type)))
+
+        rows = embeddings_ds.map_batches(
+            pick, batch_format="pyarrow").take_all()
+        by_id = {r[id_col]: r["embedding"] for r in rows}
+        missing = [i for i in init_ids if i not in by_id]
+        if missing:
+            raise ValueError(f"init_ids not found in dataset: {missing}")
+        centroids = normalize(np.asarray(
+            [by_id[i] for i in init_ids], dtype=np.float64))
+        return _lloyd_rounds(embeddings_ds, centroids, iters, id_col)
     sample_rows = embeddings_ds.limit(train_sample).take_all()
     if not sample_rows:
         empty = pa.schema([(id_col, pa.int64()),
@@ -63,7 +98,13 @@ def kmeans_embeddings(embeddings_ds, *, n_clusters: int = 16,
     sample = np.asarray([r["embedding"] for r in sample_rows],
                         dtype=np.float64)
     centroids = train_centroids(sample, nlist=n_clusters, iters=1)
+    return _lloyd_rounds(embeddings_ds, centroids, iters, id_col)
 
+
+def _lloyd_rounds(embeddings_ds, centroids: np.ndarray, iters: int,
+                  id_col: str):
+    """The distributed Lloyd loop + final assignment, from given initial
+    centroids (already normalized)."""
     for _ in range(iters):
         c = centroids   # bind per round for closure capture
 

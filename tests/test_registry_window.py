@@ -84,6 +84,9 @@ PAST_WINDOW_PINS = {
     "similarity_topk_ivf": (10, ["cosine_sim", "vec_id"]),
     # exhaustive-probe IVF == brute force (SQL-oracled, r5)
     "similarity_topk_ivf_exhaustive": (10, ["cosine_sim", "vec_id"]),
+    # explicit-init Lloyd (SQL-oracled, r5)
+    "embeddings_kmeans_explicit": (500, ["cluster", "cosine_to_centroid",
+                                         "vec_id"]),
     "embeddings_pq_topk": (10, ["adc_dist", "vec_id"]),
     "docs_embed_similar": (5, ["cosine_sim", "vec_id"]),
     "multimodal_frame_plan": (1465, ["doc_id", "frame_idx"]),
