@@ -4438,7 +4438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the window: companion/variant probes (pytest-pinned) ---
         # multimodal_features: demoted from the window (day-3) to keep 46
         # SQL-green rows in the driver's 50; pinned in PAST_WINDOW_PINS
-        "multimodal_features": _q_multimodal_features,
+        "multimodal_features": _q_multimodal_features,  # oracled (r5)
         # embedding_near_dups: LSH probe beside the in-window SQL-green
         # embeddings_cosine_pairs_exact (soundness-proved against it in
         # tests/test_ops_stages.py)
@@ -4471,8 +4471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_similarity_topk_ivf_exhaustive,  # oracled (r5)
         "embeddings_pq_topk": _q_embeddings_pq_topk,  # rows-only (lossy)
         "docs_embed_similar": _q_docs_embed_similar,
-        "multimodal_frame_plan": _q_multimodal_frame_plan,
-        "multimodal_audio_features": _q_multimodal_audio_features,
+        "multimodal_frame_plan": _q_multimodal_frame_plan,  # oracled (r5)
+        "multimodal_audio_features": _q_multimodal_audio_features,  # oracled (r5)
         "docs_pack_sequences": _q_docs_pack_sequences,   # oracled (r4)
         "docs_tfidf_top_terms": _q_docs_tfidf_top_terms,  # oracled (r4)
         "embeddings_kmeans": _q_embeddings_kmeans,   # rows-only (iterative)
@@ -6234,6 +6234,89 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
         # 4 unrolled Lloyd rounds from the quantile-rank explicit init —
         # mirrors stages/kmeans._lloyd_rounds bit-for-bit up to 6 dp
         "embeddings_kmeans_explicit": _kmeans_sql(),
+        # multimodal family (r5): the fake decode is an md5 keystream with
+        # TEXT-keyed blocks (stages/multimodal.py synthesize_payloads), so
+        # DuckDB recomputes the payload byte-for-byte from md5(VARCHAR) —
+        # synth -> decode -> quadrant mean/std pooling -> norm, exactly
+        "multimodal_features": """
+            WITH d AS MATERIALIZED (
+              SELECT doc_id,
+                     'img:' || doc_id::VARCHAR || ':'
+                         || substr(text, 1, 32) AS key,
+                     md5('img:' || doc_id::VARCHAR || ':'
+                         || substr(text, 1, 32)) AS hx
+              FROM documents),
+            dims AS MATERIALIZED (
+              SELECT doc_id, key,
+                     16 + (('0x' || substr(hx, 1, 2))::INT % 48) AS w,
+                     16 + (('0x' || substr(hx, 3, 2))::INT % 48) AS h
+              FROM d),
+            bytes AS (
+              SELECT doc_id, w, h, b.i * 16 + j.j AS pos,
+                     ('0x' || substr(md5(key || ':' || b.i::VARCHAR),
+                                     j.j * 2 + 1, 2))::INT::DOUBLE AS v
+              FROM dims,
+                   generate_series(0, 255) b(i),
+                   generate_series(0, 15) j(j)
+              WHERE b.i * 16 + j.j < w * h),
+            q AS (
+              SELECT doc_id,
+                     (CASE WHEN (pos // w) < (h // 2) THEN 0 ELSE 2 END)
+                     + (CASE WHEN (pos % w) < (w // 2) THEN 0
+                             ELSE 1 END) AS quad,
+                     v
+              FROM bytes),
+            stats AS (
+              SELECT doc_id, quad, round(avg(v), 6) AS m,
+                     round(stddev_pop(v), 6) AS s
+              FROM q GROUP BY doc_id, quad)
+            SELECT doc_id,
+                   round(sqrt(sum(m * m + s * s)), 4) AS feature_norm
+            FROM stats GROUP BY doc_id""",
+        # deterministic fake frame count is pure metadata arithmetic
+        "multimodal_frame_plan": """
+            WITH d AS (
+              SELECT doc_id,
+                     16 + (('0x' || substr(md5('img:' || doc_id::VARCHAR
+                               || ':' || substr(text, 1, 32)),
+                               1, 2))::INT % 48) AS w
+              FROM documents)
+            SELECT doc_id, f.i::INT AS frame_idx
+            FROM d, generate_series(0, 31, 8) f(i)
+            WHERE f.i < 8 + (w % 24)""",
+        # audio: same keystream recompute -> 8-bit PCM decode -> frame
+        # RMS / peak / duration, all half-away-rounded like the engine
+        "multimodal_audio_features": """
+            WITH d AS MATERIALIZED (
+              SELECT doc_id,
+                     'aud:' || doc_id::VARCHAR || ':'
+                         || substr(text, 1, 32) AS key,
+                     1024 + ('0x' || substr(md5('aud:' || doc_id::VARCHAR
+                                || ':' || substr(text, 1, 32)),
+                                1, 2))::INT * 16 AS n
+              FROM documents),
+            bytes AS MATERIALIZED (
+              SELECT doc_id, n, b.i * 16 + j.j AS pos,
+                     ((('0x' || substr(md5(key || ':' || b.i::VARCHAR),
+                                       j.j * 2 + 1, 2))::INT::DOUBLE)
+                      - 128.0) / 128.0 AS x
+              FROM d,
+                   generate_series(0, 318) b(i),
+                   generate_series(0, 15) j(j)
+              WHERE b.i * 16 + j.j < n),
+            fr AS (
+              SELECT doc_id, pos // 256 AS frame, sqrt(avg(x * x)) AS rms
+              FROM bytes WHERE pos < (n // 256) * 256
+              GROUP BY doc_id, pos // 256),
+            agg_r AS (SELECT doc_id, round(avg(rms), 6) AS rms_energy
+                      FROM fr GROUP BY doc_id),
+            agg_p AS (SELECT doc_id, round(max(abs(x)), 6) AS peak
+                      FROM bytes GROUP BY doc_id)
+            SELECT d.doc_id, (d.n // 256)::INT AS n_frames,
+                   agg_r.rms_energy, agg_p.peak,
+                   round(d.n / 16000.0, 6) AS duration_sec
+            FROM d JOIN agg_r USING (doc_id)
+                   JOIN agg_p USING (doc_id)""",
         "graph_pagerank": _pagerank_sql(),
         "minhash_candidate_pairs": _minhash_pairs_sql(),
         # past-window but still oracled: hash-checked by the full local

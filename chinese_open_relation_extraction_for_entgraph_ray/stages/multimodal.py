@@ -19,6 +19,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ..functions.fputil import np_round_away
+
 MM_BATCH_SIZE = 256          # wide binary rows -> small batches
 FEATURE_DIM = 8
 
@@ -27,16 +29,21 @@ def synthesize_payloads(batch: pa.Table) -> pa.Table:
     """docs -> fake image table: (doc_id, payload binary, width, height, fmt).
 
     Payload bytes are an md5 keystream of the doc text — deterministic, and
-    opaque to everything downstream (as real image bytes would be)."""
+    opaque to everything downstream (as real image bytes would be).  Block
+    i of the stream is md5 of the TEXT key ``img:{doc_id}:{text[:32]}:{i}``
+    (not of raw digest bytes) so that an external engine with only a
+    string-md5 primitive — the DuckDB oracle of ``multimodal_features`` —
+    can recompute the payload byte-for-byte."""
     ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     payloads, widths, heights, fmts = [], [], [], []
     for did, text in zip(ids, texts):
-        seed = hashlib.md5(f"img:{did}:{text[:32]}".encode()).digest()
+        key = f"img:{did}:{text[:32]}"
+        seed = hashlib.md5(key.encode()).digest()
         w = 16 + seed[0] % 48
         h = 16 + seed[1] % 48
         stream = b"".join(
-            hashlib.md5(seed + i.to_bytes(4, "big")).digest()
+            hashlib.md5(f"{key}:{i}".encode()).digest()
             for i in range((w * h + 15) // 16))
         payloads.append(stream[:w * h])
         widths.append(w)
@@ -81,9 +88,14 @@ class ImageFeatureExtractor:
                      img[h // 2:, :w // 2], img[h // 2:, w // 2:]]
             vec = np.array([q.mean() for q in quads] +
                            [q.std() for q in quads])
-            vec = np.round(vec, 6)
+            # half-away rounding (np_round_away, the repo output
+            # convention): quadrant means of integer bytes DO land exactly
+            # on .5e-6 boundaries for power-of-two pixel counts, where
+            # numpy's half-even would diverge from the DuckDB oracle
+            vec = np_round_away(vec, 6)
             feats.append(vec.tolist())
-            norms.append(round(float(np.linalg.norm(vec)), 4))
+            norms.append(float(np_round_away(
+                np.linalg.norm(vec), 4)))
         return pa.Table.from_arrays(
             [pa.array(ids, pa.int64()),
              pa.array(feats, pa.list_(pa.float64())),
@@ -130,10 +142,11 @@ def synthesize_audio_payloads(batch: pa.Table) -> pa.Table:
     texts = batch.column("text").to_pylist()
     payloads, rates, counts, codecs = [], [], [], []
     for did, text in zip(ids, texts):
-        seed = hashlib.md5(f"aud:{did}:{text[:32]}".encode()).digest()
+        key = f"aud:{did}:{text[:32]}"        # text-keyed blocks, see
+        seed = hashlib.md5(key.encode()).digest()   # synthesize_payloads
         n = 1024 + seed[0] * 16               # fake sample count
         stream = b"".join(
-            hashlib.md5(seed + i.to_bytes(4, "big")).digest()
+            hashlib.md5(f"{key}:{i}".encode()).digest()
             for i in range((n + 15) // 16))
         payloads.append(stream[:n])
         rates.append(16000)
@@ -177,9 +190,13 @@ class AudioFeatureExtractor:
             frames = pcm[:n_frames * self.FRAME].reshape(n_frames, self.FRAME)
             rms = np.sqrt((frames ** 2).mean(axis=1))
             out_n_frames.append(n_frames)
-            out_rms.append(round(float(rms.mean()), 6))
-            out_peak.append(round(float(np.abs(pcm).max() if len(pcm) else 0.0), 6))
-            out_dur.append(round(len(pcm) / rate, 6))
+            # half-away rounding: peak is an exact multiple of 1/128, so
+            # x.5e-6 boundaries are common and Python's half-even round
+            # would diverge from the DuckDB oracle on ~half of them
+            out_rms.append(float(np_round_away(rms.mean(), 6)))
+            out_peak.append(float(np_round_away(
+                np.abs(pcm).max() if len(pcm) else 0.0, 6)))
+            out_dur.append(float(np_round_away(len(pcm) / rate, 6)))
         return pa.Table.from_arrays(
             [pa.array(ids, pa.int64()), pa.array(out_n_frames, pa.int32()),
              pa.array(out_rms, pa.float64()), pa.array(out_peak, pa.float64()),
