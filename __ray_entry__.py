@@ -3070,6 +3070,43 @@ def _q_docs_token_freq_cm(sf_dir: str):
         names=["value", "mg_count", "cm_count"])
 
 
+def _q_docs_cm_estimates(sf_dir: str):
+    """Count-Min estimates for the EXACT top-20 weighted tokens — the
+    hash-checked companion of docs_token_freq_cm (whose MG candidate list
+    is block-layout-dependent and so stays rows-only): the candidate set
+    here is the exact heavy-hitter list (deterministic), and the DuckDB
+    oracle (_cm_sql) rebuilds the ENTIRE (4, 4096) CM matrix with the
+    same md5-base + splitmix64 bucket arithmetic, reproducing every
+    collision in the estimates exactly — and proving the never-undercount
+    guarantee on real data (cm_count >= exact_count row for row)."""
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        cm_estimate,
+        count_min_sketch,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.tfidf import (
+        _term_freqs,
+    )
+
+    tf_rows = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda b: _term_freqs(b, "doc_id", "text"),
+                     batch_format="pyarrow")
+    top = auto_hash_aggregate(tf_rows, ["term"], [("tf", "sum")]) \
+        .sort(["tf", "term"], descending=[True, False]).limit(20) \
+        .to_pandas()                                   # 20 rows — small
+    cm = count_min_sketch(tf_rows, "term", weight_col="tf")
+    est = cm_estimate(cm, top["term"].tolist())
+    return pa.Table.from_arrays(
+        [pa.array(top["term"].tolist(), pa.string()),
+         pa.array(top["tf"].to_numpy(), pa.int64()),
+         pa.array(est, pa.int64())],
+        names=["value", "exact_count", "cm_count"])
+
+
 def _q_docs_lm_scores(sf_dir: str):
     """Unigram-LM quality scoring (stages/lm.py, the CCNet-style filter
     signal): corpus token LM from one pre-combined aggregate, broadcast,
@@ -4486,6 +4523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_resample_mixture": _q_docs_resample_mixture,  # oracled (r4)
         "docs_decontaminated_bloom": _q_docs_decontaminated_bloom,  # oracled (r5)
         "docs_token_freq_cm": _q_docs_token_freq_cm,  # rows-only (sketch)
+        # full-matrix CM mirror on the exact heavy-hitter list (r5)
+        "docs_cm_estimates": _q_docs_cm_estimates,  # oracled (r5)
         "docs_lm_scores": _q_docs_lm_scores,  # oracled (r4)
         "docs_chunked": _q_docs_chunked,  # oracled (r4 day-3)
         "docs_pretrain_corpus":
@@ -5082,6 +5121,71 @@ def _jaccard_pairs_sql(threshold: float = 0.5) -> str:
           SELECT x.doc_id, y.doc_id, 0, 0
           FROM jp_sz x JOIN jp_sz y
             ON x.n = 0 AND y.n = 0 AND x.doc_id < y.doc_id)"""
+
+
+def _cm_sql() -> str:
+    """Exact SQL mirror of the Count-Min composition behind
+    ``docs_cm_estimates``: tokenize (TOKEN_RE = \\S+), total weight per
+    term, md5-based ``_stable64`` base hash, the splitmix64-style remix
+    of ``stages/sketch._cm_cols`` per sketch row (uint64 wrap multiply
+    done in HUGEINT via 32-bit split), the FULL (depth, width) cell sums
+    — every hash collision included — and min-over-rows estimates for
+    the exact top-20 heavy hitters.  All-integer arithmetic, so the
+    match is bit-for-bit."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        _CM_SEEDS,
+        CM_DEPTH,
+        CM_WIDTH,
+    )
+
+    M61 = (1 << 61) - 1
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    T = 1 << 64
+    seed_case = ("CASE dd.d " + " ".join(
+        f"WHEN {d} THEN {(_CM_SEEDS[d % len(_CM_SEEDS)] + d) % T}"
+        for d in range(CM_DEPTH)) + " END")
+
+    def wrapmul(z: str, c: int) -> str:
+        return (f"CAST((((CAST({z} // 4294967296 AS HUGEINT) * {c})"
+                f" % 4294967296) * 4294967296"
+                f" + CAST({z} % 4294967296 AS HUGEINT) * {c})"
+                f" % 18446744073709551616 AS UBIGINT)")
+
+    return f"""
+        WITH tot AS MATERIALIZED (
+          SELECT tok AS term, count(*)::BIGINT AS w
+          FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok
+                FROM documents)
+          GROUP BY tok),
+        th AS (
+          SELECT term, w,
+                 (('0x' || substr(md5(term), 1, 16))::UBIGINT
+                    & {M61}::UBIGINT) AS h
+          FROM tot),
+        buckets AS MATERIALIZED (
+          SELECT term, w, d, (z5 % {CM_WIDTH})::BIGINT AS col FROM (
+            SELECT term, w, d, xor(z4, z4 >> 31) AS z5 FROM (
+              SELECT term, w, d, {wrapmul('z3', C2)} AS z4 FROM (
+                SELECT term, w, d, xor(z2, z2 >> 27) AS z3 FROM (
+                  SELECT term, w, d, {wrapmul('z1', C1)} AS z2 FROM (
+                    SELECT term, w, d, xor(z0, z0 >> 30) AS z1 FROM (
+                      SELECT term, w, dd.d,
+                             CAST((CAST(h AS HUGEINT) + ({seed_case}))
+                                  % 18446744073709551616
+                                  AS UBIGINT) AS z0
+                      FROM th,
+                           generate_series(0, {CM_DEPTH - 1}) dd(d)
+                    )))))) t6),
+        cells AS MATERIALIZED (
+          SELECT d, col, sum(w)::BIGINT AS v
+          FROM buckets GROUP BY d, col),
+        top AS (SELECT term, w FROM tot
+                ORDER BY w DESC, term ASC LIMIT 20)
+        SELECT t.term AS value, t.w AS exact_count,
+               min(c.v)::BIGINT AS cm_count
+        FROM top t JOIN buckets b USING (term)
+                   JOIN cells c ON c.d = b.d AND c.col = b.col
+        GROUP BY t.term, t.w"""
 
 
 def _minhash_pairs_sql() -> str:
@@ -6319,6 +6423,7 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
                    JOIN agg_p USING (doc_id)""",
         "graph_pagerank": _pagerank_sql(),
         "minhash_candidate_pairs": _minhash_pairs_sql(),
+        "docs_cm_estimates": _cm_sql(),
         # past-window but still oracled: hash-checked by the full local
         # gate (scripts/check_correctness.py) even though the driver's
         # 50-query window never reaches it

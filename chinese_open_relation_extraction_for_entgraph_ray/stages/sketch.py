@@ -368,14 +368,17 @@ _CM_SEEDS = (0x2545F4914F6CDD1D, 0x9E3779B97F4A7C15,
 
 
 def _cm_cols(values, width: int, depth: int) -> np.ndarray:
-    """(depth, n) column indices for string values — polars full-buffer
-    string hash, then one splitmix-style remix per sketch row (independent
-    seeds), mod width.  Shared by build and estimate so both sides index
-    the same cells."""
-    import polars as pl
+    """(depth, n) column indices for string values — the md5-based
+    ``_stable64`` token hash (shared with the minhash/LSH family; stable
+    across library versions, and recomputable by the DuckDB oracle of
+    ``docs_cm_estimates``, unlike the polars buffer hash this replaced),
+    then one splitmix64-style remix per sketch row (independent seeds),
+    mod width.  Shared by build and estimate so both sides index the
+    same cells."""
+    from .dedup import _token_hashes
 
-    base = pl.Series([("" if v is None else str(v)) for v in values]) \
-        .hash(seed=0).to_numpy().astype(np.uint64)
+    base = _token_hashes(
+        ["" if v is None else str(v) for v in values]).astype(np.uint64)
     cols = np.empty((depth, len(base)), dtype=np.int64)
     for d in range(depth):
         z = base + np.uint64(_CM_SEEDS[d % len(_CM_SEEDS)] + d)

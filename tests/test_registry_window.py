@@ -87,6 +87,8 @@ PAST_WINDOW_PINS = {
     # explicit-init Lloyd (SQL-oracled, r5)
     "embeddings_kmeans_explicit": (500, ["cluster", "cosine_to_centroid",
                                          "vec_id"]),
+    # full-matrix Count-Min mirror (SQL-oracled, r5)
+    "docs_cm_estimates": (20, ["cm_count", "exact_count", "value"]),
     "embeddings_pq_topk": (10, ["adc_dist", "vec_id"]),
     "docs_embed_similar": (5, ["cosine_sim", "vec_id"]),
     "multimodal_frame_plan": (1465, ["doc_id", "frame_idx"]),
