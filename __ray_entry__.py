@@ -4499,10 +4499,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _q_kg_mentions,
         "kg_coref_chain_buckets": _q_kg_coref_chain_buckets,
         "kg_filter_histograms": _q_kg_filter_histograms,
-        "events_approx_distinct_users": _q_events_approx_distinct_users,
+        "events_approx_distinct_users":
+            _q_events_approx_distinct_users,  # oracled (r5, HLL mirror)
         "events_quantiles_approx": _q_events_quantiles_approx,
         "events_type_distinct_users_approx":
-            _q_events_type_distinct_users_approx,
+            _q_events_type_distinct_users_approx,  # oracled (r5)
         "similarity_topk_ivf": _q_similarity_topk_ivf,
         "similarity_topk_ivf_exhaustive":
             _q_similarity_topk_ivf_exhaustive,  # oracled (r5)
@@ -5121,6 +5122,54 @@ def _jaccard_pairs_sql(threshold: float = 0.5) -> str:
           SELECT x.doc_id, y.doc_id, 0, 0
           FROM jp_sz x JOIN jp_sz y
             ON x.n = 0 AND y.n = 0 AND x.doc_id < y.doc_id)"""
+
+
+def _hll_sql(grp: str = "") -> str:
+    """Exact SQL mirror of the HyperLogLog estimator in ``stages/sketch``
+    (p=12, md5-based ``_hash64``): per-value 64-bit hash, register index
+    = top 12 bits, rank = leading zeros of the low 52 bits + 1 (via
+    ``length(bin(...))``), registers max-merged, then the standard
+    alpha-corrected estimate with the linear-counting small-range branch
+    — the register merge is commutative, so the mirror is layout-free.
+    ``grp``: optional GROUP BY column for the keyed composition."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.sketch import (
+        _ALPHA,
+        HLL_M,
+        HLL_P,
+    )
+
+    g1 = f"{grp}," if grp else ""
+    gb = f"GROUP BY {grp}" if grp else ""
+    low = 64 - HLL_P
+    mask = (1 << low) - 1
+    body = f"""
+        WITH h AS (
+          SELECT {g1} ('0x' || substr(md5(user_id::VARCHAR),
+                                      1, 16))::UBIGINT AS h
+          FROM events),
+        rr AS (
+          SELECT {g1} h >> {low} AS idx,
+                 CASE WHEN (h & {mask}::UBIGINT) = 0 THEN {low + 1}
+                      ELSE {low} - length(bin(h & {mask}::UBIGINT)) + 1
+                 END AS rank
+          FROM h),
+        regs AS (SELECT {g1} idx, max(rank) AS r
+                 FROM rr GROUP BY {g1} idx),
+        agg AS (SELECT {g1} sum(power(2.0, -r)) AS sp, count(*) AS np
+                FROM regs {gb}),
+        est AS (
+          SELECT {g1} {_ALPHA!r}::DOUBLE * {HLL_M} * {HLL_M}
+                      / (sp + ({HLL_M} - np)) AS raw,
+                 {HLL_M} - np AS zeros FROM agg)"""
+    sel = f"""
+        SELECT {g1} round(CASE WHEN raw <= 2.5 * {HLL_M} AND zeros > 0
+                               THEN {HLL_M} * ln({HLL_M} / zeros::DOUBLE)
+                               ELSE raw END, 1) AS approx_distinct
+        FROM est"""
+    if not grp:
+        sel = sel.replace("AS approx_distinct",
+                          "AS approx_distinct_users")
+    return body + sel
 
 
 def _cm_sql() -> str:
@@ -6424,6 +6473,8 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(),
         "minhash_candidate_pairs": _minhash_pairs_sql(),
         "docs_cm_estimates": _cm_sql(),
+        "events_approx_distinct_users": _hll_sql(),
+        "events_type_distinct_users_approx": _hll_sql("event_type"),
         # past-window but still oracled: hash-checked by the full local
         # gate (scripts/check_correctness.py) even though the driver's
         # 50-query window never reaches it

@@ -22,8 +22,12 @@ _ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 
 
 def _hash64(value: str) -> int:
+    """First 8 md5 bytes, big-endian (was blake2b) — same primitive as
+    the dedup family's ``_stable64`` (minus its 61-bit mask), so the
+    DuckDB oracles of events_*_distinct_users_approx can recompute every
+    register from ``md5(VARCHAR)``."""
     return int.from_bytes(
-        hashlib.blake2b(value.encode("utf-8"), digest_size=8).digest(), "big")
+        hashlib.md5(value.encode("utf-8")).digest()[:8], "big")
 
 
 def hll_registers(values) -> np.ndarray:
