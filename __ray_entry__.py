@@ -4501,7 +4501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_filter_histograms": _q_kg_filter_histograms,
         "events_approx_distinct_users":
             _q_events_approx_distinct_users,  # oracled (r5, HLL mirror)
-        "events_quantiles_approx": _q_events_quantiles_approx,
+        "events_quantiles_approx":
+            _q_events_quantiles_approx,  # oracled (r5, dual mirror)
         "events_type_distinct_users_approx":
             _q_events_type_distinct_users_approx,  # oracled (r5)
         "similarity_topk_ivf": _q_similarity_topk_ivf,
@@ -5122,6 +5123,113 @@ def _jaccard_pairs_sql(threshold: float = 0.5) -> str:
           SELECT x.doc_id, y.doc_id, 0, 0
           FROM jp_sz x JOIN jp_sz y
             ON x.n = 0 AND y.n = 0 AND x.doc_id < y.doc_id)"""
+
+
+def _approx_quantiles_sql() -> str:
+    """Exact SQL mirror of BOTH histogram-sketch quantile paths behind
+    ``events_quantiles_approx`` (stages/sketch):
+
+    - global (bins=8192): numpy 1.26 ``np.histogram`` uniform fast path
+      reproduced operation for operation — f_index = ((v-lo)/(hi-lo))*
+      bins truncated, the ==bins clamp, then the two ULP-correction
+      passes against linspace edges (edge_i = i*((hi-lo)/bins)+lo,
+      edge_bins = hi), cumsum over ALL bins, searchsorted-right, linear
+      in-bucket interpolation;
+    - grouped (bins=2048, GLOBAL lo/hi): clip-trunc binning over present
+      buckets only, per-key cumsum/searchsorted (sketch.
+      grouped_approx_quantiles.reconstruct).
+
+    Quantile literals are cast to DOUBLE so target = q*(n-1) is the same
+    float64 the engine computes (a DECIMAL literal would be exact-decimal
+    and could flip a cum <= target comparison at integer targets).
+    Registers/counts merge commutatively, so the mirror is layout-free;
+    outputs rounded half-away to 2 dp like the engine."""
+    bg, bk = 8192, 2048
+    return f"""
+        WITH st AS MATERIALIZED (
+          SELECT min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi,
+                 count(*)::BIGINT AS n FROM events),
+        gi AS (
+          SELECT i3 AS b FROM (
+            SELECT v, lo, hi,
+                   i2 + (CASE WHEN v >= (CASE WHEN i2 + 1 = {bg} THEN hi
+                                    ELSE (i2 + 1) * ((hi - lo) / {bg})
+                                         + lo END)
+                              AND i2 != {bg} - 1 THEN 1 ELSE 0 END) AS i3
+            FROM (
+              SELECT v, lo, hi,
+                     i1 - (CASE WHEN v < i1 * ((hi - lo) / {bg}) + lo
+                                THEN 1 ELSE 0 END) AS i2
+              FROM (
+                SELECT v, lo, hi,
+                       CASE WHEN i0 = {bg} THEN {bg} - 1 ELSE i0 END AS i1
+                FROM (
+                  SELECT value::DOUBLE AS v, lo, hi,
+                         CAST(trunc(((value::DOUBLE - lo) / (hi - lo))
+                                    * {bg}) AS BIGINT) AS i0
+                  FROM events, st))))),
+        gcum AS MATERIALIZED (
+          SELECT s.i AS b,
+                 sum(coalesce(c.cnt, 0)) OVER (ORDER BY s.i) AS cum,
+                 coalesce(c.cnt, 0) AS cnt
+          FROM generate_series(0, {bg} - 1) s(i)
+          LEFT JOIN (SELECT b, count(*) AS cnt FROM gi GROUP BY b) c
+                 ON c.b = s.i),
+        gq AS (
+          SELECT q, LEAST((SELECT count(*) FROM gcum
+                           WHERE cum <= q * (st.n - 1)),
+                          {bg} - 1) AS b
+          FROM (VALUES (0.5::DOUBLE), (0.95::DOUBLE)) qs(q), st),
+        gout AS (
+          SELECT gq.q,
+                 round(st.lo + (gq.b +
+                     CASE WHEN gc.cnt = 0 THEN 0.0
+                          ELSE (gq.q * (st.n - 1)
+                                - coalesce((SELECT cum FROM gcum
+                                            WHERE b = gq.b - 1), 0))
+                               / gc.cnt END)
+                     * ((st.hi - st.lo) / {bg}), 2) AS val
+          FROM gq JOIN gcum gc ON gc.b = gq.b, st),
+        kb AS (
+          SELECT event_type,
+                 LEAST(GREATEST(CAST(trunc((value::DOUBLE - lo)
+                                    / ((hi - lo) / {bk})) AS BIGINT),
+                                0), {bk} - 1) AS b
+          FROM events, st),
+        kc AS MATERIALIZED (
+          SELECT event_type, b, count(*) AS cnt,
+                 sum(count(*)) OVER (PARTITION BY event_type
+                                     ORDER BY b) AS cum,
+                 sum(count(*)) OVER (PARTITION BY event_type) AS total,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY b) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS nrows
+          FROM kb GROUP BY event_type, b),
+        kq AS (
+          SELECT event_type, q,
+                 LEAST((SELECT count(*) FROM kc c2
+                        WHERE c2.event_type = kk.event_type
+                          AND c2.cum <= q * (kk.total - 1)) + 1,
+                       nrows) AS rn_pick,
+                 total
+          FROM (SELECT DISTINCT event_type, nrows, total FROM kc) kk,
+               (VALUES (0.5::DOUBLE), (0.95::DOUBLE)) qs(q)),
+        kout AS (
+          SELECT kq.event_type, kq.q,
+                 round(st.lo + (kc.b +
+                     (kq.q * (kq.total - 1) - coalesce(kprev.cum, 0))
+                     / kc.cnt) * ((st.hi - st.lo) / {bk}), 2) AS val
+          FROM kq
+          JOIN kc ON kc.event_type = kq.event_type
+                 AND kc.rn = kq.rn_pick
+          LEFT JOIN kc kprev ON kprev.event_type = kq.event_type
+                            AND kprev.rn = kq.rn_pick - 1, st)
+        SELECT event_type,
+               max(CASE WHEN q = 0.5 THEN val END) AS "q0.5",
+               max(CASE WHEN q = 0.95 THEN val END) AS "q0.95"
+        FROM (SELECT event_type, q, val FROM kout
+              UNION ALL SELECT '*', q, val FROM gout)
+        GROUP BY event_type"""
 
 
 def _hll_sql(grp: str = "") -> str:
@@ -6474,6 +6582,7 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
         "minhash_candidate_pairs": _minhash_pairs_sql(),
         "docs_cm_estimates": _cm_sql(),
         "events_approx_distinct_users": _hll_sql(),
+        "events_quantiles_approx": _approx_quantiles_sql(),
         "events_type_distinct_users_approx": _hll_sql("event_type"),
         # past-window but still oracled: hash-checked by the full local
         # gate (scripts/check_correctness.py) even though the driver's
