@@ -4509,7 +4509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_ivf_exhaustive":
             _q_similarity_topk_ivf_exhaustive,  # oracled (r5)
         "embeddings_pq_topk": _q_embeddings_pq_topk,  # rows-only (lossy)
-        "docs_embed_similar": _q_docs_embed_similar,
+        "docs_embed_similar": _q_docs_embed_similar,  # oracled (r5)
         "multimodal_frame_plan": _q_multimodal_frame_plan,  # oracled (r5)
         "multimodal_audio_features": _q_multimodal_audio_features,  # oracled (r5)
         "docs_pack_sequences": _q_docs_pack_sequences,   # oracled (r4)
@@ -5123,6 +5123,55 @@ def _jaccard_pairs_sql(threshold: float = 0.5) -> str:
           SELECT x.doc_id, y.doc_id, 0, 0
           FROM jp_sz x JOIN jp_sz y
             ON x.n = 0 AND y.n = 0 AND x.doc_id < y.doc_id)"""
+
+
+def _embed_similar_sql(k: int = 5, dim: int = 64) -> str:
+    """Exact SQL mirror of ``docs_embed_similar``: the md5-based signed
+    feature-hashing encoder of ``stages/embed.TextEmbedder`` (bucket =
+    first-4-md5-bytes % dim, sign = bit 31) in sparse (doc, bucket) form,
+    L2 normalization, re-normalization inside CosineTopK (a second unit
+    divide, mirrored for bit parity), cosine vs doc 0 rounded half-away
+    to 6 dp, top-k by (sim DESC, doc ASC)."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(
+                     coalesce(text, ''), '\\S+')) AS tok
+          FROM documents),
+        slots AS (
+          SELECT doc_id,
+                 (h % {dim})::BIGINT AS b,
+                 CASE WHEN ((h >> 31) & 1) = 0 THEN 1.0
+                      ELSE -1.0 END AS s
+          FROM (SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 8))::UBIGINT AS h
+                FROM toks)),
+        vec AS MATERIALIZED (
+          SELECT doc_id, b, sum(s) AS v
+          FROM slots GROUP BY doc_id, b),
+        nrm AS (
+          SELECT doc_id, sqrt(sum(v * v)) AS n1 FROM vec GROUP BY doc_id),
+        unit AS MATERIALIZED (
+          SELECT vec.doc_id, b,
+                 vec.v / (CASE WHEN n1 = 0 THEN 1 ELSE n1 END) AS u
+          FROM vec JOIN nrm USING (doc_id)),
+        -- CosineTopK normalizes its inputs again: one more unit divide
+        -- on both sides of the dot product
+        n2 AS (
+          SELECT doc_id, sqrt(sum(u * u)) AS n2 FROM unit GROUP BY doc_id),
+        unit2 AS MATERIALIZED (
+          SELECT unit.doc_id, b,
+                 u / (CASE WHEN n2 = 0 THEN 1 ELSE n2 END) AS u
+          FROM unit JOIN n2 USING (doc_id)),
+        q AS (SELECT b, u FROM unit2 WHERE doc_id = 0),
+        cos AS (
+          SELECT d.doc_id AS vec_id,
+                 round(coalesce(sum(u2.u * q.u), 0), 6) AS cosine_sim
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          LEFT JOIN unit2 u2 ON u2.doc_id = d.doc_id
+          LEFT JOIN q ON q.b = u2.b
+          GROUP BY d.doc_id)
+        SELECT vec_id, cosine_sim FROM cos
+        ORDER BY cosine_sim DESC, vec_id ASC LIMIT {k}"""
 
 
 def _approx_quantiles_sql() -> str:
@@ -6583,6 +6632,7 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
         "docs_cm_estimates": _cm_sql(),
         "events_approx_distinct_users": _hll_sql(),
         "events_quantiles_approx": _approx_quantiles_sql(),
+        "docs_embed_similar": _embed_similar_sql(),
         "events_type_distinct_users_approx": _hll_sql("event_type"),
         # past-window but still oracled: hash-checked by the full local
         # gate (scripts/check_correctness.py) even though the driver's

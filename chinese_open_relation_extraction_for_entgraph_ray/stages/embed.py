@@ -37,9 +37,14 @@ class TextEmbedder:
     def _token_slot(self, tok: str) -> tuple[int, int]:
         slot = self._memo.get(tok)
         if slot is None:
-            import zlib
+            import hashlib
 
-            h = zlib.crc32(tok.encode("utf-8"))
+            # first 4 md5 bytes, big-endian (was zlib.crc32): the same
+            # string-md5 primitive as the dedup/sketch families, so the
+            # DuckDB oracle of docs_embed_similar can recompute every
+            # bucket/sign from md5(VARCHAR); memoized per actor either way
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:4], "big")
             slot = (h % self.dim, 1 if (h >> 31) & 1 == 0 else -1)
             if len(self._memo) < (1 << 20):
                 self._memo[tok] = slot
