@@ -2740,7 +2740,32 @@ def _q_embeddings_pq_topk(sf_dir: str):
 
     return pq_topk(_read(sf_dir, "embeddings"),
                    np.asarray(_query_vec(sf_dir), dtype=np.float64),
-                   k=10, m=4, ksub=16)
+                   k=10)
+
+
+def _q_embeddings_pq_topk_explicit(sf_dir: str):
+    """The SAME PQ train/encode/ADC machinery as embeddings_pq_topk, but
+    with quantile-rank explicit codeword init (codeword k of every
+    subspace starts at the vector of vec_id rank k*n//16) and the full
+    table as the training sample — a pure function of the data that the
+    DuckDB oracle (_pq_sql) mirrors subspace for subspace: 8 L2 Lloyd
+    rounds in expanded-form distance, encode argmin, LUT build, ADC sum.
+    Hash-checked proof of the PQ plumbing the seeded rows-only sibling
+    rides on (the similarity_topk_ivf_exhaustive / kmeans_explicit
+    promotion pattern); full-table training is the verification-probe
+    trade, the sampled sibling is the scale path."""
+    import numpy as np
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.pq import (
+        pq_topk,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ids = sorted(r["vec_id"]
+                 for r in ds.select_columns(["vec_id"]).take_all())
+    init = [ids[i * len(ids) // 16] for i in range(16)]
+    return pq_topk(ds, np.asarray(_query_vec(sf_dir), dtype=np.float64),
+                   k=10, train_sample=1 << 31, init_ids=init)
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -4509,6 +4534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_ivf_exhaustive":
             _q_similarity_topk_ivf_exhaustive,  # oracled (r5)
         "embeddings_pq_topk": _q_embeddings_pq_topk,  # rows-only (lossy)
+        # explicit-init PQ == pure function of the data (SQL, r5)
+        "embeddings_pq_topk_explicit": _q_embeddings_pq_topk_explicit,
         "docs_embed_similar": _q_docs_embed_similar,  # oracled (r5)
         "multimodal_frame_plan": _q_multimodal_frame_plan,  # oracled (r5)
         "multimodal_audio_features": _q_multimodal_audio_features,  # oracled (r5)
@@ -5123,6 +5150,85 @@ def _jaccard_pairs_sql(threshold: float = 0.5) -> str:
           SELECT x.doc_id, y.doc_id, 0, 0
           FROM jp_sz x JOIN jp_sz y
             ON x.n = 0 AND y.n = 0 AND x.doc_id < y.doc_id)"""
+
+
+def _pq_sql(m: int = 4, ksub: int = 16, iters: int = 8, k: int = 10,
+            dsub: int = 16) -> str:
+    """Exact SQL mirror of ``embeddings_pq_topk_explicit`` — the full
+    product-quantization pipeline of ``stages/pq.py`` unrolled in
+    DuckDB: quantile-rank codeword init, ``iters`` rounds of per-subspace
+    L2 Lloyd's in the engine's EXPANDED distance form (|x|^2 - 2x.c +
+    |c|^2 — term-for-term, not sum((x-c)^2), so the float path matches),
+    argmin ties to the lowest code, empty codewords frozen, encode
+    argmin, the (m, ksub) query LUT as direct squared diffs, and the
+    sqrt-summed ADC distance rounded half-away to 6 dp."""
+    parts = [
+        """v AS MATERIALIZED (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings)""",
+        """ve AS (SELECT vec_id, rn,
+                         generate_subscripts(e, 1) - 1 AS i,
+                         unnest(e) AS x
+                  FROM v)""",
+        f"""u AS MATERIALIZED (
+            SELECT ve.vec_id, ve.rn, ve.i, ve.i // {dsub} AS j,
+                   ve.x / (CASE WHEN nr.nrm = 0 THEN 1
+                                ELSE nr.nrm END) AS x
+            FROM ve JOIN (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+                          FROM ve GROUP BY vec_id) nr USING (vec_id))""",
+        """vx2 AS MATERIALIZED (
+            SELECT vec_id, j, sum(x * x) AS dx2
+            FROM u GROUP BY vec_id, j)""",
+        f"""c0 AS MATERIALIZED (
+            SELECT t.ci AS code, u.j, u.i, u.x
+            FROM range({ksub}) t(ci)
+            JOIN u ON u.rn = (t.ci * (SELECT count(*) FROM v))
+                             // {ksub})""",
+    ]
+
+    def assign_cte(name: str, books: str) -> str:
+        return f"""
+            {name} AS MATERIALIZED (
+              SELECT vec_id, j, code FROM (
+                SELECT u.vec_id, u.j, c.code,
+                       row_number() OVER (PARTITION BY u.vec_id, u.j
+                         ORDER BY vx2.dx2 - 2.0 * sum(u.x * c.x)
+                                  + (SELECT sum(cc.x * cc.x)
+                                     FROM {books} cc
+                                     WHERE cc.j = u.j
+                                       AND cc.code = c.code) ASC,
+                                  c.code ASC) AS rk
+                FROM u JOIN {books} c ON c.j = u.j AND c.i = u.i
+                       JOIN vx2 ON vx2.vec_id = u.vec_id
+                               AND vx2.j = u.j
+                GROUP BY u.vec_id, u.j, c.code, vx2.dx2)
+              WHERE rk = 1)"""
+
+    for r in range(1, iters + 1):
+        parts.append(assign_cte(f"a{r}", f"c{r - 1}"))
+        parts.append(f"""
+            c{r} AS MATERIALIZED (
+              SELECT p.code, p.j, p.i, coalesce(m.x, p.x) AS x
+              FROM c{r - 1} p LEFT JOIN
+                   (SELECT a.code, u.j, u.i, avg(u.x) AS x
+                    FROM a{r} a JOIN u ON u.vec_id = a.vec_id
+                                      AND u.j = a.j
+                    GROUP BY a.code, u.j, u.i) m
+                   ON p.code = m.code AND p.j = m.j AND p.i = m.i)""")
+    parts.append(assign_cte("af", f"c{iters}"))
+    parts.append(f"""
+        lut AS (
+          SELECT c.j, c.code, sum((c.x - q.x) * (c.x - q.x)) AS ld
+          FROM c{iters} c JOIN (SELECT i, j, x FROM u
+                                WHERE vec_id = 0) q
+            ON q.j = c.j AND q.i = c.i
+          GROUP BY c.j, c.code)""")
+    return "WITH " + ",".join(parts) + f"""
+        SELECT af.vec_id, round(sqrt(sum(lut.ld)), 6) AS adc_dist
+        FROM af JOIN lut ON lut.j = af.j AND lut.code = af.code
+        GROUP BY af.vec_id
+        ORDER BY adc_dist ASC, vec_id ASC LIMIT {k}"""
 
 
 def _embed_similar_sql(k: int = 5, dim: int = 64) -> str:
@@ -6633,6 +6739,7 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
         "events_approx_distinct_users": _hll_sql(),
         "events_quantiles_approx": _approx_quantiles_sql(),
         "docs_embed_similar": _embed_similar_sql(),
+        "embeddings_pq_topk_explicit": _pq_sql(),
         "events_type_distinct_users_approx": _hll_sql("event_type"),
         # past-window but still oracled: hash-checked by the full local
         # gate (scripts/check_correctness.py) even though the driver's

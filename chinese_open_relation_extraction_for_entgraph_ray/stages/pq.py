@@ -38,20 +38,34 @@ from .similarity import _embedding_matrix, normalize
 
 
 def train_pq(sample: np.ndarray, *, m: int = 4, ksub: int = 16,
-             iters: int = 8, seed: int = 11) -> np.ndarray:
+             iters: int = 8, seed: int = 11,
+             init: np.ndarray | None = None) -> np.ndarray:
     """(n, dim) training sample -> (m, ksub, dim//m) codebooks via
-    per-subspace L2 Lloyd's.  dim must divide evenly by m."""
+    per-subspace L2 Lloyd's.  dim must divide evenly by m.
+
+    ``init`` (optional, (ksub, dim) raw rows): codeword k of every
+    subspace starts at init[k]'s subvector (normalized like the sample)
+    and the seeded-RNG pick is skipped — the whole training becomes a
+    pure function of (init, iters, sample), reproducible by the DuckDB
+    oracle of ``embeddings_pq_topk_explicit``."""
     n, dim = sample.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     sample = normalize(sample.astype(np.float64))
+    if init is not None and init.shape != (ksub, dim):
+        raise ValueError(f"init shape {init.shape} != ({ksub}, {dim})")
+    init_n = normalize(init.astype(np.float64)) if init is not None \
+        else None
     rng = np.random.RandomState(seed)
     books = np.empty((m, ksub, dsub), dtype=np.float64)
     for j in range(m):
         x = sample[:, j * dsub:(j + 1) * dsub]
-        init_idx = rng.choice(n, size=min(ksub, n), replace=False)
-        c = x[np.sort(init_idx)].copy()
+        if init_n is not None:
+            c = init_n[:, j * dsub:(j + 1) * dsub].copy()
+        else:
+            init_idx = rng.choice(n, size=min(ksub, n), replace=False)
+            c = x[np.sort(init_idx)].copy()
         if len(c) < ksub:   # tiny sample: pad with jittered repeats
             pad = c[rng.randint(0, len(c), ksub - len(c))]
             c = np.vstack([c, pad + 1e-6 * rng.standard_normal(pad.shape)])
@@ -152,12 +166,23 @@ def pq_search(codes_ds, books: np.ndarray, query: np.ndarray, *,
 
 def pq_topk(embeddings_ds, query: np.ndarray, *, k: int = 10,
             m: int = 4, ksub: int = 16, train_sample: int = 4096,
-            id_col: str = "vec_id"):
-    """End-to-end: sample-train codebooks, encode the corpus, ADC top-k."""
+            id_col: str = "vec_id", init_ids=None):
+    """End-to-end: sample-train codebooks, encode the corpus, ADC top-k.
+
+    ``init_ids``: explicit id_col values for the codeword init (see
+    train_pq); ids must be present in the training sample."""
     import ray
 
     rows = embeddings_ds.limit(train_sample).take_all()
     sample = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
-    books = train_pq(sample, m=m, ksub=ksub)
+    init = None
+    if init_ids is not None:
+        by_id = {r[id_col]: r["embedding"] for r in rows}
+        missing = [i for i in init_ids if i not in by_id]
+        if missing:
+            raise ValueError(
+                f"init_ids not in the training sample: {missing}")
+        init = np.asarray([by_id[i] for i in init_ids], dtype=np.float64)
+    books = train_pq(sample, m=m, ksub=ksub, init=init)
     codes = pq_encode(embeddings_ds, ray.put(books), id_col=id_col)
     return pq_search(codes, books, query, k=k, id_col=id_col)

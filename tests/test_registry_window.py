@@ -90,6 +90,8 @@ PAST_WINDOW_PINS = {
     # full-matrix Count-Min mirror (SQL-oracled, r5)
     "docs_cm_estimates": (20, ["cm_count", "exact_count", "value"]),
     "embeddings_pq_topk": (10, ["adc_dist", "vec_id"]),
+    # explicit-init PQ (SQL-oracled, r5)
+    "embeddings_pq_topk_explicit": (10, ["adc_dist", "vec_id"]),
     "docs_embed_similar": (5, ["cosine_sim", "vec_id"]),
     "multimodal_frame_plan": (1465, ["doc_id", "frame_idx"]),
     "multimodal_audio_features": (500, ["doc_id", "duration_sec",
