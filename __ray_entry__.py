@@ -4065,6 +4065,51 @@ def _q_embedding_near_dups(sf_dir: str):
     return embedding_near_dups(aug, threshold=0.8, n_vectors=2 * base.count())
 
 
+def _q_embedding_near_dups_explicit(sf_dir: str):
+    """The SAME multi-band LSH near-dup machinery as embedding_near_dups
+    (banding, bucket sort, RLE pair scan, in-bucket exact cosine,
+    cross-table dedup), but every random input replaced by an md5-keyed
+    pure function: hyperplane coord (t,b,i) = md5-uniform in [-1,1)
+    (plane_mode='md5') and the planted perturbation noise likewise keyed
+    by (vec_id, dim) — so the DuckDB oracle (_emb_lsh_sql) recomputes the
+    planted vectors, every bucket bit, every in-bucket pair and the
+    cross-table max-dedup exactly.  bits/tables pinned at the 8/8
+    small-corpus floor (lsh_params yields exactly that for n <= 65k, i.e.
+    every gate scale); the seeded-gaussian sibling stays the scale path."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
+        embedding_near_dups,
+    )
+
+    def plant_md5(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        E = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        noise = np.empty_like(E)
+        for r, vid in enumerate(ids):
+            for i in range(E.shape[1]):
+                h = int.from_bytes(hashlib.md5(
+                    f"nz:{vid}:{i}".encode()).digest()[:8], "big")
+                noise[r, i] = (h / (1 << 64)) * 2.0 - 1.0
+        noise = noise / np.linalg.norm(noise, axis=1, keepdims=True)
+        pert = E + 0.15 * np.linalg.norm(E, axis=1, keepdims=True) * noise
+        dim = E.shape[1]
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate([ids, ids + 1_000_000]), pa.int64()),
+             pa.array(list(np.concatenate([E, pert])),
+                      pa.list_(pa.float32(), dim))],
+            names=["vec_id", "embedding"])
+
+    base = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    aug = base.map_batches(plant_md5, batch_format="pyarrow")
+    return embedding_near_dups(aug, threshold=0.8, bits=8, tables=8,
+                               plane_mode="md5")
+
+
 def _q_embeddings_cosine_pairs_exact(sf_dir: str):
     """EXACT all-pairs cosine >= 0.45 over the raw embeddings table
     (stages/similarity.cosine_pairs_exact): broadcast-matrix GEMM per batch,
@@ -4505,6 +4550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings_cosine_pairs_exact (soundness-proved against it in
         # tests/test_ops_stages.py)
         "embedding_near_dups": _q_embedding_near_dups,
+        # md5-keyed LSH companion == pure function of the data (SQL, r5)
+        "embedding_near_dups_explicit": _q_embedding_near_dups_explicit,
         "kg_rejected_turns": _q_kg_rejected_turns,
         "kg_pagerank": _q_kg_pagerank,
         "kg_golden_pagerank": _q_kg_golden_pagerank,  # oracled (r5)
@@ -5150,6 +5197,85 @@ def _jaccard_pairs_sql(threshold: float = 0.5) -> str:
           SELECT x.doc_id, y.doc_id, 0, 0
           FROM jp_sz x JOIN jp_sz y
             ON x.n = 0 AND y.n = 0 AND x.doc_id < y.doc_id)"""
+
+
+def _emb_lsh_sql(tables: int = 8, bits: int = 8, dim: int = 64,
+                 threshold: float = 0.8, cap: int = 1024) -> str:
+    """Exact SQL mirror of ``embedding_near_dups_explicit``: md5-keyed
+    planted perturbations (unit noise, 0.15 * ||v|| magnitude, float32
+    round-trip mirrored via CAST REAL), md5-keyed hyperplanes, every
+    (table, bucket) sign bit, the MAX_EMB_BUCKET in-bucket cap by vec_id
+    rank, in-bucket exact cosine >= threshold checked UNROUNDED then
+    rounded half-away to 4 dp, and the cross-table pair dedup."""
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(el, 1) - 1 AS i,
+                 unnest(el) AS x
+          FROM (SELECT vec_id,
+                       list_transform(embedding,
+                                      v -> CAST(v AS DOUBLE)) AS el
+                FROM embeddings)),
+        en AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+               FROM e GROUP BY vec_id),
+        w AS MATERIALIZED (
+          SELECT e.vec_id, e.i,
+                 (('0x' || substr(md5('nz:' || e.vec_id::VARCHAR || ':'
+                     || e.i::VARCHAR), 1, 16))::UBIGINT::DOUBLE
+                  / 18446744073709551616.0) * 2.0 - 1.0 AS u
+          FROM e),
+        wn AS (SELECT vec_id, sqrt(sum(u * u)) AS nrm
+               FROM w GROUP BY vec_id),
+        pert AS (
+          SELECT e.vec_id + 1000000 AS vec_id, e.i,
+                 CAST(CAST(e.x + (0.15 * en.nrm) * (w.u / wn.nrm)
+                           AS REAL) AS DOUBLE) AS x
+          FROM e JOIN en USING (vec_id)
+                 JOIN w ON w.vec_id = e.vec_id AND w.i = e.i
+                 JOIN wn ON wn.vec_id = e.vec_id),
+        aug AS MATERIALIZED (
+          SELECT vec_id, i, x FROM e
+          UNION ALL SELECT vec_id, i, x FROM pert),
+        pl AS MATERIALIZED (
+          SELECT t.t, b.b, i.i,
+                 (('0x' || substr(md5('lsh:' || t.t::VARCHAR || ':'
+                     || b.b::VARCHAR || ':' || i.i::VARCHAR), 1, 16))
+                     ::UBIGINT::DOUBLE / 18446744073709551616.0)
+                 * 2.0 - 1.0 AS w
+          FROM generate_series(0, {tables - 1}) t(t),
+               generate_series(0, {bits - 1}) b(b),
+               generate_series(0, {dim - 1}) i(i)),
+        bkt AS MATERIALIZED (
+          SELECT vec_id, t,
+                 sum(CASE WHEN proj > 0 THEN 1 << b
+                          ELSE 0 END)::BIGINT AS bucket
+          FROM (SELECT a.vec_id, p.t, p.b, sum(a.x * p.w) AS proj
+                FROM aug a JOIN pl p ON p.i = a.i
+                GROUP BY a.vec_id, p.t, p.b)
+          GROUP BY vec_id, t),
+        an AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+               FROM aug GROUP BY vec_id),
+        un AS MATERIALIZED (
+          SELECT aug.vec_id, i,
+                 x / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END) AS u
+          FROM aug JOIN an USING (vec_id)),
+        mem AS MATERIALIZED (
+          SELECT t, bucket, vec_id FROM (
+            SELECT t, bucket, vec_id,
+                   row_number() OVER (PARTITION BY t, bucket
+                                      ORDER BY vec_id) AS rn
+            FROM bkt) WHERE rn <= {cap}),
+        cand AS (
+          SELECT DISTINCT m1.vec_id AS a, m2.vec_id AS b
+          FROM mem m1 JOIN mem m2 ON m1.t = m2.t
+                                 AND m1.bucket = m2.bucket
+                                 AND m1.vec_id < m2.vec_id),
+        pc AS (
+          SELECT c.a, c.b, sum(ua.u * ub.u) AS cos
+          FROM cand c JOIN un ua ON ua.vec_id = c.a
+                      JOIN un ub ON ub.vec_id = c.b AND ub.i = ua.i
+          GROUP BY c.a, c.b)
+        SELECT a, b, round(cos, 4) AS cosine_sim
+        FROM pc WHERE cos >= {threshold}"""
 
 
 def _pq_sql(m: int = 4, ksub: int = 16, iters: int = 8, k: int = 10,
@@ -6740,6 +6866,7 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
         "events_quantiles_approx": _approx_quantiles_sql(),
         "docs_embed_similar": _embed_similar_sql(),
         "embeddings_pq_topk_explicit": _pq_sql(),
+        "embedding_near_dups_explicit": _emb_lsh_sql(),
         "events_type_distinct_users_approx": _hll_sql("event_type"),
         # past-window but still oracled: hash-checked by the full local
         # gate (scripts/check_correctness.py) even though the driver's

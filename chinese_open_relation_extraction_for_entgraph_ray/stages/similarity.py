@@ -151,16 +151,40 @@ def lsh_params(n_vectors: int, threshold: float = 0.8,
 
 
 def _table_planes(dim: int, tables: int = N_TABLES,
-                  bits: int = BITS_PER_TABLE) -> np.ndarray:
-    key = (dim, tables, bits)
+                  bits: int = BITS_PER_TABLE,
+                  plane_mode: str = "seeded") -> np.ndarray:
+    """``seeded``: RandomState gaussian planes (the production default —
+    the 1-theta/pi collision math is exact for spherical directions).
+    ``md5``: coordinate (t, b, i) = md5-uniform in [-1, 1) — slightly
+    non-spherical, but a pure function of the key string that the DuckDB
+    oracle of ``embedding_near_dups_explicit`` recomputes bit-for-bit
+    (sign-LSH only consumes projection signs, so the recall loss is
+    marginal; the in-bucket check is exact cosine either way)."""
+    key = (dim, tables, bits, plane_mode)
     if key not in _TABLE_PLANES:
-        _TABLE_PLANES[key] = np.random.RandomState(0xD00D).standard_normal(
-            (tables, bits, dim))
+        if plane_mode == "md5":
+            import hashlib
+
+            flat = np.empty(tables * bits * dim, dtype=np.float64)
+            pos = 0
+            for t in range(tables):
+                for b in range(bits):
+                    for i in range(dim):
+                        h = int.from_bytes(hashlib.md5(
+                            f"lsh:{t}:{b}:{i}".encode()).digest()[:8],
+                            "big")
+                        flat[pos] = (h / (1 << 64)) * 2.0 - 1.0
+                        pos += 1
+            _TABLE_PLANES[key] = flat.reshape(tables, bits, dim)
+        else:
+            _TABLE_PLANES[key] = np.random.RandomState(
+                0xD00D).standard_normal((tables, bits, dim))
     return _TABLE_PLANES[key]
 
 
 def add_lsh_bands(batch: pa.Table, tables: int = N_TABLES,
-                  bits: int = BITS_PER_TABLE) -> pa.Table:
+                  bits: int = BITS_PER_TABLE,
+                  plane_mode: str = "seeded") -> pa.Table:
     """Explode each vector to `tables` (table, bucket) rows, embedding
     carried along for in-bucket exact verification."""
     emb = _embedding_matrix(batch)
@@ -170,7 +194,7 @@ def add_lsh_bands(batch: pa.Table, tables: int = N_TABLES,
              pa.array([], pa.int32()),
              pa.array([], batch.schema.field("embedding").type)],
             names=["vec_id", "table", "bucket", "embedding"])
-    planes = _table_planes(emb.shape[1], tables, bits)
+    planes = _table_planes(emb.shape[1], tables, bits, plane_mode)
     vec_ids = batch.column("vec_id")
     out_vid, out_tbl, out_bkt, out_emb = [], [], [], []
     weights = 1 << np.arange(bits, dtype=np.int64)
@@ -287,7 +311,8 @@ def _emb_block_pairs(batch: pa.Table, threshold: float,
 
 def embedding_near_dups(embeddings_ds, threshold: float = 0.8,
                         n_vectors: int | None = None,
-                        bits: int | None = None, tables: int | None = None):
+                        bits: int | None = None, tables: int | None = None,
+                        plane_mode: str = "seeded"):
     """Exact-verified near-dup pairs (a < b, cosine >= threshold) via
     multi-band hyperplane LSH: explode to (table, bucket) rows -> ONE sort
     by bucket -> vectorized per-block pair generation (sliced GEMM + triu
@@ -305,7 +330,8 @@ def embedding_near_dups(embeddings_ds, threshold: float = 0.8,
         tables = atables if tables is None else tables
 
     def _bands(batch: pa.Table) -> pa.Table:
-        return add_lsh_bands(batch, tables=tables, bits=bits)
+        return add_lsh_bands(batch, tables=tables, bits=bits,
+                             plane_mode=plane_mode)
 
     def _pairs(batch: pa.Table) -> pa.Table:
         return _emb_block_pairs(batch, threshold)

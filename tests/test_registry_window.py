@@ -92,6 +92,9 @@ PAST_WINDOW_PINS = {
     "embeddings_pq_topk": (10, ["adc_dist", "vec_id"]),
     # explicit-init PQ (SQL-oracled, r5)
     "embeddings_pq_topk_explicit": (10, ["adc_dist", "vec_id"]),
+    # md5-keyed LSH companion (SQL-oracled, r5): one planted pair
+    # recovered per source vector at sf0.001
+    "embedding_near_dups_explicit": (500, ["a", "b", "cosine_sim"]),
     "docs_embed_similar": (5, ["cosine_sim", "vec_id"]),
     "multimodal_frame_plan": (1465, ["doc_id", "frame_idx"]),
     "multimodal_audio_features": (500, ["doc_id", "duration_sec",
