@@ -382,6 +382,50 @@ def _q_kg_golden_entity_analytics(sf_dir: str):
         .map_batches(rnd, batch_format="pyarrow")
 
 
+def _q_kg_golden_transe(sf_dir: str):
+    """TransE training over the LIVE golden edges with md5-keyed init —
+    the DuckDB oracle (_transe_sql) re-runs the ENTIRE 4-epoch
+    fixed-point distributed gradient descent independently: vocab ranks,
+    init, margin-loss active sets, np.rint-quantized int64 gradient
+    sums, lr/n updates and unit-sphere projection, matching every
+    embedding slot to 6 dp.  The partition-invariance discipline
+    (quantize-before-sum) is exactly what makes training SQL-provable;
+    the seeded-Gaussian full-corpus sibling (kg_transe_embeddings)
+    stays rows-only with its pytest partition-exactness pin."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.transe import (
+        transe_train,
+    )
+
+    def non_empty(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.not_equal(batch.column("subj"), ""),
+                    pc.not_equal(batch.column("obj"), ""))
+        return batch.filter(m).select(["subj", "pred", "obj"])
+
+    edges = _kg_golden()["edges"].map_batches(
+        non_empty, batch_format="pyarrow").materialize()
+    ents, ee, preds, pe, _losses = transe_train(edges, init="md5")
+    kinds = ["entity"] * len(ents) * ee.shape[1] \
+        + ["pred"] * len(preds) * pe.shape[1]
+    names, dims, vals = [], [], []
+    for arr, emb in ((ents, ee), (preds, pe)):
+        for k, name in enumerate(arr):
+            for d in range(emb.shape[1]):
+                names.append(name)
+                dims.append(d)
+                vals.append(float(np_round_away(np.float64(emb[k, d]), 6)))
+    return pa.Table.from_arrays(
+        [pa.array(kinds, pa.string()), pa.array(names, pa.string()),
+         pa.array(dims, pa.int64()), pa.array(vals, pa.float64())],
+        names=["kind", "name", "dim_idx", "value"])
+
+
 def _q_kg_entities(sf_dir: str):
     return _kg(sf_dir)["entities"]
 
@@ -4703,6 +4747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_analytics": _q_kg_entity_analytics,
         "kg_golden_entity_analytics":
             _q_kg_golden_entity_analytics,  # oracled (r5)
+        # KG-embedding TRAINING hash-checked end to end (SQL, r5)
+        "kg_golden_transe": _q_kg_golden_transe,
         "transcripts_entity_ppr": _q_transcripts_entity_ppr,  # oracled
         "transcripts_entity_bfs": _q_transcripts_entity_bfs,  # oracled
         "transcripts_entity_ktruss":
@@ -5197,6 +5243,134 @@ def _jaccard_pairs_sql(threshold: float = 0.5) -> str:
           SELECT x.doc_id, y.doc_id, 0, 0
           FROM jp_sz x JOIN jp_sz y
             ON x.n = 0 AND y.n = 0 AND x.doc_id < y.doc_id)"""
+
+
+def _transe_sql(triples_sql: str, dim: int = 16, epochs: int = 4,
+                lr: float = 0.1, margin: float = 1.0) -> str:
+    """Exact SQL mirror of ``stages/transe.transe_train`` with the
+    md5-keyed init — DISTRIBUTED KG-EMBEDDING TRAINING re-run in DuckDB:
+    sorted-vocab ranks (UTF-8 binary order == numpy's codepoint sort),
+    md5-uniform unit-norm init, then per epoch the margin-loss active
+    set, per-triple per-slot gradients quantized by a faithful
+    np.rint (HALF-TO-EVEN — mirrored with an explicit tie branch, NOT
+    SQL round) at 2^20 fixed point, exact integer gradient sums, the
+    lr/n update and the unit-sphere re-projection.  The fixed-point
+    quantization that makes the engine partition-invariant is exactly
+    what makes this oracle possible: float sums never cross triples.
+
+    ``triples_sql`` must yield columns (s, p, o)."""
+    FP = "1048576.0"
+
+    def mu(key_expr: str) -> str:
+        return (f"((('0x' || substr(md5({key_expr}), 1, 16))"
+                f"::UBIGINT::DOUBLE / 18446744073709551616.0)"
+                f" * 2.0 - 1.0)")
+
+    def rint(y: str) -> str:
+        return f"""CAST(CASE
+            WHEN ({y}) - floor({y}) > 0.5 THEN floor({y}) + 1
+            WHEN ({y}) - floor({y}) < 0.5 THEN floor({y})
+            WHEN CAST(floor({y}) AS BIGINT) % 2 = 0 THEN floor({y})
+            ELSE floor({y}) + 1 END AS BIGINT)"""
+
+    parts = [
+        f"tr AS MATERIALIZED ({triples_sql})",
+        """ev AS MATERIALIZED (
+            SELECT v AS name, row_number() OVER (ORDER BY v) - 1 AS k
+            FROM (SELECT DISTINCT s AS v FROM tr
+                  UNION SELECT DISTINCT o FROM tr))""",
+        """pv AS MATERIALIZED (
+            SELECT v AS name, row_number() OVER (ORDER BY v) - 1 AS k
+            FROM (SELECT DISTINCT p AS v FROM tr))""",
+        """nn AS (SELECT (SELECT count(*) FROM ev) AS ne,
+                         (SELECT count(*) FROM tr) AS nt)""",
+        f"""raw AS (
+            SELECT 'e' AS kind, ev.k, d.d,
+                   {mu("'te:e:' || ev.k::VARCHAR || ':' || d.d::VARCHAR")}
+                       AS v
+            FROM ev, generate_series(0, {dim - 1}) d(d)
+            UNION ALL
+            SELECT 'p', pv.k, d.d,
+                   {mu("'te:p:' || pv.k::VARCHAR || ':' || d.d::VARCHAR")}
+            FROM pv, generate_series(0, {dim - 1}) d(d))""",
+        """e0 AS MATERIALIZED (
+            SELECT raw.kind, raw.k, raw.d, raw.v / nr.nrm AS v
+            FROM raw JOIN (SELECT kind, k, sqrt(sum(v * v)) AS nrm
+                           FROM raw GROUP BY kind, k)
+                 nr USING (kind, k))""",
+        """ti AS MATERIALIZED (
+            SELECT row_number() OVER () AS tid, eh.k AS hi, et.k AS ti_,
+                   pp.k AS ri, (et.k + 1) % (SELECT ne FROM nn) AS ni
+            FROM tr JOIN ev eh ON eh.name = tr.s
+                    JOIN ev et ON et.name = tr.o
+                    JOIN pv pp ON pp.name = tr.p)""",
+    ]
+    prev = "e0"
+    for ep in range(1, epochs + 1):
+        parts.append(f"""
+            dd{ep} AS MATERIALIZED (
+              SELECT ti.tid, ti.hi, ti.ti_, ti.ri, ti.ni, d.d,
+                     t.v AS tv, tn.v AS nv,
+                     h.v + r.v - t.v AS dpos,
+                     h.v + r.v - tn.v AS dneg
+              FROM ti JOIN generate_series(0, {dim - 1}) d(d) ON TRUE
+                   JOIN {prev} h ON h.kind = 'e' AND h.k = ti.hi
+                                AND h.d = d.d
+                   JOIN {prev} t ON t.kind = 'e' AND t.k = ti.ti_
+                                AND t.d = d.d
+                   JOIN {prev} r ON r.kind = 'p' AND r.k = ti.ri
+                                AND r.d = d.d
+                   JOIN {prev} tn ON tn.kind = 'e' AND tn.k = ti.ni
+                                 AND tn.d = d.d)""")
+        parts.append(f"""
+            act{ep} AS MATERIALIZED (
+              SELECT tid,
+                     {margin} + sum(dpos * dpos) - sum(dneg * dneg)
+                         AS loss
+              FROM dd{ep} GROUP BY tid
+              HAVING {margin} + sum(dpos * dpos) - sum(dneg * dneg)
+                     > 0)""")
+        parts.append(f"""
+            g{ep} AS MATERIALIZED (
+              SELECT kind, k, d, sum(q)::BIGINT AS gsum FROM (
+                SELECT 'e' AS kind, dd.hi AS k, dd.d,
+                       {rint(f"(2.0 * (dd.nv - dd.tv) * {FP})")} AS q
+                FROM dd{ep} dd JOIN act{ep} USING (tid)
+                UNION ALL
+                SELECT 'e', dd.ti_, dd.d,
+                       {rint(f"(-2.0 * dd.dpos * {FP})")}
+                FROM dd{ep} dd JOIN act{ep} USING (tid)
+                UNION ALL
+                SELECT 'e', dd.ni, dd.d,
+                       {rint(f"(2.0 * dd.dneg * {FP})")}
+                FROM dd{ep} dd JOIN act{ep} USING (tid)
+                UNION ALL
+                SELECT 'p', dd.ri, dd.d,
+                       {rint(f"(2.0 * (dd.nv - dd.tv) * {FP})")}
+                FROM dd{ep} dd JOIN act{ep} USING (tid))
+              GROUP BY kind, k, d)""")
+        parts.append(f"""
+            u{ep} AS MATERIALIZED (
+              SELECT p.kind, p.k, p.d,
+                     p.v - ({lr} / (SELECT nt FROM nn))
+                           * (coalesce(g.gsum, 0)::DOUBLE / {FP}) AS v
+              FROM {prev} p LEFT JOIN g{ep} g USING (kind, k, d))""")
+        parts.append(f"""
+            e{ep} AS MATERIALIZED (
+              SELECT u.kind, u.k, u.d,
+                     CASE WHEN u.kind = 'e'
+                          THEN u.v / greatest(nr.nrm, 1e-12)
+                          ELSE u.v END AS v
+              FROM u{ep} u JOIN (SELECT kind, k, sqrt(sum(v * v)) AS nrm
+                                 FROM u{ep} GROUP BY kind, k)
+                   nr USING (kind, k))""")
+        prev = f"e{ep}"
+    return "WITH " + ",".join(parts) + f"""
+        SELECT CASE e.kind WHEN 'e' THEN 'entity' ELSE 'pred' END AS kind,
+               coalesce(ev.name, pv.name) AS name, e.d AS dim_idx,
+               round(e.v, 6) AS value
+        FROM {prev} e LEFT JOIN ev ON e.kind = 'e' AND ev.k = e.k
+                      LEFT JOIN pv ON e.kind = 'p' AND pv.k = e.k"""
 
 
 def _emb_lsh_sql(tables: int = 8, bits: int = 8, dim: int = 64,
@@ -5967,6 +6141,11 @@ def _golden_derived_oracles() -> dict[str, str]:
         float_cols=("subj_idx", "obj_idx"), bool_cols=("negated",))
     return {
         "kg_golden_sentences": _golden_sentences_values(),
+        # TransE training re-run independently in DuckDB over the pinned
+        # edges (md5 init + fixed-point gradient sums; see _transe_sql)
+        "kg_golden_transe": _transe_sql(f"""
+            SELECT subj AS s, pred AS p, obj AS o FROM ({edges_vals})
+            WHERE subj <> '' AND obj <> ''"""),
         "kg_golden_entities": f"""
             SELECT entity_id, sum(weight)::BIGINT AS mention_count
             FROM (SELECT subj_ent AS entity_id, weight

@@ -54,10 +54,27 @@ FP_SCALE = 1 << 20
 MAX_VOCAB = 10_000_000
 
 
-def _init_embeddings(n: int, dim: int, seed: int) -> np.ndarray:
-    """Deterministic unit-norm init (rows of a seeded Gaussian)."""
-    rng = np.random.RandomState(seed)
-    m = rng.standard_normal((n, dim))
+def _init_embeddings(n: int, dim: int, seed: int,
+                     md5_prefix: str | None = None) -> np.ndarray:
+    """Deterministic unit-norm init: rows of a seeded Gaussian, or — when
+    ``md5_prefix`` is given — md5-uniform coords keyed
+    ``{md5_prefix}:{row}:{dim}`` so an external engine with only a
+    string-md5 primitive (the DuckDB oracle of kg_golden_transe) can
+    recompute the init bit-for-bit.  Distribution differs (uniform cube
+    vs Gaussian) but both are valid unit-sphere inits; the md5 path is
+    the verification seam, seeded Gaussian stays the default."""
+    if md5_prefix is not None:
+        import hashlib
+
+        m = np.empty((n, dim), dtype=np.float64)
+        for k in range(n):
+            for d in range(dim):
+                h = int.from_bytes(hashlib.md5(
+                    f"{md5_prefix}:{k}:{d}".encode()).digest()[:8], "big")
+                m[k, d] = (h / (1 << 64)) * 2.0 - 1.0
+    else:
+        rng = np.random.RandomState(seed)
+        m = rng.standard_normal((n, dim))
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
@@ -86,7 +103,7 @@ def _vocab(triples_ds, cols: list[str]) -> np.ndarray:
 def transe_train(triples_ds, *, dim: int = 16, epochs: int = 4,
                  lr: float = 0.1, margin: float = 1.0, seed: int = 7,
                  subj_col: str = "subj", pred_col: str = "pred",
-                 obj_col: str = "obj"):
+                 obj_col: str = "obj", init: str = "seeded"):
     """Triples -> (entity vocab, entity embeddings, pred vocab, pred
     embeddings, per-epoch losses).  Deterministic and partition-invariant
     (see module docstring); callers wanting a Dataset use
@@ -96,8 +113,10 @@ def transe_train(triples_ds, *, dim: int = 16, epochs: int = 4,
     ents = _vocab(triples_ds, [subj_col, obj_col])
     preds = _vocab(triples_ds, [pred_col])
     n_e, n_p = len(ents), len(preds)
-    ent_emb = _init_embeddings(max(n_e, 1), dim, seed)[:n_e]
-    pred_emb = _init_embeddings(max(n_p, 1), dim, seed + 1)[:n_p]
+    md5_e = "te:e" if init == "md5" else None
+    md5_p = "te:p" if init == "md5" else None
+    ent_emb = _init_embeddings(max(n_e, 1), dim, seed, md5_e)[:n_e]
+    pred_emb = _init_embeddings(max(n_p, 1), dim, seed + 1, md5_p)[:n_p]
     n_triples = max(triples_ds.count(), 1)
     losses: list[float] = []
 

@@ -58,6 +58,9 @@ PAST_WINDOW_PINS = {
                                      "weeds_ab", "weeds_ba"]),
     "kg_golden_entity_analytics": (41, ["authority", "hub", "in_2core",
                                         "node"]),
+    # TransE training SQL-mirrored end to end (r5): (41 entities + 37
+    # preds) x 16 dims
+    "kg_golden_transe": (1248, ["dim_idx", "kind", "name", "value"]),
     "kg_transe_embeddings": (259, ["embedding", "final_loss", "kind",
                                    "name"]),
     "kg_link_prediction": (1, ["hits_at_1", "hits_at_10", "mrr",
