@@ -426,6 +426,32 @@ def _q_kg_golden_transe(sf_dir: str):
         names=["kind", "name", "dim_idx", "value"])
 
 
+def _q_kg_golden_link_prediction(sf_dir: str):
+    """Link-prediction eval (MRR / Hits@k) over the golden TransE
+    embeddings — trained AND evaluated independently by the DuckDB
+    oracle (_transe_lp_sql): the oracle re-runs the whole 4-epoch
+    training then ranks every true tail among all entities with the
+    same expanded-distance and fixed-point reciprocal-rank arithmetic.
+    Companion of the rows-only full-corpus kg_link_prediction."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.transe import (
+        link_prediction_eval,
+        transe_train,
+    )
+
+    def non_empty(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.not_equal(batch.column("subj"), ""),
+                    pc.not_equal(batch.column("obj"), ""))
+        return batch.filter(m).select(["subj", "pred", "obj"])
+
+    edges = _kg_golden()["edges"].map_batches(
+        non_empty, batch_format="pyarrow").materialize()
+    ents, ee, preds, pe, _losses = transe_train(edges, init="md5")
+    return link_prediction_eval(edges, ents, ee, preds, pe)
+
+
 def _q_kg_entities(sf_dir: str):
     return _kg(sf_dir)["entities"]
 
@@ -4749,6 +4775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_kg_golden_entity_analytics,  # oracled (r5)
         # KG-embedding TRAINING hash-checked end to end (SQL, r5)
         "kg_golden_transe": _q_kg_golden_transe,
+        "kg_golden_link_prediction": _q_kg_golden_link_prediction,
         "transcripts_entity_ppr": _q_transcripts_entity_ppr,  # oracled
         "transcripts_entity_bfs": _q_transcripts_entity_bfs,  # oracled
         "transcripts_entity_ktruss":
@@ -5371,6 +5398,61 @@ def _transe_sql(triples_sql: str, dim: int = 16, epochs: int = 4,
                round(e.v, 6) AS value
         FROM {prev} e LEFT JOIN ev ON e.kind = 'e' AND ev.k = e.k
                       LEFT JOIN pv ON e.kind = 'p' AND pv.k = e.k"""
+
+
+def _transe_lp_sql(triples_sql: str, dim: int = 16,
+                   epochs: int = 4) -> str:
+    """Link-prediction eval (``stages/transe.link_prediction_eval``) over
+    the SQL-retrained golden TransE embeddings: for every triple, rank
+    the true tail among all entities by the engine's expanded distance
+    (cand_sq - 2 q.cand, |q|^2 dropped), reciprocal ranks quantized at
+    2^30 fixed point with the same np.rint tie branch, then
+    MRR / Hits@1 / Hits@10.  Reuses the full _transe_sql training CTE
+    chain by wrapping its SELECT."""
+    trained = _transe_sql(triples_sql, dim=dim, epochs=epochs)
+    # strip the final projection: rebuild over the internal CTEs by
+    # cutting at the trailing SELECT and re-attaching our own
+    head, _, _tail = trained.rpartition("SELECT CASE e.kind")
+    head = head.rstrip() + ",\n"
+    rr = "(1073741824.0 / rank)"
+    rint = f"""CAST(CASE
+        WHEN {rr} - floor({rr}) > 0.5 THEN floor({rr}) + 1
+        WHEN {rr} - floor({rr}) < 0.5 THEN floor({rr})
+        WHEN CAST(floor({rr}) AS BIGINT) % 2 = 0 THEN floor({rr})
+        ELSE floor({rr}) + 1 END AS BIGINT)"""
+    return head + f"""
+        cand_sq AS (
+          SELECT k, sum(v * v) AS sq FROM e{epochs}
+          WHERE kind = 'e' GROUP BY k),
+        qv AS MATERIALIZED (
+          SELECT ti.tid, ti.ti_, d.d, h.v + r.v AS q
+          FROM ti JOIN generate_series(0, {dim - 1}) d(d) ON TRUE
+               JOIN e{epochs} h ON h.kind = 'e' AND h.k = ti.hi
+                               AND h.d = d.d
+               JOIN e{epochs} r ON r.kind = 'p' AND r.k = ti.ri
+                               AND r.d = d.d),
+        dmat AS MATERIALIZED (
+          SELECT qv.tid, qv.ti_, c.k AS cand,
+                 cs.sq - 2.0 * sum(qv.q * c.v) AS dist
+          FROM qv JOIN e{epochs} c ON c.kind = 'e' AND c.d = qv.d
+                  JOIN cand_sq cs ON cs.k = c.k
+          GROUP BY qv.tid, qv.ti_, c.k, cs.sq),
+        ranks AS (
+          SELECT d1.tid,
+                 1 + count(CASE WHEN d2.dist < d1.dist
+                                THEN 1 END) AS rank
+          FROM dmat d1 JOIN dmat d2 ON d2.tid = d1.tid
+          WHERE d1.cand = d1.ti_
+          GROUP BY d1.tid),
+        fp AS (SELECT tid, rank, {rint} AS rr_fp FROM ranks)
+        SELECT count(*)::BIGINT AS n_triples,
+               round(sum(rr_fp)::DOUBLE / 1073741824.0
+                     / count(*), 6) AS mrr,
+               round(count(CASE WHEN rank = 1 THEN 1 END)::DOUBLE
+                     / count(*), 6) AS hits_at_1,
+               round(count(CASE WHEN rank <= 10 THEN 1 END)::DOUBLE
+                     / count(*), 6) AS hits_at_10
+        FROM fp"""
 
 
 def _emb_lsh_sql(tables: int = 8, bits: int = 8, dim: int = 64,
@@ -6144,6 +6226,9 @@ def _golden_derived_oracles() -> dict[str, str]:
         # TransE training re-run independently in DuckDB over the pinned
         # edges (md5 init + fixed-point gradient sums; see _transe_sql)
         "kg_golden_transe": _transe_sql(f"""
+            SELECT subj AS s, pred AS p, obj AS o FROM ({edges_vals})
+            WHERE subj <> '' AND obj <> ''"""),
+        "kg_golden_link_prediction": _transe_lp_sql(f"""
             SELECT subj AS s, pred AS p, obj AS o FROM ({edges_vals})
             WHERE subj <> '' AND obj <> ''"""),
         "kg_golden_entities": f"""

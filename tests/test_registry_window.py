@@ -61,6 +61,9 @@ PAST_WINDOW_PINS = {
     # TransE training SQL-mirrored end to end (r5): (41 entities + 37
     # preds) x 16 dims
     "kg_golden_transe": (1248, ["dim_idx", "kind", "name", "value"]),
+    # link-pred eval over the SQL-retrained golden embeddings (r5)
+    "kg_golden_link_prediction": (1, ["hits_at_1", "hits_at_10", "mrr",
+                                      "n_triples"]),
     "kg_transe_embeddings": (259, ["embedding", "final_loss", "kind",
                                    "name"]),
     "kg_link_prediction": (1, ["hits_at_1", "hits_at_10", "mrr",
