@@ -4625,8 +4625,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rejected_turns": _q_kg_rejected_turns,
         "kg_pagerank": _q_kg_pagerank,
         "kg_golden_pagerank": _q_kg_golden_pagerank,  # oracled (r5)
-        "kg_transe_embeddings": _q_kg_transe_embeddings,  # rows-only (r4)
-        "kg_link_prediction": _q_kg_link_prediction,  # rows-only (r4)
+        "kg_transe_embeddings": _q_kg_transe_embeddings,  # rows-only
+        # (training math SQL-proved by kg_golden_transe, r5)
+        "kg_link_prediction": _q_kg_link_prediction,  # rows-only
+        # (eval math SQL-proved by kg_golden_link_prediction, r5)
         "kg_sentences": _q_kg_sentences,
         "kg_entities": _q_kg_entities,
         "kg_rel_kind_counts": _q_kg_rel_kind_counts,
@@ -4650,7 +4652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_ivf": _q_similarity_topk_ivf,
         "similarity_topk_ivf_exhaustive":
             _q_similarity_topk_ivf_exhaustive,  # oracled (r5)
-        "embeddings_pq_topk": _q_embeddings_pq_topk,  # rows-only (lossy)
+        "embeddings_pq_topk": _q_embeddings_pq_topk,  # rows-only (seeded;
+        # PQ math SQL-proved by embeddings_pq_topk_explicit, r5)
         # explicit-init PQ == pure function of the data (SQL, r5)
         "embeddings_pq_topk_explicit": _q_embeddings_pq_topk_explicit,
         "docs_embed_similar": _q_docs_embed_similar,  # oracled (r5)
@@ -4658,7 +4661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_features": _q_multimodal_audio_features,  # oracled (r5)
         "docs_pack_sequences": _q_docs_pack_sequences,   # oracled (r4)
         "docs_tfidf_top_terms": _q_docs_tfidf_top_terms,  # oracled (r4)
-        "embeddings_kmeans": _q_embeddings_kmeans,   # rows-only (iterative)
+        "embeddings_kmeans": _q_embeddings_kmeans,   # rows-only (seeded;
+        # Lloyd math SQL-proved by embeddings_kmeans_explicit, r5)
         # explicit-init Lloyd == pure function of the data (SQL, r5)
         "embeddings_kmeans_explicit": _q_embeddings_kmeans_explicit,
         "docs_top_tokens_approx": _q_docs_top_tokens_approx,  # rows-only
@@ -4668,7 +4672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_substring_deduped": _q_docs_substring_deduped,  # oracled (r4)
         "docs_resample_mixture": _q_docs_resample_mixture,  # oracled (r4)
         "docs_decontaminated_bloom": _q_docs_decontaminated_bloom,  # oracled (r5)
-        "docs_token_freq_cm": _q_docs_token_freq_cm,  # rows-only (sketch)
+        "docs_token_freq_cm": _q_docs_token_freq_cm,  # rows-only (MG side;
+        # CM math SQL-proved by docs_cm_estimates, r5)
         # full-matrix CM mirror on the exact heavy-hitter list (r5)
         "docs_cm_estimates": _q_docs_cm_estimates,  # oracled (r5)
         "docs_lm_scores": _q_docs_lm_scores,  # oracled (r4)
