@@ -426,6 +426,29 @@ def _q_kg_golden_transe(sf_dir: str):
         names=["kind", "name", "dim_idx", "value"])
 
 
+def _q_kg_golden_filter_histograms(sf_dir: str):
+    """The stop-word / V_CMP filter histograms over the LIVE golden
+    parses — hash-checked twin of the rows-only full-corpus
+    kg_filter_histograms (oracle: the layout-invariance-asserted pinned
+    VALUES, sources/golden_expected.py)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.extract import (
+        filter_histograms,
+    )
+
+    return filter_histograms(_kg_golden()["parses"])
+
+
+def _q_kg_golden_coref_chain_buckets(sf_dir: str):
+    """Coref chain-count histogram over the LIVE golden parses —
+    hash-checked twin of the rows-only full-corpus
+    kg_coref_chain_buckets (same pinned-VALUES contract)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.coref import (
+        coref_chain_buckets,
+    )
+
+    return coref_chain_buckets(_kg_golden()["parses"])
+
+
 def _q_kg_golden_link_prediction(sf_dir: str):
     """Link-prediction eval (MRR / Hits@k) over the golden TransE
     embeddings — trained AND evaluated independently by the DuckDB
@@ -506,6 +529,31 @@ def _q_kg_sample(sf_dir: str):
         return batch.filter(pa.array(keep))
 
     return _kg(sf_dir)["edges"].map_batches(sample, batch_format="pyarrow")
+
+
+def _q_kg_golden_sample(sf_dir: str):
+    """The content-hash Bernoulli sampler over the LIVE golden edges —
+    hash-checked twin of the rows-only full-corpus kg_sample: the oracle
+    applies the identical md5-first-byte rule to the pinned edge VALUES
+    (rate 16/64 here instead of 4/64 so the tiny golden table keeps a
+    non-vacuous sample)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def sample(batch: pa.Table) -> pa.Table:
+        key = pa.compute.binary_join_element_wise(
+            batch.column("subj").cast(pa.string()),
+            batch.column("pred").cast(pa.string()),
+            batch.column("obj").cast(pa.string()),
+            batch.column("sample_conv_id").cast(pa.string()),
+            batch.column("sample_turn_idx").cast(pa.string()), "\x1f")
+        keep = [hashlib.md5(k.encode()).digest()[0] < 64
+                for k in key.to_pylist()]
+        return batch.filter(pa.array(keep))
+
+    return _kg_golden()["edges"].map_batches(sample,
+                                             batch_format="pyarrow")
 
 
 def _mention_surface_label() -> dict[str, str]:
@@ -4781,6 +4829,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG-embedding TRAINING hash-checked end to end (SQL, r5)
         "kg_golden_transe": _q_kg_golden_transe,
         "kg_golden_link_prediction": _q_kg_golden_link_prediction,
+        "kg_golden_sample": _q_kg_golden_sample,  # oracled (r5)
+        "kg_golden_filter_histograms":
+            _q_kg_golden_filter_histograms,  # oracled (r5)
+        "kg_golden_coref_chain_buckets":
+            _q_kg_golden_coref_chain_buckets,  # oracled (r5)
         "transcripts_entity_ppr": _q_transcripts_entity_ppr,  # oracled
         "transcripts_entity_bfs": _q_transcripts_entity_bfs,  # oracled
         "transcripts_entity_ktruss":
@@ -6218,7 +6271,9 @@ def _golden_derived_oracles() -> dict[str, str]:
     the independent split rule; entities and rel-kind counts DERIVED in
     SQL from the already-pinned edges/triples VALUES."""
     from chinese_open_relation_extraction_for_entgraph_ray.sources.golden_expected import (
+        EXPECTED_COREF_CHAIN_BUCKETS,
         EXPECTED_EDGES,
+        EXPECTED_FILTER_HISTOGRAMS,
         EXPECTED_TRIPLES,
     )
 
@@ -6228,6 +6283,13 @@ def _golden_derived_oracles() -> dict[str, str]:
         float_cols=("subj_idx", "obj_idx"), bool_cols=("negated",))
     return {
         "kg_golden_sentences": _golden_sentences_values(),
+        # pinned-VALUES twins of the rows-only parse-level histograms
+        # (layout-invariance asserted at pin time by gen_golden_expected)
+        "kg_golden_filter_histograms": _values_sql(
+            EXPECTED_FILTER_HISTOGRAMS, ["bucket", "token", "n"]),
+        "kg_golden_coref_chain_buckets": _values_sql(
+            EXPECTED_COREF_CHAIN_BUCKETS,
+            ["n_chains", "n_conversations"]),
         # TransE training re-run independently in DuckDB over the pinned
         # edges (md5 init + fixed-point gradient sums; see _transe_sql)
         "kg_golden_transe": _transe_sql(f"""
@@ -6236,6 +6298,12 @@ def _golden_derived_oracles() -> dict[str, str]:
         "kg_golden_link_prediction": _transe_lp_sql(f"""
             SELECT subj AS s, pred AS p, obj AS o FROM ({edges_vals})
             WHERE subj <> '' AND obj <> ''"""),
+        # the sampler's md5-first-byte rule applied to the pinned edges
+        "kg_golden_sample": f"""
+            SELECT * FROM ({edges_vals})
+            WHERE ('0x' || substr(md5(subj || chr(31) || pred || chr(31)
+                      || obj || chr(31) || sample_conv_id || chr(31)
+                      || sample_turn_idx::VARCHAR), 1, 2))::INT < 64""",
         "kg_golden_entities": f"""
             SELECT entity_id, sum(weight)::BIGINT AS mention_count
             FROM (SELECT subj_ent AS entity_id, weight

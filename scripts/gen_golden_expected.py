@@ -33,6 +33,10 @@ from chinese_open_relation_extraction_for_entgraph_ray.stages.coref import (
     coref_delta_triples)
 from chinese_open_relation_extraction_for_entgraph_ray.stages.mentions import (
     mentions_with_coref)
+from chinese_open_relation_extraction_for_entgraph_ray.stages.extract import (
+    filter_histograms)
+from chinese_open_relation_extraction_for_entgraph_ray.stages.coref import (
+    coref_chain_buckets)
 tdir = write_golden_transcripts("/tmp/entgraph_golden/transcripts")
 kg = build_kg(tdir, %(out)r, parse_concurrency=2)
 import pandas as pd
@@ -59,6 +63,10 @@ out["coref"] = dump(coref_delta_triples(kg["parses"]).to_pandas(), COREF_COLS)
 out["mentions"] = dump(
     mentions_with_coref(kg["sentences"], kg["parses"], concurrency=2)
     .to_pandas(), MENTION_COLS)
+out["hists"] = dump(filter_histograms(kg["parses"]).to_pandas(),
+                    ["bucket", "token", "n"])
+out["chain_buckets"] = dump(coref_chain_buckets(kg["parses"]),
+                            ["n_chains", "n_conversations"])
 import json
 with open(%(dump)r, "w") as fp:
     json.dump({k: [list(r) for r in v] for k, v in out.items()}, fp,
@@ -114,6 +122,9 @@ small integers-as-floats or 1.0 link scores, safe to compare stringified at
             "edges": ("EXPECTED_EDGES", a["edges"]),
             "coref": ("EXPECTED_COREF_DELTA", a["coref"]),
             "mentions": ("EXPECTED_MENTIONS_COREFED", a["mentions"]),
+            "hists": ("EXPECTED_FILTER_HISTOGRAMS", a["hists"]),
+            "chain_buckets": ("EXPECTED_COREF_CHAIN_BUCKETS",
+                              a["chain_buckets"]),
         }
         for key, (var, rows) in names.items():
             fp.write(f"\n{var} = [\n")

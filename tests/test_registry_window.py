@@ -64,6 +64,13 @@ PAST_WINDOW_PINS = {
     # link-pred eval over the SQL-retrained golden embeddings (r5)
     "kg_golden_link_prediction": (1, ["hits_at_1", "hits_at_10", "mrr",
                                       "n_triples"]),
+    # golden twins of the last rows-only kg flagship probes (r5)
+    "kg_golden_sample": (13, ["obj", "obj_ent", "pred", "sample_conv_id",
+                              "sample_turn_idx", "subj", "subj_ent",
+                              "weight"]),
+    "kg_golden_filter_histograms": (7, ["bucket", "n", "token"]),
+    "kg_golden_coref_chain_buckets": (2, ["n_chains",
+                                          "n_conversations"]),
     "kg_transe_embeddings": (259, ["embedding", "final_loss", "kind",
                                    "name"]),
     "kg_link_prediction": (1, ["hits_at_1", "hits_at_10", "mrr",
