@@ -775,3 +775,26 @@ def test_logreg_partition_parity_learning_and_noise_weight(ray_session):
     empty = ray.data.from_pandas(df.iloc[:0]).materialize()
     w0 = train_logreg(empty, feature_cols=["x1", "x2"], label_col="y")
     assert (w0 == 0).all()
+
+
+def test_md5_plane_mode_deterministic_and_distinct():
+    """plane_mode='md5' (the embedding_near_dups_explicit oracle seam):
+    pure function of (dim, tables, bits) — same across calls/processes —
+    in [-1, 1), and distinct from the seeded planes."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
+        _TABLE_PLANES,
+        _table_planes,
+    )
+
+    p1 = _table_planes(16, 4, 4, "md5")
+    _TABLE_PLANES.pop((16, 4, 4, "md5"))          # force rebuild
+    p2 = _table_planes(16, 4, 4, "md5")
+    assert (p1 == p2).all()
+    assert p1.shape == (4, 4, 16)
+    assert (p1 >= -1).all() and (p1 < 1).all()
+    seeded = _table_planes(16, 4, 4, "seeded")
+    assert not np.array_equal(p1, seeded)
+    # spot-pin one coordinate against the documented key recipe
+    import hashlib
+    h = int.from_bytes(hashlib.md5(b"lsh:0:0:0").digest()[:8], "big")
+    assert p1[0, 0, 0] == (h / (1 << 64)) * 2.0 - 1.0

@@ -103,3 +103,33 @@ def test_search_partition_invariant(ray_session):
     t1 = pq_search(c1, books, q, k=5).to_pandas()
     t6 = pq_search(c6, books, q, k=5).to_pandas()
     assert t1.equals(t6)
+
+
+def test_explicit_init_validation_and_determinism(ray_session):
+    """init path (the SQL-oracle seam of embeddings_pq_topk_explicit):
+    shape errors are loud; explicit init is partition-invariant."""
+    import ray.data as rd
+    import pytest
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.pq import (
+        pq_topk,
+        train_pq,
+    )
+
+    rng = np.random.RandomState(3)
+    emb = rng.standard_normal((60, 8))
+    rows = [{"vec_id": i, "embedding": v.tolist()}
+            for i, v in enumerate(emb)]
+    with pytest.raises(ValueError, match="init shape"):
+        train_pq(emb, m=2, ksub=4, init=emb[:3])
+    with pytest.raises(ValueError, match="not in the training sample"):
+        pq_topk(rd.from_items(rows), emb[0], m=2, ksub=4,
+                init_ids=[0, 1, 2, 999])
+
+    outs = []
+    for parts in (2, 7):
+        ds = rd.from_items(rows).repartition(parts)
+        got = pq_topk(ds, emb[0], k=5, m=2, ksub=4,
+                      init_ids=[0, 15, 30, 45]).to_pandas()
+        outs.append(got.sort_values("vec_id", ignore_index=True))
+    assert outs[0].equals(outs[1])
