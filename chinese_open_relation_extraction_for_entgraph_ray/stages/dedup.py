@@ -141,21 +141,21 @@ def add_minhash_bands(batch: pa.Table) -> pa.Table:
         names=["band", "band_hash", "doc_id"])
 
 
-def bucket_candidate_pairs(group: "pd.DataFrame") -> "pd.DataFrame":   # noqa: F821
+def bucket_candidate_pairs(group: pa.Table) -> pa.Table:
     """One LSH bucket -> candidate (a, b) pairs, capped against blow-up.
     Pairs via ``np.triu_indices`` like the sibling pair emitters (the
-    hamming/cosine paths) — no Python combinations loop."""
-    import pandas as pd
-
-    all_ids = np.sort(group["doc_id"].to_numpy())
+    hamming/cosine paths) — no Python combinations loop; Arrow in/out
+    so the boundary-bucket second pass skips the pandas block copy."""
+    all_ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
     if len(all_ids) > MAX_BUCKET:
         _log_bucket_caps([len(all_ids)])
-    ids = all_ids[:MAX_BUCKET]
+    ids = all_ids[:MAX_BUCKET].astype(np.int64, copy=False)
     if len(ids) < 2:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64")})
+        empty = pa.array([], pa.int64())
+        return pa.Table.from_arrays([empty, empty], names=["a", "b"])
     iu, ju = np.triu_indices(len(ids), 1)
-    return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
+    return pa.Table.from_arrays(
+        [pa.array(ids[iu]), pa.array(ids[ju])], names=["a", "b"])
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -324,14 +324,11 @@ def minhash_candidate_pairs(docs_ds):
     def _sel_edges(batch: pa.Table) -> pa.Table:
         return batch.select(["band", "band_hash", "doc_id"])
 
-    def _to_arrow(batch: pa.Table) -> pa.Table:
-        return batch    # map_batches(pyarrow) normalizes pandas blocks -> arrow
-
     edge_pairs = (mixed.filter(expr="kind == 0")
                   .map_batches(_sel_edges, batch_format="pyarrow")
                   .groupby(["band", "band_hash"])
-                  .map_groups(bucket_candidate_pairs, batch_format="pandas")
-                  .map_batches(_to_arrow, batch_format="pyarrow"))
+                  .map_groups(bucket_candidate_pairs,
+                              batch_format="pyarrow"))
     all_pairs = inner.map_batches(_sel_pairs, batch_format="pyarrow") \
                      .union(edge_pairs)
 
@@ -362,7 +359,6 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
     block pair generation as the MinHash path (one exchange, boundary
     buckets through a tiny second pass), with signatures riding along so
     verification needs no extra join.  Returns (a, b, hamming) rows."""
-    import pandas as pd
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         sigs = add_simhash(batch)
@@ -375,20 +371,24 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
                 names=["band", "band_hash", "doc_id", "sig"]))
         return pa.concat_tables(parts)
 
-    def block_pairs(df: pd.DataFrame, skip_edges: bool = True) -> pa.Table:
+    def block_pairs(batch: pa.Table, skip_edges: bool = True) -> pa.Table:
         """RLE over the sorted bucket stream; Python touches only
         multi-member buckets (same no-Python-on-singletons shape as the
-        MinHash pair generator)."""
+        MinHash pair generator).  Arrow in/out — the int columns come
+        off the sorted block zero-copy."""
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_h: list[np.ndarray] = []
-        edges = None
-        if len(df):
-            band = df["band"].to_numpy()
-            bh = df["band_hash"].to_numpy()
-            doc = df["doc_id"].to_numpy()
-            sig = df["sig"].to_numpy()
-            n = len(df)
+        n = batch.num_rows
+        edge_band = np.array([], np.int32)
+        edge_bh = np.array([], np.int32)
+        edge_doc = np.array([], np.int64)
+        edge_sig = np.array([], np.int64)
+        if n:
+            band = batch.column("band").to_numpy(zero_copy_only=False)
+            bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+            doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            sig = batch.column("sig").to_numpy(zero_copy_only=False)
             change = np.empty(n, dtype=bool)
             change[0] = True
             np.not_equal(band[1:], band[:-1], out=change[1:])
@@ -398,7 +398,11 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
             counts = np.bincount(group_id)
             starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
             if skip_edges:
-                edges = df[(group_id == 0) | (group_id == last_gid)]
+                em = (group_id == 0) | (group_id == last_gid)
+                edge_band = band[em].astype(np.int32, copy=False)
+                edge_bh = bh[em].astype(np.int32, copy=False)
+                edge_doc = doc[em].astype(np.int64, copy=False)
+                edge_sig = sig[em].astype(np.int64, copy=False)
             truncated: list[int] = []
             for g in np.nonzero(counts >= 2)[0]:
                 if skip_edges and (g == 0 or g == last_gid):
@@ -420,10 +424,7 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
         cat_b = np.concatenate(out_b) if out_b else np.array([], np.int64)
         cat_h = np.concatenate(out_h) if out_h else np.array([], np.int32)
         n_pairs = len(cat_a)
-        if edges is None:
-            edges = pd.DataFrame({c: [] for c in ["band", "band_hash",
-                                                  "doc_id", "sig"]})
-        n_edges = len(edges)
+        n_edges = len(edge_doc)
         return pa.Table.from_arrays(
             [pa.array([1] * n_pairs + [0] * n_edges, pa.int8()),
              pa.array(np.concatenate([cat_a, np.zeros(n_edges, np.int64)]),
@@ -433,16 +434,20 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
              pa.array(np.concatenate([cat_h.astype(np.int32),
                                       np.zeros(n_edges, np.int32)]),
                       pa.int32()),
-             pa.array([0] * n_pairs + list(edges["band"]), pa.int32()),
-             pa.array([0] * n_pairs + list(edges["band_hash"]), pa.int32()),
-             pa.array([0] * n_pairs + list(edges["doc_id"]), pa.int64()),
-             pa.array([0] * n_pairs + list(edges["sig"]), pa.int64())],
+             pa.array(np.concatenate([np.zeros(n_pairs, np.int32),
+                                      edge_band]), pa.int32()),
+             pa.array(np.concatenate([np.zeros(n_pairs, np.int32),
+                                      edge_bh]), pa.int32()),
+             pa.array(np.concatenate([np.zeros(n_pairs, np.int64),
+                                      edge_doc]), pa.int64()),
+             pa.array(np.concatenate([np.zeros(n_pairs, np.int64),
+                                      edge_sig]), pa.int64())],
             names=["kind", "a", "b", "hamming",
                    "band", "band_hash", "doc_id", "sig"])
 
     mixed = (docs_ds.map_batches(explode_bands, batch_format="pyarrow")
              .sort(["band", "band_hash"])
-             .map_batches(block_pairs, batch_format="pandas",
+             .map_batches(block_pairs, batch_format="pyarrow",
                           batch_size=None)
              .materialize())   # small: pairs + boundary-bucket rows
     inner = mixed.filter(expr="kind == 1") \
@@ -453,8 +458,8 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
                       ["band", "band_hash", "doc_id", "sig"]),
                       batch_format="pyarrow")
                   .repartition(1)
-                  .map_batches(lambda df: block_pairs(df, skip_edges=False),
-                               batch_format="pandas", batch_size=None)
+                  .map_batches(lambda b: block_pairs(b, skip_edges=False),
+                               batch_format="pyarrow", batch_size=None)
                   .map_batches(lambda b: b.select(["a", "b", "hamming"]),
                                batch_format="pyarrow"))
     from .groupagg import auto_hash_aggregate

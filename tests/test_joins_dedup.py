@@ -153,15 +153,16 @@ def test_bucket_cap_logged(caplog):
     """MAX_BUCKET truncation is no longer silent (no-silent-caps)."""
     import logging
 
-    import pandas as pd
+    import pyarrow as pa
 
     from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
         MAX_BUCKET,
         bucket_candidate_pairs,
     )
 
-    big = pd.DataFrame({"band": 0, "band_hash": "h",
-                        "doc_id": list(range(MAX_BUCKET + 5))})
+    n = MAX_BUCKET + 5
+    big = pa.table({"band": [0] * n, "band_hash": ["h"] * n,
+                    "doc_id": list(range(n))})
     with caplog.at_level(logging.WARNING,
                          logger="chinese_open_relation_extraction_for_entgraph_ray.stages.dedup"):
         out = bucket_candidate_pairs(big)
