@@ -4576,6 +4576,79 @@ def _q_docs_decontaminated(sf_dir: str):
     return contamination_counts(train_ds, eval_shingle_set(eval_ds))
 
 
+def _q_docs_repetition_stats(sf_dir: str):
+    """Gopher-style repetition-ratio quality signals (Rae et al. 2021
+    §A1.1 token-based analog; stages/textstats.repetition_stats): per doc,
+    the token fraction covered by the most frequent bigram and the
+    fraction of bigram positions whose bigram repeats — the boilerplate /
+    degenerate-generation filters beside docs_quality's distinct-token
+    ratio.  All-vectorized polars bigram counting; one embarrassingly
+    parallel map, no exchange."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (
+        repetition_stats,
+    )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(repetition_stats, batch_format="pyarrow")
+
+
+def _q_docs_bottomk_sample(sf_dir: str):
+    """Fixed-size deterministic sample (stages/dedup.bottomk_sample): the
+    25 docs with the smallest (md5(text), doc_id) key — bottom-k over a
+    uniform content hash IS a uniform without-replacement sample, and
+    unlike a reservoir it is deterministic and mergeable (each block
+    prunes to its local bottom-k before the exchange).  The fixed-size
+    companion to docs_deterministic_sample's Bernoulli rule."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        bottomk_sample,
+    )
+
+    return bottomk_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), k=25)
+
+
+def _q_transcripts_entity_sssp(sf_dir: str):
+    """Weighted shortest paths from the seed entity 北京 over the
+    co-occurrence graph (stages/graph.sssp_distances, 3 Bellman-Ford
+    rounds; edge distance 1/n_cooccur, so strongly-linked entities are
+    'closer') — the weighted companion to transcripts_entity_bfs' hop
+    counts.  Per round: one keyed lookup join + one grouped MIN
+    (order-independent, hence partition-invariant and SQL-mirrorable
+    without quantization)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        sssp_distances,
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([t.column("a").combine_chunks(),
+                              t.column("b").combine_chunks()])
+        v = pa.concat_arrays([t.column("b").combine_chunks(),
+                              t.column("a").combine_chunks()])
+        n = np.asarray(t.column("n_cooccur"), dtype=np.float64)
+        w = np.concatenate([1.0 / n, 1.0 / n])
+        return pa.Table.from_arrays([u, v, pa.array(w, pa.float64())],
+                                    names=["src", "dst", "w"])
+
+    edges = _q_transcripts_entity_cooccurrence(sf_dir) \
+        .map_batches(both_dirs, batch_format="pyarrow")
+    dist = sssp_distances(edges, ["北京"], rounds=3)
+
+    def scale(t: pa.Table) -> pa.Table:
+        d = np_round_away(
+            np.asarray(t.column("dist"), dtype=np.float64), 9)
+        return pa.Table.from_arrays(
+            [t.column("node"), pa.array(d, pa.float64())],
+            names=["node", "dist_scaled"])
+
+    return dist.map_batches(scale, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
     evaluates at most the FIRST 50 entries (observed r2 — the last 14 got
@@ -4840,6 +4913,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_transcripts_entity_ktruss,  # oracled (r4)
         "embeddings_knn_components":
             _q_embeddings_knn_components,  # oracled (r4)
+        # weighted Bellman-Ford shortest paths (SQL-oracled, r5 day-3)
+        "transcripts_entity_sssp": _q_transcripts_entity_sssp,
+        # Gopher repetition-ratio quality filters (SQL-oracled, r5 day-3)
+        "docs_repetition_stats": _q_docs_repetition_stats,
+        # fixed-size bottom-k content-hash sample (SQL-oracled, r5 day-3)
+        "docs_bottomk_sample": _q_docs_bottomk_sample,
     }
 
 
@@ -5118,6 +5197,35 @@ def _bfs_sql(tglob: str, seed: str = "北京", max_hops: int = 3) -> str:
         WITH {", ".join(parts)}
         {" UNION ALL ".join(f"SELECT node, dist FROM {v}" for v in all_v)}
     """
+
+
+def _sssp_sql(tglob: str, seed: str = "北京", rounds: int = 3) -> str:
+    """Unrolled bounded-round Bellman-Ford mirror of
+    ``stages/graph.sssp_distances``: per round, new dist = grouped MIN
+    over the previous dist table UNION ALL one-edge relaxations
+    (dist(src) + w — the identical single float64 add, and MIN is
+    order-independent, so the mirror is bit-exact without
+    quantization)."""
+    parts = [
+        f"coocc AS MATERIALIZED ({_cooccurrence_sql(tglob)})",
+        """e AS MATERIALIZED (
+            SELECT a AS src, b AS dst, 1.0 / n_cooccur AS w FROM coocc
+            UNION ALL SELECT b, a, 1.0 / n_cooccur FROM coocc)""",
+        f"""d0 AS MATERIALIZED (
+            SELECT '{seed}' AS node, 0.0::DOUBLE AS dist)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+            d{i} AS MATERIALIZED (
+                SELECT node, min(dist) AS dist FROM (
+                    SELECT node, dist FROM d{i - 1}
+                    UNION ALL
+                    SELECT e.dst AS node, d.dist + e.w AS dist
+                    FROM e JOIN d{i - 1} d ON d.node = e.src)
+                GROUP BY node)""")
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT node, round(dist, 9) AS dist_scaled FROM d{rounds}"""
 
 
 def _ppr_sql(tglob: str, seed: str = "北京", damping: float = 0.85,
@@ -7661,6 +7769,40 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
         "docs_quality_lr": _logreg_sql(),
         "transcripts_entity_ppr": _ppr_sql(tglob),
         "transcripts_entity_bfs": _bfs_sql(tglob),
+        "transcripts_entity_sssp": _sssp_sql(tglob),
+        "docs_repetition_stats": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '\S+') AS tk
+                FROM documents),
+            base AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens FROM toks),
+            pos AS (
+                SELECT doc_id, tk,
+                       unnest(generate_series(1, len(tk) - 1)) AS i
+                FROM toks),
+            big AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM pos),
+            bcnt AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS c
+                     FROM big GROUP BY 1, 2, 3),
+            agg AS (SELECT doc_id, max(c) AS max_c,
+                           coalesce(sum(CASE WHEN c >= 2 THEN c END), 0)
+                               AS dup_pos,
+                           sum(c) AS n_big
+                    FROM bcnt GROUP BY 1)
+            SELECT b.doc_id, b.n_tokens,
+                   round(CASE WHEN a.n_big > 0
+                              THEN (a.max_c * 2.0) / b.n_tokens
+                              ELSE 0.0 END, 6) AS top_bigram_frac,
+                   round(CASE WHEN a.n_big > 0
+                              THEN a.dup_pos / (a.n_big * 1.0)
+                              ELSE 0.0 END, 6) AS dup_bigram_frac
+            FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "docs_bottomk_sample": """
+            SELECT doc_id, md5(coalesce(text, '')) AS md5,
+                   row_number() OVER (
+                       ORDER BY md5(coalesce(text, '')), doc_id)
+                       AS sample_rank
+            FROM documents
+            ORDER BY md5, doc_id LIMIT 25""",
         "transcripts_entity_ktruss": _ktruss_sql(tglob),
         # recursive-CTE closure over the mutual 5-NN graph (the
         # docs_dedup_clusters oracle pattern on the embeddings family)

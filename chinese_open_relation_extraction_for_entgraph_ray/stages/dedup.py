@@ -238,6 +238,43 @@ def exact_dedup(docs_ds):
         ["md5"], [("keep_doc_id", "min"), ("dup_count", "sum")])
 
 
+def bottomk_sample(docs_ds, k: int = 25):
+    """Fixed-size deterministic sample: the ``k`` documents with the
+    smallest ``(md5(text), doc_id)`` key — the distributed analog of
+    reservoir sampling (bottom-k over a uniform content hash IS a uniform
+    without-replacement sample, and unlike a reservoir it is deterministic
+    and mergeable).  Complements the Bernoulli content-hash sample
+    (``docs_deterministic_sample``), whose size varies with the corpus.
+
+    100-TB shape: each block prunes locally to its own bottom-k before the
+    exchange (k rows per block, never the corpus), then one global
+    sort+limit over <= k x n_blocks pruned rows; ``sample_rank`` is
+    assigned on the final k-row table.  Returns an Arrow table
+    (doc_id, md5, sample_rank) — output bounded at k rows by construction.
+    """
+    def key_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        t = pa.Table.from_arrays(
+            [batch.column("doc_id").cast(pa.int64()),
+             pa.array(md5s, pa.string())],
+            names=["doc_id", "md5"])
+        # local bottom-k prune: the exchange carries k rows per block
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            t, sort_keys=[("md5", "ascending"), ("doc_id", "ascending")])
+        return t.take(idx[:k])
+
+    pruned = docs_ds.map_batches(key_rows, batch_format="pyarrow")
+    rows = pruned.sort(["md5", "doc_id"]).limit(k).take_all()  # k rows
+    return pa.Table.from_arrays(
+        [pa.array([r["doc_id"] for r in rows], pa.int64()),
+         pa.array([r["md5"] for r in rows], pa.string()),
+         pa.array(np.arange(1, len(rows) + 1), pa.int64())],
+        names=["doc_id", "md5", "sample_rank"])
+
+
 def _block_pairs_and_edges(batch: pa.Table) -> pa.Table:
     """Pair generation over one bucket-sorted block — vectorized.
 

@@ -1076,6 +1076,60 @@ def bfs_distances(edges_ds, sources: list[str], *, max_hops: int = 4):
     return visited
 
 
+def sssp_distances(edges_ds, sources: list[str], *, rounds: int = 3):
+    """Bounded-round weighted shortest paths (Bellman-Ford relaxation)
+    over a DIRECTED edge list (columns ``src``, ``dst``, ``w`` with w > 0):
+    dist(v) = min total weight over paths of <= ``rounds`` edges from any
+    source; unreached nodes are absent — the weighted companion to
+    :func:`bfs_distances`' hop counts (callers mirror edges for undirected
+    graphs, exactly as for PPR).  Returns (node, dist).
+
+    Per round: ONE keyed lookup join attaches current dists to out-edges
+    (candidate = dist(src) + w — a single float64 add, so DuckDB replays
+    it bit-for-bit), then ONE sorted-block grouped MIN over the union of
+    the current dist table (carrier rows: a settled dist never worsens)
+    and the candidates.  MIN is order-independent, so the result is
+    partition-invariant by construction — no fixed-point quantization
+    needed, unlike the gradient sums in transe/logreg.  State is
+    coalesced to the edge block count per round (the union block-growth
+    lesson); no driver-side graph state.
+
+    100-TB shape: each round is one keyed join + one keyed aggregate on
+    the same node key — the same exchange profile as a pagerank round;
+    the dist table is bounded by the reached node set.
+    """
+    import numpy as np
+
+    import ray.data as rd
+
+    from .groupagg import sorted_hash_aggregate
+    from .joins import lookup_join
+
+    edges = edges_ds.materialize()
+    n_blocks = max(1, edges.num_blocks())
+    srcs = sorted(set(sources))
+    dist = rd.from_arrow(pa.Table.from_arrays(
+        [pa.array(srcs, pa.string()),
+         pa.array(np.zeros(len(srcs)), pa.float64())],
+        names=["node", "dist"])).materialize()
+
+    def relax(t: pa.Table) -> pa.Table:
+        c = np.asarray(t.column("dist_s"), dtype=np.float64) \
+            + np.asarray(t.column("w"), dtype=np.float64)
+        return pa.Table.from_arrays(
+            [t.column("dst"), pa.array(c, pa.float64())],
+            names=["node", "dist"])
+
+    for _ in range(rounds):
+        cands = lookup_join(edges, dist, left_key="src", right_key="node",
+                            payload=["dist"], suffix="_s", how="inner") \
+            .map_batches(relax, batch_format="pyarrow")
+        dist = sorted_hash_aggregate(dist.union(cands), ["node"],
+                                     [("dist", "min")]) \
+            .repartition(n_blocks).materialize()
+    return dist
+
+
 # Packed-pair join-key separator: ASCII unit separator, never legal in the
 # node vocabularies this library targets (entity surfaces, int ids).  Every
 # pack site ASSERTS the nodes are separator-free so a vocabulary that could

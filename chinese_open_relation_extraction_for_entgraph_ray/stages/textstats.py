@@ -86,6 +86,68 @@ def quality_scores(batch: pa.Table) -> pa.Table:
                "n_distinct_tokens", "dup_token_ratio"])
 
 
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition-ratio quality signals (Rae et al. 2021
+    §A1.1, token-based analog — the repetition family beside
+    :func:`quality_scores`' distinct-token ratio):
+
+    - ``top_bigram_frac``:  tokens covered by the single most frequent
+      bigram = ``max_bigram_count * 2 / n_tokens`` (0.0 when the doc has
+      fewer than 2 tokens),
+    - ``dup_bigram_frac``:  fraction of bigram POSITIONS whose bigram
+      occurs >= 2 times in the doc (0.0 likewise).
+
+    Whitespace tokens (``TOKEN_RE``, RE2 — shared with the SQL oracle,
+    which rebuilds the same bigrams with a lateral ``generate_series``
+    over ``regexp_extract_all``).  All-vectorized: polars extract_all ->
+    explode -> shift(-1) forms bigrams (the rid-shift mask stops pairs
+    crossing doc boundaries), two grouped reductions, fractions in
+    float64 with the half-away rounding DuckDB uses.
+    """
+    import numpy as np
+    import polars as pl
+
+    from ..functions.fputil import np_round_away
+
+    text = batch.column("text")
+    n_tok = np.asarray(
+        pc.fill_null(pc.count_substring_regex(text, TOKEN_RE), 0),
+        dtype=np.int64)
+    n = batch.num_rows
+    max_c = np.zeros(n, dtype=np.int64)
+    dup_pos = np.zeros(n, dtype=np.int64)
+    n_big = np.zeros(n, dtype=np.int64)
+    if n:
+        ser = pl.from_arrow(pc.fill_null(text, "").combine_chunks())
+        ex = (pl.DataFrame({"rid": pl.int_range(0, n, eager=True),
+                            "w1": ser.str.extract_all(TOKEN_RE)})
+              .explode("w1")
+              .with_columns(w2=pl.col("w1").shift(-1),
+                            rid2=pl.col("rid").shift(-1)))
+        bcnt = (ex.filter((pl.col("rid2") == pl.col("rid"))
+                          & pl.col("w1").is_not_null())
+                .group_by(["rid", "w1", "w2"]).len())
+        agg = bcnt.group_by("rid").agg(
+            max_c=pl.col("len").max(),
+            dup_pos=pl.col("len").filter(pl.col("len") >= 2).sum(),
+            n_big=pl.col("len").sum())
+        rid = agg.get_column("rid").to_numpy()
+        max_c[rid] = agg.get_column("max_c").to_numpy()
+        dup_pos[rid] = agg.get_column("dup_pos").to_numpy()
+        n_big[rid] = agg.get_column("n_big").to_numpy()
+    has = n_big > 0
+    denom_tok = np.maximum(n_tok, 1).astype(np.float64)
+    denom_big = np.maximum(n_big, 1).astype(np.float64)
+    top_frac = np.where(has, max_c * 2.0 / denom_tok, 0.0)
+    dup_frac = np.where(has, dup_pos.astype(np.float64) / denom_big, 0.0)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"),
+         pa.array(n_tok, pa.int64()),
+         pa.array(np_round_away(top_frac, 6), pa.float64()),
+         pa.array(np_round_away(dup_frac, 6), pa.float64())],
+        names=["doc_id", "n_tokens", "top_bigram_frac", "dup_bigram_frac"])
+
+
 def lang_codes(batch: pa.Table) -> "np.ndarray":
     """Vectorized heuristic language ID: CJK presence wins, else argmax of
     function-word cue counts with the fixed en>de>fr>es tie-break (mirrored

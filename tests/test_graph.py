@@ -300,6 +300,40 @@ def test_bfs_distances_layers_and_early_exit(ray_session):
                           "y3": 3}    # early exit after layer 3, q absent
 
 
+def test_sssp_distances_weighted_min_and_round_cap(ray_session):
+    """sssp_distances must take the lighter multi-edge path over the
+    heavier direct edge, respect the <=rounds path-length cap exactly
+    (Bellman-Ford semantics), keep unreached nodes absent, and be
+    block-structure invariant."""
+    import pandas as pd
+    import ray.data
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        sssp_distances,
+    )
+
+    # s->a direct costs 10; s->b->a costs 2 (needs 2 edges); c hangs off a
+    # (lightest path s-b-a-c = 3 needs 3 edges); q->q2 unreachable from s
+    edges = pd.DataFrame(
+        [("s", "a", 10.0), ("s", "b", 1.0), ("b", "a", 1.0),
+         ("a", "c", 1.0), ("q", "q2", 1.0)],
+        columns=["src", "dst", "w"])
+
+    for parts in (1, 3):
+        ds = ray.data.from_pandas(edges).repartition(parts)
+        got = dict(sssp_distances(ds, ["s"], rounds=2).to_pandas()
+                   .set_index("node")["dist"])
+        # rounds=2: a relaxes to 2 via b, but c only sees the round-1
+        # a=10 carrier -> 11 (the 3-edge path needs a third round)
+        assert got == {"s": 0.0, "a": 2.0, "b": 1.0, "c": 11.0}
+
+    got3 = dict(sssp_distances(ray.data.from_pandas(edges), ["s"],
+                               rounds=3).to_pandas()
+                .set_index("node")["dist"])
+    assert got3 == {"s": 0.0, "a": 2.0, "b": 1.0, "c": 3.0}
+    assert "q2" not in got3       # unreached stays absent
+
+
 def test_k_truss_cascade_support_and_guard(ray_session):
     """k_truss must peel by triangle support with a cascade (removing one
     edge's support collapses dependents), report the converged subgraph's

@@ -35,6 +35,53 @@ def test_quality_scores_ratio_bounds():
         assert 0.0 <= v <= 1.0
 
 
+def test_repetition_stats_worked_example():
+    """Hand-derived Gopher repetition ratios: 'a b a b a' has bigrams
+    (ab, ba, ab, ba) -> max count 2, all 4 positions duplicated;
+    an all-distinct doc scores 0 duplication; <2-token docs score 0.0."""
+    batch = pa.Table.from_arrays(
+        [pa.array([1, 2, 3, 4, 5], pa.int64()),
+         pa.array(["a b a b a",
+                   "all words here are distinct tokens",
+                   "one",
+                   "",
+                   None], pa.string())],
+        names=["doc_id", "text"])
+    out = textstats.repetition_stats(batch)
+    assert out.column("n_tokens").to_pylist() == [5, 6, 1, 0, 0]
+    # doc 1: max bigram count 2 -> 2*2/5 = 0.8; dup positions 4/4 = 1.0
+    assert out.column("top_bigram_frac").to_pylist() == \
+        [0.8, pytest.approx(2 / 6), 0.0, 0.0, 0.0]
+    assert out.column("dup_bigram_frac").to_pylist() == \
+        [1.0, 0.0, 0.0, 0.0, 0.0]
+
+
+def test_bottomk_sample_deterministic_and_bounded(ray_session):
+    """bottomk_sample must return exactly min(k, n) rows ranked by
+    (md5, doc_id), dedupe nothing (duplicate texts tie-break by doc_id),
+    and be block-structure invariant."""
+    import hashlib
+
+    import ray.data
+
+    texts = [f"doc number {i}" for i in range(10)] + ["doc number 3"]
+    ids = list(range(10)) + [99]
+    tbl = pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(texts, pa.string())],
+        names=["doc_id", "text"])
+    want = sorted((hashlib.md5(t.encode()).hexdigest(), i)
+                  for i, t in zip(ids, texts))[:4]
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out = dedup.bottomk_sample(ds, k=4)
+        got = list(zip(out.column("md5").to_pylist(),
+                       out.column("doc_id").to_pylist()))
+        assert got == want
+        assert out.column("sample_rank").to_pylist() == [1, 2, 3, 4]
+    big = dedup.bottomk_sample(ray.data.from_arrow(tbl), k=100)
+    assert big.num_rows == 11     # k > corpus: everything, still ranked
+
+
 def test_detect_lang_zh_and_en():
     batch = pa.Table.from_arrays(
         [pa.array([1, 2], pa.int64()),

@@ -265,6 +265,14 @@ PAST_WINDOW_PINS = {
     # CC over the mutual 5-NN graph: 498 nodes, ONE global component
     # (SQL-oracled recursive-CTE closure)
     "embeddings_knn_components": (498, ["component", "keep", "node"]),
+    # weighted Bellman-Ford shortest paths from 北京, 3 rounds
+    # (SQL-oracled unrolled min-plus mirror) — same reach set as BFS@3
+    "transcripts_entity_sssp": (60, ["dist_scaled", "node"]),
+    # Gopher repetition-ratio quality filters (SQL-oracled)
+    "docs_repetition_stats": (500, ["doc_id", "dup_bigram_frac",
+                                    "n_tokens", "top_bigram_frac"]),
+    # fixed-size bottom-k content-hash sample (SQL-oracled)
+    "docs_bottomk_sample": (25, ["doc_id", "md5", "sample_rank"]),
 }
 
 
