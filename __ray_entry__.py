@@ -4607,6 +4607,20 @@ def _q_docs_bottomk_sample(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"]), k=25)
 
 
+def _q_docs_ngram_novelty(sf_dir: str):
+    """Per-doc n-gram novelty (stages/dedup.ngram_novelty): fraction of
+    the doc's distinct word-3-shingles with corpus df == 1 — the
+    memorization-risk / freshness signal complementary to pairwise
+    near-dup detection.  One shingle-keyed df aggregate + two keyed
+    lookup joins; oracle reuses the _shingle_cte word_shingles mirror."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        ngram_novelty,
+    )
+
+    return ngram_novelty(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), k=3)
+
+
 def _q_transcripts_entity_sssp(sf_dir: str):
     """Weighted shortest paths from the seed entity 北京 over the
     co-occurrence graph (stages/graph.sssp_distances, 3 Bellman-Ford
@@ -4919,6 +4933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition_stats": _q_docs_repetition_stats,
         # fixed-size bottom-k content-hash sample (SQL-oracled, r5 day-3)
         "docs_bottomk_sample": _q_docs_bottomk_sample,
+        # n-gram novelty / memorization-risk signal (SQL-oracled, r5 day-3)
+        "docs_ngram_novelty": _q_docs_ngram_novelty,
     }
 
 
@@ -7803,6 +7819,22 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
                        AS sample_rank
             FROM documents
             ORDER BY md5, doc_id LIMIT 25""",
+        "docs_ngram_novelty": f"""
+            WITH src_docs AS (SELECT doc_id, text FROM documents),
+            {_shingle_cte()},
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            df AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+            agg AS (SELECT e.doc_id, count(*)::BIGINT AS n_shingles,
+                           sum(CASE WHEN df.df = 1 THEN 1
+                               ELSE 0 END)::BIGINT AS n_novel
+                    FROM ex e JOIN df USING (g) GROUP BY e.doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_shingles, 0) AS n_shingles,
+                   coalesce(a.n_novel, 0) AS n_novel,
+                   round(CASE WHEN a.n_shingles > 0
+                              THEN a.n_novel / (a.n_shingles * 1.0)
+                              ELSE 0.0 END, 6) AS novelty_frac
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
         "transcripts_entity_ktruss": _ktruss_sql(tglob),
         # recursive-CTE closure over the mutual 5-NN graph (the
         # docs_dedup_clusters oracle pattern on the embeddings family)

@@ -275,6 +275,99 @@ def bottomk_sample(docs_ds, k: int = 25):
         names=["doc_id", "md5", "sample_rank"])
 
 
+def ngram_novelty(docs_ds, k: int = 3):
+    """Per-document n-gram novelty: the fraction of the doc's DISTINCT
+    word-``k``-shingles (:func:`word_shingles` semantics) that appear in NO
+    other document (corpus document-frequency == 1) — high novelty marks
+    genuinely fresh content, low novelty marks near-boilerplate whose
+    vocabulary the corpus already covers (the memorization-risk signal
+    complementary to pairwise near-dup detection, which only fires on
+    concentrated overlap with ONE partner).
+
+    Engine shape: ONE explode pass emits both the (shingle, doc_id) index
+    rows and a per-doc size row (the kind=0/1 trick of
+    :func:`similar_pairs_exact` — the size rows make the final per-doc
+    aggregate total without a join back to the doc list, so zero-shingle
+    docs still score 0.0); shingle df through the cardinality-dispatching
+    aggregate; the df==1 set filters the index rows via ``semi_join``
+    (broadcast membership while the novel set fits
+    ``BROADCAST_KEYS_THRESHOLD``, the sorted-block exchange beyond — at
+    100 TB MOST shingles are novel, so the sort path is the expected
+    regime); one grouped sum per doc_id finishes.  The exchange key is
+    the shingle STRING so the DuckDB oracle replays it verbatim; at
+    100 TB swap in the 128-bit shingle hash of :func:`similar_pairs_exact`
+    (same topology, collision odds ~2^-64).
+    Returns (doc_id, n_shingles, n_novel, novelty_frac).
+    """
+    from ..functions.fputil import np_round_away
+    from .groupagg import auto_hash_aggregate
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_ids: list[int] = []
+        out_sh: list[str] = []
+        sizes: list[int] = []
+        for i, t in zip(ids, texts):
+            sh = word_shingles(t or "", k)
+            sizes.append(len(sh))
+            out_ids.extend([i] * len(sh))
+            out_sh.extend(sh)
+        n, m = len(out_ids), len(ids)
+        return pa.Table.from_arrays(
+            [pa.array([0] * n + [1] * m, pa.int8()),
+             pa.array(out_sh + [""] * m, pa.string()),
+             pa.array(out_ids + ids, pa.int64()),
+             pa.array(np.concatenate(
+                 [np.ones(n, dtype=np.int64),
+                  np.asarray(sizes, dtype=np.int64)]))],
+            names=["kind", "s", "doc_id", "cnt"])
+
+    both = docs_ds.map_batches(explode, batch_format="pyarrow").materialize()
+    index = both.filter(expr="kind == 0")
+    novel_set = auto_hash_aggregate(
+        index.map_batches(lambda b: b.select(["s", "cnt"]),
+                          batch_format="pyarrow"),
+        ["s"], [("cnt", "sum")]) \
+        .filter(expr="cnt == 1").select_columns(["s"]).materialize()
+
+    from .joins import semi_join
+
+    def novel_rows(b: pa.Table) -> pa.Table:
+        z = np.zeros(b.num_rows, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [b.column("doc_id"), pa.array(z),
+             pa.array(np.ones(b.num_rows, dtype=np.int64))],
+            names=["doc_id", "n_shingles", "n_novel"])
+
+    def size_rows(b: pa.Table) -> pa.Table:
+        z = np.zeros(b.num_rows, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [b.column("doc_id"), b.column("cnt"), pa.array(z)],
+            names=["doc_id", "n_shingles", "n_novel"])
+
+    merged = (semi_join(index, novel_set, left_key="s", right_key="s",
+                        left_key_nullable=False)
+              .map_batches(novel_rows, batch_format="pyarrow")
+              .union(both.filter(expr="kind == 1")
+                     .map_batches(size_rows, batch_format="pyarrow")))
+    per_doc = auto_hash_aggregate(
+        merged, ["doc_id"], [("n_shingles", "sum"), ("n_novel", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n_shingles"), dtype=np.int64)
+        nov = np.asarray(batch.column("n_novel"), dtype=np.int64)
+        frac = np.where(n > 0, nov / np.maximum(n, 1).astype(np.float64),
+                        0.0)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(n, pa.int64()),
+             pa.array(nov, pa.int64()),
+             pa.array(np_round_away(frac, 6), pa.float64())],
+            names=["doc_id", "n_shingles", "n_novel", "novelty_frac"])
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
 def _block_pairs_and_edges(batch: pa.Table) -> pa.Table:
     """Pair generation over one bucket-sorted block — vectorized.
 

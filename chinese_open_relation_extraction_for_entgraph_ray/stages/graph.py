@@ -1105,7 +1105,12 @@ def sssp_distances(edges_ds, sources: list[str], *, rounds: int = 3):
     from .groupagg import sorted_hash_aggregate
     from .joins import lookup_join
 
-    edges = edges_ds.materialize()
+    # normalize to an Arrow schema (a pandas-backed Dataset's schema types
+    # are numpy dtypes, which the equijoin's schema builder rejects) and
+    # prune to the three live columns before materializing
+    edges = edges_ds.map_batches(
+        lambda t: t.select(["src", "dst", "w"]),
+        batch_format="pyarrow").materialize()
     n_blocks = max(1, edges.num_blocks())
     srcs = sorted(set(sources))
     dist = rd.from_arrow(pa.Table.from_arrays(

@@ -82,6 +82,26 @@ def test_bottomk_sample_deterministic_and_bounded(ray_session):
     assert big.num_rows == 11     # k > corpus: everything, still ranked
 
 
+def test_ngram_novelty_worked_example(ray_session):
+    """Hand-derived novelty: 'a b c d' and 'a b c x' share shingle
+    'a b c' (df=2), each keeps one df=1 shingle -> 0.5; a <3-token doc
+    has ONE joined shingle (word_shingles convention) unique to it ->
+    1.0; an empty doc scores 0.0 with zero shingles."""
+    import ray.data
+
+    tbl = pa.Table.from_arrays(
+        [pa.array([1, 2, 3, 4], pa.int64()),
+         pa.array(["a b c d", "a b c x", "zz", ""], pa.string())],
+        names=["doc_id", "text"])
+    for parts in (1, 3):
+        out = dedup.ngram_novelty(
+            ray.data.from_arrow(tbl).repartition(parts), k=3).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out["n_shingles"].tolist() == [2, 2, 1, 0]
+        assert out["n_novel"].tolist() == [1, 1, 1, 0]
+        assert out["novelty_frac"].tolist() == [0.5, 0.5, 1.0, 0.0]
+
+
 def test_detect_lang_zh_and_en():
     batch = pa.Table.from_arrays(
         [pa.array([1, 2], pa.int64()),

@@ -273,6 +273,9 @@ PAST_WINDOW_PINS = {
                                     "n_tokens", "top_bigram_frac"]),
     # fixed-size bottom-k content-hash sample (SQL-oracled)
     "docs_bottomk_sample": (25, ["doc_id", "md5", "sample_rank"]),
+    # n-gram novelty / memorization-risk signal (SQL-oracled)
+    "docs_ngram_novelty": (500, ["doc_id", "n_novel", "n_shingles",
+                                 "novelty_frac"]),
 }
 
 
