@@ -4607,6 +4607,64 @@ def _q_docs_bottomk_sample(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"]), k=25)
 
 
+def _q_docs_perplexity_buckets(sf_dir: str):
+    """CCNet-style perplexity buckets (Wenzek et al. 2020): per-LANGUAGE
+    ntile(3) over the unigram-LM doc score — head = the most probable
+    third of each language's docs (the standard head/middle/tail split a
+    curation pipeline samples from).  Composition of three SQL-green
+    pieces: lm.score_docs -> one keyed lang lookup join ->
+    window.grouped_rank_ntile partitioned by lang (so the global sort a
+    corpus-wide ntile would need never happens — the partition key IS the
+    scale story, exactly as in CCNet's per-language buckets)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        lookup_join,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.lm import (
+        score_docs,
+        unigram_lm,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.window import (
+        grouped_rank_ntile,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    scored = score_docs(docs, unigram_lm(docs))
+    with_lang = lookup_join(
+        scored, docs.map_batches(
+            lambda t: t.select(["doc_id", "lang"]),
+            batch_format="pyarrow"),
+        left_key="doc_id", right_key="doc_id", payload=["lang"],
+        suffix="", how="inner")
+
+    def prep(t: pa.Table) -> pa.Table:
+        lm = np.asarray(t.column("lm_logp").to_numpy(
+            zero_copy_only=False), dtype=np.float64)   # nulls -> NaN
+        return pa.Table.from_arrays(
+            [t.column("lang"), pa.array(-lm, pa.float64()),
+             t.column("doc_id")],
+            names=["lang", "neg_logp", "doc_id"])
+
+    ranked = grouped_rank_ntile(
+        with_lang.map_batches(prep, batch_format="pyarrow"),
+        "lang", "neg_logp", "doc_id", n_tiles=3)
+
+    def finish(t: pa.Table) -> pa.Table:
+        neg = np.asarray(t.column("neg_logp"), dtype=np.float64)
+        tile = np.asarray(t.column("tile"), dtype=np.int64)
+        lab = np.array(["head", "middle", "tail"], dtype=object)[tile - 1]
+        lm = -neg                                      # exact sign flip
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), t.column("lang"),
+             pa.array(lm, pa.float64(), mask=np.isnan(lm)),
+             t.column("tile"), pa.array(lab, pa.string())],
+            names=["doc_id", "lang", "lm_logp", "tile", "bucket"])
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_docs_ngram_novelty(sf_dir: str):
     """Per-doc n-gram novelty (stages/dedup.ngram_novelty): fraction of
     the doc's distinct word-3-shingles with corpus df == 1 — the
@@ -4935,6 +4993,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bottomk_sample": _q_docs_bottomk_sample,
         # n-gram novelty / memorization-risk signal (SQL-oracled, r5 day-3)
         "docs_ngram_novelty": _q_docs_ngram_novelty,
+        # CCNet per-lang perplexity head/middle/tail (SQL-oracled, r5 day-3)
+        "docs_perplexity_buckets": _q_docs_perplexity_buckets,
     }
 
 
@@ -5408,6 +5468,24 @@ from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (
     PHONE_RE as _PHONE_RE,
     URL_RE as _URL_RE,
 )
+
+
+def _lm_per_doc_cte() -> str:
+    """Per-doc unigram-LM score CTE (the exact mirror of
+    ``stages/lm.unigram_lm`` + ``score_docs``: corpus-relative token
+    log2-prob, per-doc mean rounded to 4 dp) — shared by docs_lm_scores
+    and docs_perplexity_buckets."""
+    return r"""
+        toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+          FROM documents),
+        cnt AS (SELECT t, count(*)::DOUBLE AS c FROM toks GROUP BY 1),
+        tot AS (SELECT count(*)::DOUBLE AS n FROM toks),
+        per AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 round(avg(ln(cnt.c / (SELECT n FROM tot)) / ln(2)), 4)
+                     AS lm_logp
+          FROM toks JOIN cnt ON toks.t = cnt.t GROUP BY doc_id)"""
 
 
 def _shingle_cte() -> str:
@@ -7530,20 +7608,26 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
               FROM b JOIN lr USING (bucket) GROUP BY b.doc_id)
             SELECT doc_id, n_tokens, dsir_weight
             FROM w ORDER BY dsir_weight DESC, doc_id LIMIT 100""",
-        "docs_lm_scores": r"""
-            WITH toks AS (
-              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
-              FROM documents),
-            cnt AS (SELECT t, count(*)::DOUBLE AS c FROM toks GROUP BY 1),
-            tot AS (SELECT count(*)::DOUBLE AS n FROM toks),
-            per AS (
-              SELECT doc_id, count(*)::BIGINT AS n_tokens,
-                     round(avg(ln(cnt.c / (SELECT n FROM tot)) / ln(2)), 4)
-                         AS lm_logp
-              FROM toks JOIN cnt ON toks.t = cnt.t GROUP BY doc_id)
+        "docs_lm_scores": f"""
+            WITH {_lm_per_doc_cte()}
             SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
                    p.lm_logp
             FROM documents d LEFT JOIN per p USING (doc_id)""",
+        "docs_perplexity_buckets": f"""
+            WITH {_lm_per_doc_cte()},
+            all_docs AS (
+              SELECT d.doc_id, d.lang, p.lm_logp
+              FROM documents d LEFT JOIN per p USING (doc_id)),
+            t AS (
+              SELECT doc_id, lang, lm_logp,
+                     ntile(3) OVER (PARTITION BY lang
+                                    ORDER BY -lm_logp ASC NULLS LAST,
+                                             doc_id) AS tile
+              FROM all_docs)
+            SELECT doc_id, lang, lm_logp, tile,
+                   CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM t""",
         "orders_rollup": """
             SELECT o_orderstatus, o_orderpriority,
                    round(sum(o_totalprice), 2) AS total_price,

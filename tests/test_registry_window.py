@@ -276,6 +276,9 @@ PAST_WINDOW_PINS = {
     # n-gram novelty / memorization-risk signal (SQL-oracled)
     "docs_ngram_novelty": (500, ["doc_id", "n_novel", "n_shingles",
                                  "novelty_frac"]),
+    # CCNet per-language perplexity head/middle/tail terciles (SQL-oracled)
+    "docs_perplexity_buckets": (500, ["bucket", "doc_id", "lang",
+                                      "lm_logp", "tile"]),
 }
 
 
