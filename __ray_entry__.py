@@ -2765,9 +2765,13 @@ def _q_docs_top_tokens(sf_dir: str):
     )
 
     def batch_counts(batch: pa.Table) -> pa.Table:
+        from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (
+            re2_tokens,
+        )
+
         counts: dict[str, int] = {}
         for text in batch.column("text").to_pylist():
-            for tok in (text or "").split():
+            for tok in re2_tokens(text or ""):
                 counts[tok] = counts.get(tok, 0) + 1
         return pa.Table.from_arrays(
             [pa.array(list(counts), pa.string()),
@@ -4412,10 +4416,15 @@ def _q_docs_word_pagerank(sf_dir: str):
         import polars as pl
         import pyarrow.compute as pc
 
+        from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (  # noqa: E501
+            TOKEN_RE_PORTABLE,
+        )
+
         toks = (pl.DataFrame({"text": pl.from_arrow(
                     pc.fill_null(batch.column("text"), "")
                     .combine_chunks())})
-                .with_columns(pl.col("text").str.extract_all(r"\S+")
+                .with_columns(pl.col("text")
+                              .str.extract_all(TOKEN_RE_PORTABLE)
                               .alias("ts"))
                 .filter(pl.col("ts").list.len() >= 2)
                 .with_columns(
@@ -4611,17 +4620,15 @@ def _q_docs_perplexity_buckets(sf_dir: str):
     """CCNet-style perplexity buckets (Wenzek et al. 2020): per-LANGUAGE
     ntile(3) over the unigram-LM doc score — head = the most probable
     third of each language's docs (the standard head/middle/tail split a
-    curation pipeline samples from).  Composition of three SQL-green
-    pieces: lm.score_docs -> one keyed lang lookup join ->
+    curation pipeline samples from).  Composition of two SQL-green
+    pieces: lm.score_docs (lang rides through as a passthrough column --
+    no re-attach join, no third table scan) ->
     window.grouped_rank_ntile partitioned by lang (so the global sort a
     corpus-wide ntile would need never happens — the partition key IS the
     scale story, exactly as in CCNet's per-language buckets)."""
     import numpy as np
     import pyarrow as pa
 
-    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
-        lookup_join,
-    )
     from chinese_open_relation_extraction_for_entgraph_ray.stages.lm import (
         score_docs,
         unigram_lm,
@@ -4631,13 +4638,7 @@ def _q_docs_perplexity_buckets(sf_dir: str):
     )
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    scored = score_docs(docs, unigram_lm(docs))
-    with_lang = lookup_join(
-        scored, docs.map_batches(
-            lambda t: t.select(["doc_id", "lang"]),
-            batch_format="pyarrow"),
-        left_key="doc_id", right_key="doc_id", payload=["lang"],
-        suffix="", how="inner")
+    with_lang = score_docs(docs, unigram_lm(docs), passthrough=("lang",))
 
     def prep(t: pa.Table) -> pa.Table:
         lm = np.asarray(t.column("lm_logp").to_numpy(
@@ -7890,7 +7891,7 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
                     FROM bcnt GROUP BY 1)
             SELECT b.doc_id, b.n_tokens,
                    round(CASE WHEN a.n_big > 0
-                              THEN (a.max_c * 2.0) / b.n_tokens
+                              THEN least(1.0, (a.max_c * 2.0) / b.n_tokens)
                               ELSE 0.0 END, 6) AS top_bigram_frac,
                    round(CASE WHEN a.n_big > 0
                               THEN a.dup_pos / (a.n_big * 1.0)

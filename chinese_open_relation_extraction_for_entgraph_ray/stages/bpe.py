@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .textstats import TOKEN_RE
+from .textstats import TOKEN_RE_PORTABLE
 
 #: refuse to pull a word-frequency table bigger than this to the driver
 MAX_VOCAB = 10_000_000
@@ -46,7 +46,7 @@ def word_frequencies(docs_ds, *, text_col: str = "text") -> dict[str, int]:
         toks = (pl.DataFrame({
             "t": pl.from_arrow(
                 pa.compute.fill_null(batch.column(text_col), "")
-                .combine_chunks()).str.extract_all(TOKEN_RE)})
+                .combine_chunks()).str.extract_all(TOKEN_RE_PORTABLE)})
             .explode("t").drop_nulls("t")
             .group_by("t").len().rename({"len": "n"})
             .with_columns(pl.col("n").cast(pl.Int64)))
@@ -151,7 +151,7 @@ def bpe_token_counts(docs_ds, merges_ref, *, id_col: str = "doc_id",
             id_col: pl.from_arrow(batch.column(id_col).combine_chunks()),
             "t": pl.from_arrow(
                 pa.compute.fill_null(batch.column(text_col), "")
-                .combine_chunks()).str.extract_all(TOKEN_RE),
+                .combine_chunks()).str.extract_all(TOKEN_RE_PORTABLE),
         })
         ex = frame.explode("t").drop_nulls("t")
         words = ex["t"].to_numpy()

@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .textstats import TOKEN_RE
+from .textstats import TOKEN_RE_PORTABLE
 
 
 def chunk_documents(docs_ds, *, size: int = 32, stride: int = 24,
@@ -48,7 +48,7 @@ def chunk_documents(docs_ds, *, size: int = 32, stride: int = 24,
             id_col: pl.from_arrow(batch.column(id_col).combine_chunks()),
             "tok": pl.from_arrow(
                 pa.compute.fill_null(batch.column(text_col), "")
-                .combine_chunks()).str.extract_all(TOKEN_RE),
+                .combine_chunks()).str.extract_all(TOKEN_RE_PORTABLE),
         })
         n = frame["tok"].list.len().to_numpy().astype(np.int64)
         n_chunks = np.where(

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from .tfidf import _term_freqs  # noqa: F401  (shared tokenizer contract)
+from .textstats import TOKEN_RE_PORTABLE
 
 
 def _bigram_rows(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
@@ -37,7 +38,7 @@ def _bigram_rows(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
         return schema.empty_table()
     toks = pl.from_arrow(
         pa.compute.fill_null(batch.column(text_col), "")
-        .combine_chunks()).str.extract_all(r"\S+")
+        .combine_chunks()).str.extract_all(TOKEN_RE_PORTABLE)
     lens = toks.list.len().to_numpy().astype(np.int64)
     ex = toks.explode()
     # polars explode emits ONE NULL row per empty list — repeat with the

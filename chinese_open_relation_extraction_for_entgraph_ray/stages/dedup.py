@@ -23,6 +23,8 @@ import logging
 import numpy as np
 import pyarrow as pa
 
+from .textstats import re2_tokens
+
 logger = logging.getLogger(__name__)
 
 
@@ -53,6 +55,15 @@ def _stable64(token: str) -> int:
                           "big") & ((1 << 61) - 1)
 
 
+def content_md5_keys(texts: list) -> list[str]:
+    """The content-hash keying convention shared by :func:`exact_dedup`
+    and :func:`bottomk_sample` — MUST stay ``md5(utf8(coalesce(text, '')))``
+    hex so the DuckDB oracles' ``md5(coalesce(text, ''))`` mirror it
+    byte-for-byte (one definition, so the two ops cannot drift apart)."""
+    return [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in texts]
+
+
 # Per-process memo of token -> stable hash.  Texts in a corpus share a
 # vocabulary, so hashing each distinct token once per worker removes the md5
 # call from the per-shingle hot path.  Bounded so a pathological vocabulary
@@ -75,7 +86,7 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
 
 
 def word_shingles(text: str, k: int = 3) -> set[str]:
-    toks = text.split()
+    toks = re2_tokens(text)
     if len(toks) < k:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
@@ -90,7 +101,7 @@ _SHINGLE_MIX = _rng.randint(1, _MERSENNE, size=8, dtype=np.int64)
 
 def minhash_signature(text: str) -> np.ndarray:
     """NUM_PERM-wide MinHash over word 3-shingles (fully vectorized)."""
-    toks = (text or "").split()
+    toks = re2_tokens(text or "")
     if not toks:
         return np.full(NUM_PERM, _MERSENNE, dtype=np.int64)
     h = _token_hashes(toks)
@@ -170,7 +181,7 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 # --- SimHash -----------------------------------------------------------------
 
 def simhash64(text: str) -> int:
-    toks = list(set(text.split()))
+    toks = list(set(re2_tokens(text)))
     if not toks:
         return 0
     h = _token_hashes(toks)                                   # (n,)
@@ -224,8 +235,7 @@ def exact_dedup(docs_ds):
     from .groupagg import sorted_hash_aggregate
 
     def add_cols(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        md5s = content_md5_keys(batch.column("text").to_pylist())
         n = batch.num_rows
         return pa.Table.from_arrays(
             [pa.array(md5s, pa.string()),
@@ -253,8 +263,7 @@ def bottomk_sample(docs_ds, k: int = 25):
     (doc_id, md5, sample_rank) — output bounded at k rows by construction.
     """
     def key_rows(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        md5s = content_md5_keys(batch.column("text").to_pylist())
         t = pa.Table.from_arrays(
             [batch.column("doc_id").cast(pa.int64()),
              pa.array(md5s, pa.string())],

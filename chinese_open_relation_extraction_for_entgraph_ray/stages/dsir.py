@@ -52,7 +52,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from .textstats import TOKEN_RE
+from .textstats import TOKEN_RE_PORTABLE
 
 #: hashed feature-space size; must match the SQL oracle's modulus
 NUM_BUCKETS = 1024
@@ -77,7 +77,7 @@ def _explode_tokens(batch: pa.Table, id_col: str, text_col: str):
         id_col: pl.from_arrow(batch.column(id_col).combine_chunks()),
         "tok": pl.from_arrow(
             pa.compute.fill_null(batch.column(text_col), "")
-            .combine_chunks()).str.extract_all(TOKEN_RE),
+            .combine_chunks()).str.extract_all(TOKEN_RE_PORTABLE),
     })
     exploded = frame.explode("tok").drop_nulls("tok")
     return (exploded[id_col].to_numpy(), exploded["tok"].to_numpy())

@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .textstats import re2_tokens
+
 EMBED_DIM = 64
 
 
@@ -53,7 +55,7 @@ class TextEmbedder:
     def encode(self, texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), dtype=np.float64)
         for i, text in enumerate(texts):
-            for tok in (text or "").split():
+            for tok in re2_tokens(text or ""):
                 b, s = self._token_slot(tok)
                 out[i, b] += s
         norms = np.linalg.norm(out, axis=1, keepdims=True)

@@ -20,6 +20,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .textstats import TOKEN_RE_PORTABLE
+
 #: refuse to broadcast an LM bigger than this many distinct tokens
 MAX_VOCAB = 50_000_000
 
@@ -57,9 +59,13 @@ def unigram_lm(docs_ds, *, text_col: str = "text"):
 
 
 def score_docs(docs_ds, lm_ref, *, doc_col: str = "doc_id",
-               text_col: str = "text", oov_alpha: float = 0.5):
+               text_col: str = "text", oov_alpha: float = 0.5,
+               passthrough: tuple[str, ...] = ()):
     """docs -> (doc_id, n_tokens, lm_logp) where lm_logp = round(mean
-    token log2-prob, 4); empty docs score null."""
+    token log2-prob, 4); empty docs score null.  ``passthrough`` carries
+    extra input columns (e.g. ``lang``) onto the output rows — the batch
+    already holds them, so downstream consumers skip a keyed re-attach
+    join and a second scan of the source table."""
     import ray
 
     def score(batch: pa.Table) -> pa.Table:
@@ -70,9 +76,11 @@ def score_docs(docs_ds, lm_ref, *, doc_col: str = "doc_id",
         df = pl.DataFrame({
             "doc_id": pl.from_arrow(batch.column(doc_col)),
             "text": pl.from_arrow(batch.column(text_col)),
+            **{c: pl.from_arrow(batch.column(c).combine_chunks())
+               for c in passthrough},
         })
         exploded = df.with_columns(
-            pl.col("text").str.extract_all(r"\S+").alias("tok")) \
+            pl.col("text").str.extract_all(TOKEN_RE_PORTABLE).alias("tok")) \
             .select(["doc_id", "tok"]).explode("tok").drop_nulls("tok")
         idx = np.searchsorted(toks, exploded["tok"].to_numpy())
         idx_c = np.minimum(idx, len(toks) - 1)
@@ -81,7 +89,8 @@ def score_docs(docs_ds, lm_ref, *, doc_col: str = "doc_id",
         scored = exploded.with_columns(
             pl.Series("lp", tok_logp)).group_by("doc_id").agg(
             pl.len().alias("n_tokens"), pl.col("lp").mean().alias("m"))
-        out = df.select("doc_id").join(scored, on="doc_id", how="left")
+        out = df.select(["doc_id", *passthrough]).join(
+            scored, on="doc_id", how="left")
         n_tok = out["n_tokens"].fill_null(0).to_numpy().astype(np.int64)
         m = out["m"].to_numpy().astype(np.float64)   # nulls -> NaN
         return pa.Table.from_arrays(
@@ -89,7 +98,8 @@ def score_docs(docs_ds, lm_ref, *, doc_col: str = "doc_id",
              pa.array(n_tok, pa.int64()),
              # token-less docs carry a NULL score (matching SQL's avg of
              # an empty group), not NaN
-             pa.array(np.round(m, 4), pa.float64(), mask=np.isnan(m))],
-            names=[doc_col, "n_tokens", "lm_logp"])
+             pa.array(np.round(m, 4), pa.float64(), mask=np.isnan(m)),
+             *(out[c].to_arrow() for c in passthrough)],
+            names=[doc_col, "n_tokens", "lm_logp", *passthrough])
 
     return docs_ds.map_batches(score, batch_format="pyarrow")

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import re
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -17,6 +18,24 @@ import pyarrow.compute as pc
 from ..functions.fputil import pc_round_away
 
 TOKEN_RE = r"\S+"
+#: RE2's \S is ASCII-only ([^\t\n\f\r ] — note: NO \v, NO U+00A0/U+3000),
+#: while polars' Rust regex \S and Python's str.split() are Unicode-aware.
+#: Every DuckDB oracle tokenizes with RE2, so every NON-RE2 engine
+#: tokenizer (polars extract_all, Python splits) must use this explicit
+#: equivalent class or engine and oracle silently disagree the moment a
+#: document carries an ideographic space / NBSP / vertical tab — the
+#: whitespace actually found in Chinese web text (review finding, r5).
+#: pyarrow.compute regex kernels are RE2 themselves and keep TOKEN_RE.
+TOKEN_RE_PORTABLE = r"[^\t\n\x0c\r ]+"
+_RE2_TOKEN = re.compile(TOKEN_RE_PORTABLE)
+
+
+def re2_tokens(text: str) -> list[str]:
+    """``text.split()`` with RE2's ``\\S`` semantics — the tokenizer every
+    Python-side path with a DuckDB-mirrored oracle must use."""
+    return _RE2_TOKEN.findall(text)
+
+
 ALPHA_RE = r"[A-Za-z]"
 DIGIT_RE = r"[0-9]"
 STOPWORD_RE = r"\b(the|a|an|and|of|to|in|is)\b"
@@ -67,7 +86,7 @@ def quality_scores(batch: pa.Table) -> pa.Table:
     if batch.num_rows:
         ser = pl.from_arrow(pc.fill_null(text, "").combine_chunks())
         n_distinct = pa.array(
-            ser.str.extract_all(TOKEN_RE).list.n_unique()
+            ser.str.extract_all(TOKEN_RE_PORTABLE).list.n_unique()
             .to_numpy().astype("int64"))
     else:
         n_distinct = pa.array([], pa.int64())
@@ -92,8 +111,9 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
     :func:`quality_scores`' distinct-token ratio):
 
     - ``top_bigram_frac``:  tokens covered by the single most frequent
-      bigram = ``max_bigram_count * 2 / n_tokens`` (0.0 when the doc has
-      fewer than 2 tokens),
+      bigram = ``min(1, max_bigram_count * 2 / n_tokens)`` (0.0 when the
+      doc has fewer than 2 tokens; capped because overlapping repeats —
+      'x x x' — would otherwise push the count-based estimate over 1),
     - ``dup_bigram_frac``:  fraction of bigram POSITIONS whose bigram
       occurs >= 2 times in the doc (0.0 likewise).
 
@@ -120,7 +140,7 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
     if n:
         ser = pl.from_arrow(pc.fill_null(text, "").combine_chunks())
         ex = (pl.DataFrame({"rid": pl.int_range(0, n, eager=True),
-                            "w1": ser.str.extract_all(TOKEN_RE)})
+                            "w1": ser.str.extract_all(TOKEN_RE_PORTABLE)})
               .explode("w1")
               .with_columns(w2=pl.col("w1").shift(-1),
                             rid2=pl.col("rid").shift(-1)))
@@ -138,7 +158,7 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
     has = n_big > 0
     denom_tok = np.maximum(n_tok, 1).astype(np.float64)
     denom_big = np.maximum(n_big, 1).astype(np.float64)
-    top_frac = np.where(has, max_c * 2.0 / denom_tok, 0.0)
+    top_frac = np.where(has, np.minimum(1.0, max_c * 2.0 / denom_tok), 0.0)
     dup_frac = np.where(has, dup_pos.astype(np.float64) / denom_big, 0.0)
     return pa.Table.from_arrays(
         [batch.column("doc_id"),

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .textstats import TOKEN_RE
+from .textstats import TOKEN_RE_PORTABLE
 
 
 def _term_freqs(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
@@ -43,7 +43,7 @@ def _term_freqs(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
         id_col: pl.from_arrow(batch.column(id_col).combine_chunks()),
         "term": pl.from_arrow(
             pa.compute.fill_null(batch.column(text_col), "")
-            .combine_chunks()).str.extract_all(TOKEN_RE),
+            .combine_chunks()).str.extract_all(TOKEN_RE_PORTABLE),
     })
     tf = (frame.explode("term").drop_nulls("term")
           .group_by([id_col, "term"]).len().rename({"len": "tf"})
