@@ -150,10 +150,15 @@ def _kg_golden() -> dict:
         # an older build would replay the old code's outputs and keep the
         # gate green while the live pipeline is broken.  The corpus is
         # tiny (~2 s build), so the cold run costs the window nothing.
-        shutil.rmtree("/tmp/entgraph_golden/kg", ignore_errors=True)
+        # The dir is PID-unique: the returned datasets lazily re-read the
+        # written parquet on every execution, so a concurrent process
+        # (e.g. pytest alongside the gate) rebuilding a shared fixed path
+        # would delete the task-id-named files under this process's
+        # memoized datasets mid-run (observed as FileNotFoundError).
+        out_dir = f"/tmp/entgraph_golden/kg.{os.getpid()}"
+        shutil.rmtree(out_dir, ignore_errors=True)
         out = _GOLDEN_MEMO["kg"] = build_kg(
-            tdir, "/tmp/entgraph_golden/kg", parse_concurrency=2,
-            resume=False)
+            tdir, out_dir, parse_concurrency=2, resume=False)
     return out
 
 
