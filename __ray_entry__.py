@@ -4727,6 +4727,69 @@ def _q_transcripts_entity_sssp(sf_dir: str):
     return dist.map_batches(scale, batch_format="pyarrow")
 
 
+def _q_transcripts_entity_resolution(sf_dir: str):
+    """Entity resolution over the distinct mention surfaces — the
+    KG-construction step that canonicalizes surface-form variants into
+    one node id before edge canonicalization.  The synthetic gazetteer is
+    already canonical, so two deterministic single-edit variants are
+    planted per surface (suffix '·', prefix '老' — the planted-probe
+    pattern of embedding_near_dups), then resolved back via multi-key
+    (first/last char) blocking + byte-Levenshtein<=3 verification +
+    min-string connected components (stages/entity_resolution.py).
+
+    SQL-oracled bit-for-bit: DuckDB levenshtein() is byte-oriented like
+    editdist.levenshtein_bytes, substr() is char-based like Python
+    indexing, and string min/< compare identically (UTF-8 byte order ==
+    code-point order)."""
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.entity_resolution import (
+        resolve_entities,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    pat = re.compile("|".join(
+        re.escape(s) for s in sorted(_mention_surface_label(),
+                                     key=len, reverse=True)))
+
+    def batch_surfaces(batch: pa.Table) -> pa.Table:
+        seen: set[str] = set()
+        for text in batch.column("text").to_pylist():
+            for m in pat.finditer(text or ""):
+                seen.add(m.group(0))
+        return pa.Table.from_arrays(
+            [pa.array(sorted(seen), pa.string())], names=["entity"])
+
+    def plant_variants(batch: pa.Table) -> pa.Table:
+        out: list[str] = []
+        for e in batch.column("entity").to_pylist():
+            out.extend((e, e + "·", "老" + e))
+        return pa.Table.from_arrays(
+            [pa.array(out, pa.string())], names=["entity"])
+
+    def _distinct(ds):
+        """Cross-block distinct via the cardinality-dispatched aggregate
+        (mirrors the oracle's UNION/DISTINCT dedup exactly)."""
+        return auto_hash_aggregate(
+            ds.map_batches(
+                lambda b: b.append_column(
+                    "one", pa.array([1] * len(b), pa.int64())),
+                batch_format="pyarrow"),
+            ["entity"], [("one", "min")]).select_columns(["entity"])
+
+    tdir = _transcripts_dir(sf_dir)
+    surf = _distinct(rd.read_parquet(tdir, columns=["text"])
+                     .map_batches(batch_surfaces, batch_format="pyarrow"))
+    planted = _distinct(surf.map_batches(plant_variants,
+                                         batch_format="pyarrow"))
+    return resolve_entities(planted, col="entity", max_edit=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
     evaluates at most the FIRST 50 entries (observed r2 — the last 14 got
@@ -5001,6 +5064,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_novelty": _q_docs_ngram_novelty,
         # CCNet per-lang perplexity head/middle/tail (SQL-oracled, r5 day-3)
         "docs_perplexity_buckets": _q_docs_perplexity_buckets,
+        # blocking + edit-distance + CC entity resolution (SQL-oracled, r5)
+        "transcripts_entity_resolution": _q_transcripts_entity_resolution,
     }
 
 
@@ -7634,6 +7699,37 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
                    CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM t""",
+        "transcripts_entity_resolution": f"""
+            WITH RECURSIVE
+            surf AS (SELECT DISTINCT unnest(regexp_extract_all(text,
+                '{"|".join(__import__("re").escape(s) for s in sorted(_mention_surface_label(), key=len, reverse=True))}'))
+                AS s FROM read_parquet('{tglob}')),
+            strs AS (SELECT s FROM surf
+                     UNION SELECT s || '·' FROM surf
+                     UNION SELECT '老' || s FROM surf),
+            ks AS (SELECT 'p' || substr(s, 1, 1) AS k, s FROM strs
+                   UNION ALL
+                   SELECT 's' || substr(s, length(s), 1) AS k, s
+                   FROM strs),
+            pairs AS (SELECT DISTINCT x.s AS a, y.s AS b
+                      FROM ks x JOIN ks y ON x.k = y.k AND x.s < y.s
+                      WHERE levenshtein(x.s, y.s) <= 3),
+            edges AS (SELECT a AS u, b AS v FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach(node, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT reach.node, e.v FROM reach JOIN edges e
+                ON reach.r = e.u),
+            comp AS (SELECT node, min(r) AS canonical
+                     FROM reach GROUP BY node),
+            lab AS (SELECT s AS entity, coalesce(c.canonical, s)
+                        AS canonical
+                    FROM strs LEFT JOIN comp c ON c.node = s),
+            sz AS (SELECT canonical, count(*)::BIGINT AS cluster_size
+                   FROM lab GROUP BY 1)
+            SELECT entity, lab.canonical, cluster_size
+            FROM lab JOIN sz USING (canonical)""",
         "orders_rollup": """
             SELECT o_orderstatus, o_orderpriority,
                    round(sum(o_totalprice), 2) AS total_price,
