@@ -279,6 +279,10 @@ PAST_WINDOW_PINS = {
     # CCNet per-language perplexity head/middle/tail terciles (SQL-oracled)
     "docs_perplexity_buckets": (500, ["bucket", "doc_id", "lang",
                                       "lm_logp", "tile"]),
+    # blocking + byte-Levenshtein + CC entity resolution over the distinct
+    # mention surfaces with 2 planted variants each (SQL-oracled)
+    "transcripts_entity_resolution": (180, ["canonical", "cluster_size",
+                                            "entity"]),
 }
 
 
