@@ -4790,6 +4790,124 @@ def _q_transcripts_entity_resolution(sf_dir: str):
     return resolve_entities(planted, col="entity", max_edit=3)
 
 
+def _q_kg_golden_distant_supervision(sf_dir: str):
+    """Distant-supervision example extraction (Mintz et al. 2009): every
+    sentence whose distinct mention pair (a, b) matches an entity-linked
+    KG edge (subj_ent, obj_ent) becomes a labeled relation-extraction
+    training example (one row per matching edge predicate) — the classic
+    step that turns a KG + corpus into silver training data.
+
+    Composition over the REAL golden pipeline outputs: sentence-level
+    mention pairs (both directions, '\\x1f'-packed keys with a
+    separator-free guard) -> per-pair predicate list grouped via
+    sorted_map_groups (keeps the lookup side unique-keyed) -> ONE keyed
+    lookup join -> explode.  At corpus scale each stage is the same
+    exchange shape as entity co-occurrence + a label join: nothing is
+    quadratic beyond per-sentence mention counts.  SQL-oracled
+    compositionally (sentences mirror JOIN pinned-edges VALUES)."""
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        lookup_join,
+    )
+
+    pat = re.compile("|".join(
+        re.escape(s) for s in sorted(_mention_surface_label(),
+                                     key=len, reverse=True)))
+    kg = _kg_golden()
+
+    def sentence_pairs(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c).to_pylist()
+                for c in ("conv_id", "turn_idx", "sent_idx", "text")}
+        out = {"conv_id": [], "turn_idx": [], "sent_idx": [], "k": []}
+        for conv, turn, sent, text in zip(cols["conv_id"], cols["turn_idx"],
+                                          cols["sent_idx"], cols["text"]):
+            ents = sorted({m.group(0) for m in pat.finditer(text or "")})
+            for i in range(len(ents)):
+                for j in range(i + 1, len(ents)):
+                    for d_subj, d_obj in ((ents[i], ents[j]),
+                                          (ents[j], ents[i])):
+                        assert "\x1f" not in d_subj + d_obj
+                        out["conv_id"].append(conv)
+                        out["turn_idx"].append(turn)
+                        out["sent_idx"].append(sent)
+                        out["k"].append(d_subj + "\x1f" + d_obj)
+        return pa.Table.from_arrays(
+            [pa.array(out["conv_id"], pa.string()),
+             pa.array(out["turn_idx"], pa.int64()),
+             pa.array(out["sent_idx"], pa.int64()),
+             pa.array(out["k"], pa.string())],
+            names=["conv_id", "turn_idx", "sent_idx", "k"])
+
+    pairs = kg["sentences"].map_batches(sentence_pairs,
+                                        batch_format="pyarrow")
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        se = batch.column("subj_ent")
+        oe = batch.column("obj_ent")
+        keep = pc.and_(pc.and_(pc.not_equal(se, ""),
+                               pc.not_equal(oe, "")),
+                       pc.not_equal(se, oe))
+        t = batch.filter(keep)
+        for c in ("subj_ent", "obj_ent"):
+            for v in t.column(c).to_pylist():
+                assert "\x1f" not in v
+        k = pc.binary_join_element_wise(t.column("subj_ent"),
+                                        t.column("obj_ent"), "\x1f")
+        return pa.Table.from_arrays([k, t.column("pred")],
+                                    names=["k", "pred"])
+
+    def preds_of_key(df: pd.DataFrame) -> pd.DataFrame:
+        preds = sorted(set(df["pred"]))
+        return pd.DataFrame({"k": [df["k"].iloc[0]],
+                             "preds": ["\x1e".join(preds)]})
+
+    labels = sorted_map_groups(
+        kg["edges"].map_batches(label_rows, batch_format="pyarrow"),
+        ["k"], preds_of_key,
+        schema=pa.schema([("k", pa.string()), ("preds", pa.string())]))
+
+    joined = lookup_join(pairs, labels, left_key="k", right_key="k",
+                         payload=["preds"], suffix="_l", how="inner")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c).to_pylist()
+                for c in ("conv_id", "turn_idx", "sent_idx", "k",
+                          "preds_l")}
+        out = {"conv_id": [], "turn_idx": [], "sent_idx": [],
+               "subj_ent": [], "obj_ent": [], "pred": []}
+        for conv, turn, sent, k, preds in zip(
+                cols["conv_id"], cols["turn_idx"], cols["sent_idx"],
+                cols["k"], cols["preds_l"]):
+            subj, obj = k.split("\x1f")
+            for p in preds.split("\x1e"):
+                out["conv_id"].append(conv)
+                out["turn_idx"].append(turn)
+                out["sent_idx"].append(sent)
+                out["subj_ent"].append(subj)
+                out["obj_ent"].append(obj)
+                out["pred"].append(p)
+        return pa.Table.from_arrays(
+            [pa.array(out["conv_id"], pa.string()),
+             pa.array(out["turn_idx"], pa.int64()),
+             pa.array(out["sent_idx"], pa.int64()),
+             pa.array(out["subj_ent"], pa.string()),
+             pa.array(out["obj_ent"], pa.string()),
+             pa.array(out["pred"], pa.string())],
+            names=["conv_id", "turn_idx", "sent_idx", "subj_ent",
+                   "obj_ent", "pred"])
+
+    return joined.map_batches(explode, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
     evaluates at most the FIRST 50 entries (observed r2 — the last 14 got
@@ -5066,6 +5184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_perplexity_buckets": _q_docs_perplexity_buckets,
         # blocking + edit-distance + CC entity resolution (SQL-oracled, r5)
         "transcripts_entity_resolution": _q_transcripts_entity_resolution,
+        # Mintz-style distant-supervision examples over the golden KG
+        # (SQL-oracled compositionally, r5)
+        "kg_golden_distant_supervision": _q_kg_golden_distant_supervision,
     }
 
 
@@ -6588,6 +6709,33 @@ def _golden_derived_oracles() -> dict[str, str]:
         "kg_golden_rel_kind_counts": f"""
             SELECT rel_kind, count(*)::BIGINT AS n_triples
             FROM ({triples_vals}) GROUP BY rel_kind""",
+        # Distant supervision recomputed compositionally: sentence-level
+        # mention pairs from the INDEPENDENT sentences mirror, labels
+        # from the pinned entity-linked edges VALUES.
+        "kg_golden_distant_supervision": f"""
+            WITH sents AS ({_golden_sentences_values()}),
+            m AS (SELECT conv_id, turn_idx, sent_idx,
+                         list_distinct(regexp_extract_all(text,
+                             '{"|".join(__import__("re").escape(s) for s in sorted(_mention_surface_label(), key=len, reverse=True))}'))
+                             AS ents
+                  FROM sents),
+            ex AS (SELECT conv_id, turn_idx, sent_idx, unnest(ents) AS e
+                   FROM m),
+            pairs AS (SELECT x.conv_id, x.turn_idx, x.sent_idx,
+                             x.e AS a, y.e AS b
+                      FROM ex x JOIN ex y
+                        ON x.conv_id = y.conv_id
+                       AND x.turn_idx = y.turn_idx
+                       AND x.sent_idx = y.sent_idx AND x.e < y.e),
+            labels AS (SELECT DISTINCT subj_ent, obj_ent, pred
+                       FROM ({edges_vals})
+                       WHERE subj_ent <> '' AND obj_ent <> ''
+                         AND subj_ent <> obj_ent)
+            SELECT p.conv_id, p.turn_idx, p.sent_idx,
+                   l.subj_ent, l.obj_ent, l.pred
+            FROM pairs p JOIN labels l
+              ON (l.subj_ent = p.a AND l.obj_ent = p.b)
+              OR (l.subj_ent = p.b AND l.obj_ent = p.a)""",
         # PageRank recomputed INDEPENDENTLY in DuckDB (unrolled float64
         # update rule) over the pinned edge multiset — one row per
         # canonical (subj, pred, obj) edge with both endpoints non-empty,

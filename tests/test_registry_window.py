@@ -283,6 +283,11 @@ PAST_WINDOW_PINS = {
     # mention surfaces with 2 planted variants each (SQL-oracled)
     "transcripts_entity_resolution": (180, ["canonical", "cluster_size",
                                             "entity"]),
+    # Mintz-style distant-supervision examples: golden sentence mention
+    # pairs labeled by entity-linked pinned edges (SQL-oracled, sf-free)
+    "kg_golden_distant_supervision": (29, ["conv_id", "obj_ent", "pred",
+                                           "sent_idx", "subj_ent",
+                                           "turn_idx"]),
 }
 
 
