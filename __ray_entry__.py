@@ -4908,6 +4908,143 @@ def _q_kg_golden_distant_supervision(sf_dir: str):
     return joined.map_batches(explode, batch_format="pyarrow")
 
 
+# Planted-corruption moduli for the integrity audit (one corruption class
+# per modulus, applied to COPIES of base rows with l_linenumber == 1 —
+# the base table stays untouched and the oracle replants identically).
+_AUDIT_MODS = {"orphan": 211, "dup": 223, "nonpos_qty": 227,
+               "neg_price": 229, "bad_discount": 233,
+               "null_returnflag": 239}
+_AUDIT_METRICS = ["bad_discount_rows", "dup_keys", "neg_price_rows",
+                  "nonpos_qty_rows", "null_returnflag_rows",
+                  "orphan_rows", "total_rows"]
+
+
+def _q_lineitem_integrity_audit(sf_dir: str):
+    """Data-quality / referential-integrity audit (stages/audit.py) — the
+    "expectations" validation stage a 100-TB ingest runs before anything
+    trusts the tables: FK-orphan count (anti semi-join vs orders),
+    duplicate composite keys (distinct-key exchange), and four predicate
+    violations (null / non-positive / negative / out-of-domain) counted by
+    a per-block combiner, all reduced to ONE (metric, n) summary table
+    with a stable 7-row schema (zero seeds — absence of a row is never
+    the signal).
+
+    The synthetic tables are clean, so each violation class is PLANTED
+    deterministically (the entity-resolution planted-probe pattern):
+    copies of base rows with l_linenumber == 1 and l_orderkey divisible
+    by a per-class modulus get exactly one corruption each; the DuckDB
+    oracle replants identically and recounts.  Three streaming passes
+    over lineitem (predicates / dup keys / orphans) — recompute, never
+    materialize, is the right trade at scale."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.audit import (
+        duplicate_key_counts,
+        integrity_audit,
+        orphan_counts,
+        predicate_counts,
+    )
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "l_returnflag"]
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch.column("l_orderkey"), dtype=np.int64)
+        first = np.asarray(batch.column("l_linenumber"),
+                           dtype=np.int64) == 1
+        idx = {c: batch.schema.get_field_index(c) for c in cols}
+        parts = [batch]
+
+        def rows(cls: str) -> pa.Table:
+            return batch.filter(
+                pa.array(first & (ok % _AUDIT_MODS[cls] == 0)))
+
+        def with_lineno(t: pa.Table, lineno: int) -> pa.Table:
+            return t.set_column(
+                idx["l_linenumber"], "l_linenumber",
+                pa.array([lineno] * t.num_rows, pa.int32()))
+
+        t = rows("orphan")
+        if t.num_rows:
+            parts.append(t.set_column(
+                idx["l_orderkey"], "l_orderkey",
+                pc.add(t.column("l_orderkey"),
+                       pa.scalar(100_000_000, pa.int64()))))
+        t = rows("dup")
+        if t.num_rows:
+            parts.append(t)
+        t = rows("nonpos_qty")
+        if t.num_rows:
+            t = with_lineno(t, 9001)
+            parts.append(t.set_column(idx["l_quantity"], "l_quantity",
+                                      pc.negate(t.column("l_quantity"))))
+        t = rows("neg_price")
+        if t.num_rows:
+            t = with_lineno(t, 9002)
+            parts.append(t.set_column(
+                idx["l_extendedprice"], "l_extendedprice",
+                pc.negate(t.column("l_extendedprice"))))
+        t = rows("bad_discount")
+        if t.num_rows:
+            t = with_lineno(t, 9003)
+            parts.append(t.set_column(
+                idx["l_discount"], "l_discount",
+                pa.array([1.5] * t.num_rows, pa.float64())))
+        t = rows("null_returnflag")
+        if t.num_rows:
+            t = with_lineno(t, 9004)
+            parts.append(t.set_column(
+                idx["l_returnflag"], "l_returnflag",
+                pa.nulls(t.num_rows, pa.string())))
+        return pa.concat_tables(parts)
+
+    def audited():
+        return _read(sf_dir, "lineitem", columns=cols) \
+            .map_batches(plant, batch_format="pyarrow")
+
+    preds = predicate_counts(audited(), {
+        "total_rows": lambda b: np.ones(b.num_rows, dtype=bool),
+        "nonpos_qty_rows":
+            lambda b: pc.less_equal(b.column("l_quantity"), 0.0),
+        "neg_price_rows":
+            lambda b: pc.less(b.column("l_extendedprice"), 0.0),
+        "bad_discount_rows":
+            lambda b: pc.or_(pc.less(b.column("l_discount"), 0.0),
+                             pc.greater(b.column("l_discount"), 1.0)),
+        "null_returnflag_rows":
+            lambda b: pc.is_null(b.column("l_returnflag")),
+    })
+    dups = duplicate_key_counts(audited(),
+                                ["l_orderkey", "l_linenumber"],
+                                metric="dup_keys")
+    orphans = orphan_counts(audited(),
+                            _read(sf_dir, "orders", columns=["o_orderkey"]),
+                            left_key="l_orderkey", right_key="o_orderkey",
+                            metric="orphan_rows")
+    return integrity_audit([preds, dups, orphans], _AUDIT_METRICS)
+
+
+def _q_embeddings_hard_negatives(sf_dir: str):
+    """Hard positive/negative triplet mining over the labeled embedding
+    table (stages/similarity.hard_negative_mining): for each anchor
+    (vec_id % 100 == 0) the same-label vector with MINIMUM cosine and the
+    different-label vector with MAXIMUM cosine, plus the triplet margin —
+    the metric-learning training-data op.  Broadcast anchor GEMM + a
+    2-rows-per-anchor-per-block combiner; selection happens on cosines
+    rounded half-away to 6 so the DuckDB row_number mirror replays every
+    argmin/argmax tie exactly."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
+        hard_negative_mining,
+    )
+
+    return hard_negative_mining(
+        _read(sf_dir, "embeddings",
+              columns=["vec_id", "embedding", "label"]),
+        anchor_mod=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
     evaluates at most the FIRST 50 entries (observed r2 — the last 14 got
@@ -5187,6 +5324,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Mintz-style distant-supervision examples over the golden KG
         # (SQL-oracled compositionally, r5)
         "kg_golden_distant_supervision": _q_kg_golden_distant_supervision,
+        # planted-corruption data-quality audit (SQL-oracled, r5)
+        "lineitem_integrity_audit": _q_lineitem_integrity_audit,
+        # triplet hard positive/negative mining (SQL-oracled, r5)
+        "embeddings_hard_negatives": _q_embeddings_hard_negatives,
     }
 
 
@@ -7878,6 +8019,83 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
                    FROM lab GROUP BY 1)
             SELECT entity, lab.canonical, cluster_size
             FROM lab JOIN sz USING (canonical)""",
+        # planted-corruption integrity audit: replant the per-modulus
+        # corruption classes on lineitem copies, then recount every
+        # violation the engine's three streaming passes count.
+        "lineitem_integrity_audit": f"""
+            WITH base AS (SELECT l_orderkey, l_linenumber, l_quantity,
+                                 l_extendedprice, l_discount, l_returnflag
+                          FROM lineitem),
+            src AS (SELECT * FROM base WHERE l_linenumber = 1),
+            audited AS (
+              SELECT * FROM base
+              UNION ALL
+              SELECT l_orderkey + 100000000, l_linenumber, l_quantity,
+                     l_extendedprice, l_discount, l_returnflag
+              FROM src WHERE l_orderkey % {_AUDIT_MODS['orphan']} = 0
+              UNION ALL
+              SELECT * FROM src
+              WHERE l_orderkey % {_AUDIT_MODS['dup']} = 0
+              UNION ALL
+              SELECT l_orderkey, 9001, -l_quantity, l_extendedprice,
+                     l_discount, l_returnflag
+              FROM src WHERE l_orderkey % {_AUDIT_MODS['nonpos_qty']} = 0
+              UNION ALL
+              SELECT l_orderkey, 9002, l_quantity, -l_extendedprice,
+                     l_discount, l_returnflag
+              FROM src WHERE l_orderkey % {_AUDIT_MODS['neg_price']} = 0
+              UNION ALL
+              SELECT l_orderkey, 9003, l_quantity, l_extendedprice,
+                     1.5, l_returnflag
+              FROM src WHERE l_orderkey % {_AUDIT_MODS['bad_discount']} = 0
+              UNION ALL
+              SELECT l_orderkey, 9004, l_quantity, l_extendedprice,
+                     l_discount, NULL
+              FROM src
+              WHERE l_orderkey % {_AUDIT_MODS['null_returnflag']} = 0)
+            SELECT 'total_rows' AS metric, count(*)::BIGINT AS n
+            FROM audited
+            UNION ALL SELECT 'orphan_rows', count(*) FROM audited a
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = a.l_orderkey)
+            UNION ALL SELECT 'dup_keys', count(*) FROM (
+                SELECT 1 FROM audited
+                GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+            UNION ALL SELECT 'nonpos_qty_rows', count(*) FROM audited
+            WHERE l_quantity <= 0
+            UNION ALL SELECT 'neg_price_rows', count(*) FROM audited
+            WHERE l_extendedprice < 0
+            UNION ALL SELECT 'bad_discount_rows', count(*) FROM audited
+            WHERE NOT (l_discount >= 0 AND l_discount <= 1)
+            UNION ALL SELECT 'null_returnflag_rows', count(*)
+            FROM audited WHERE l_returnflag IS NULL""",
+        # triplet mining mirror: identical rounded-cosine selection with
+        # row_number tie-broken by cand_id, inner-join semantics (an
+        # anchor needs BOTH a positive and a negative to emit).
+        "embeddings_hard_negatives": """
+            WITH e AS (SELECT vec_id, label,
+                              list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            a AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+            s AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                         c.vec_id AS cand_id, c.label AS cand_label,
+                         round(list_cosine_similarity(a.v, c.v), 6) AS cos
+                  FROM a JOIN e c ON c.vec_id <> a.vec_id),
+            pos AS (SELECT anchor_id, anchor_label, cand_id, cos,
+                           row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cos ASC, cand_id ASC) AS rn
+                    FROM s WHERE cand_label = anchor_label),
+            neg AS (SELECT anchor_id, cand_id, cos,
+                           row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cos DESC, cand_id ASC) AS rn
+                    FROM s WHERE cand_label <> anchor_label)
+            SELECT p.anchor_id, p.anchor_label::BIGINT AS anchor_label,
+                   p.cand_id AS hard_pos_id, p.cos AS hard_pos_sim,
+                   n.cand_id AS hard_neg_id, n.cos AS hard_neg_sim,
+                   round(p.cos - n.cos, 6) AS margin
+            FROM pos p JOIN neg n USING (anchor_id)
+            WHERE p.rn = 1 AND n.rn = 1""",
         "orders_rollup": """
             SELECT o_orderstatus, o_orderpriority,
                    round(sum(o_totalprice), 2) AS total_price,

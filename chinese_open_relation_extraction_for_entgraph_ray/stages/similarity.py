@@ -588,3 +588,134 @@ def knn_graph(embeddings_ds, k: int = 5, round_digits: int = 4):
             names=["src", "dst", "rank", "cosine_sim"])
 
     return src_ds.map_batches(topk, batch_format="pyarrow")
+
+
+# --- triplet mining (metric-learning training data) --------------------------
+
+def hard_negative_mining(embeddings_ds, *, anchor_mod: int = 100,
+                         round_digits: int = 6):
+    """Hard positive/negative mining over a labeled embedding table — the
+    step that turns raw (vector, label) data into triplet/contrastive
+    training examples (Schroff et al. 2015's semi-hard mining, batch-all
+    variant): for every ANCHOR (``vec_id % anchor_mod == 0``, a small
+    deterministic probe set), find among all OTHER vectors
+
+    - the **hardest positive**: same label, MINIMUM cosine (the pair a
+      metric-learning loss must pull together hardest), and
+    - the **hardest negative**: different label, MAXIMUM cosine (the pair
+      it must push apart hardest),
+
+    plus ``margin = hard_pos_sim - hard_neg_sim`` (negative margin =
+    an active triplet).
+
+    Engine shape: anchors are materialized once (|corpus| / anchor_mod
+    rows) and broadcast via ``ray.put``; each batch does ONE float64 GEMM
+    (n x A) and emits at most TWO candidate rows per anchor (its block-
+    local best positive and best negative) — lexicographic (sim, id) min
+    is associative, so the per-block prune composes exactly with the final
+    per-anchor reduce; the exchange carries ``2 x A x n_blocks`` rows,
+    never pairs.  Cosines are rounded half-away to ``round_digits`` BEFORE
+    selection so the DuckDB mirror (``round(list_cosine_similarity(..),
+    6)`` + ``row_number`` tie-broken by cand_id) replays the argmin/argmax
+    decisions exactly.
+
+    Returns a Dataset (anchor_id, anchor_label, hard_pos_id,
+    hard_pos_sim, hard_neg_id, hard_neg_sim, margin) with one row per
+    anchor that has at least one positive AND one negative candidate.
+    """
+    import pandas as pd
+    import ray
+
+    from ..functions.fputil import np_round_away as _rnd
+    from .blockgroup import sorted_map_groups
+
+    src = embeddings_ds.materialize()
+
+    def pick_anchor(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        return batch.filter(pa.array(ids % anchor_mod == 0))
+
+    anch_parts = list(src.map_batches(pick_anchor, batch_format="pyarrow")
+                      .iter_batches(batch_format="pyarrow"))
+    anch = pa.concat_tables(anch_parts) if anch_parts else None
+    if anch is None or anch.num_rows == 0:
+        raise ValueError(
+            f"hard_negative_mining: no anchors (vec_id % {anchor_mod} == 0)")
+    order = np.argsort(np.asarray(anch.column("vec_id"), dtype=np.int64))
+    anch = anch.take(pa.array(order))
+    a_ids = np.asarray(anch.column("vec_id"), dtype=np.int64)
+    a_labels = np.asarray(anch.column("label")).astype(np.int64)
+    q_mat = normalize(_embedding_matrix(anch))
+    ref = ray.put((a_ids, a_labels, q_mat))
+
+    cand_schema = pa.schema([("anchor_id", pa.int64()),
+                             ("anchor_label", pa.int64()),
+                             ("kind", pa.string()),
+                             ("cand_id", pa.int64()),
+                             ("sim", pa.float64())])
+
+    def block_candidates(batch: pa.Table) -> pa.Table:
+        a_ids, a_labels, q_mat = ray.get(ref)
+        c_ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        if len(c_ids) == 0:
+            return cand_schema.empty_table()
+        c_lab = np.asarray(batch.column("label")).astype(np.int64)
+        sims = _rnd(normalize(_embedding_matrix(batch)) @ q_mat.T,
+                    round_digits)                       # n x A
+        out: dict[str, list] = {k: [] for k in
+                                ("anchor_id", "anchor_label", "kind",
+                                 "cand_id", "sim")}
+        for a in range(len(a_ids)):
+            s = sims[:, a]
+            not_self = c_ids != a_ids[a]
+            for kind, mask, major in (
+                    ("pos", not_self & (c_lab == a_labels[a]), s),
+                    ("neg", not_self & (c_lab != a_labels[a]), -s)):
+                if mask.any():
+                    mi = np.flatnonzero(mask)
+                    best = mi[np.lexsort((c_ids[mi], major[mi]))[0]]
+                    out["anchor_id"].append(a_ids[a])
+                    out["anchor_label"].append(a_labels[a])
+                    out["kind"].append(kind)
+                    out["cand_id"].append(c_ids[best])
+                    out["sim"].append(s[best])
+        return pa.Table.from_arrays(
+            [pa.array(out["anchor_id"], pa.int64()),
+             pa.array(out["anchor_label"], pa.int64()),
+             pa.array(out["kind"], pa.string()),
+             pa.array(out["cand_id"], pa.int64()),
+             pa.array(out["sim"], pa.float64())],
+            names=[f.name for f in cand_schema])
+
+    cands = src.map_batches(block_candidates, batch_format="pyarrow")
+
+    out_schema = pa.schema([("anchor_id", pa.int64()),
+                            ("anchor_label", pa.int64()),
+                            ("hard_pos_id", pa.int64()),
+                            ("hard_pos_sim", pa.float64()),
+                            ("hard_neg_id", pa.int64()),
+                            ("hard_neg_sim", pa.float64()),
+                            ("margin", pa.float64())])
+
+    def reduce_anchor(df: pd.DataFrame) -> pd.DataFrame:
+        pos = df[df["kind"] == "pos"]
+        neg = df[df["kind"] == "neg"]
+        if pos.empty or neg.empty:
+            return pd.DataFrame({f.name: [] for f in out_schema})
+        p = pos.sort_values(["sim", "cand_id"],
+                            ascending=[True, True]).iloc[0]
+        n = neg.sort_values(["sim", "cand_id"],
+                            ascending=[False, True]).iloc[0]
+        margin = float(_rnd(np.array([p["sim"] - n["sim"]]),
+                            round_digits)[0])
+        return pd.DataFrame({
+            "anchor_id": [int(df["anchor_id"].iloc[0])],
+            "anchor_label": [int(df["anchor_label"].iloc[0])],
+            "hard_pos_id": [int(p["cand_id"])],
+            "hard_pos_sim": [float(p["sim"])],
+            "hard_neg_id": [int(n["cand_id"])],
+            "hard_neg_sim": [float(n["sim"])],
+            "margin": [margin]})
+
+    return sorted_map_groups(cands, ["anchor_id"], reduce_anchor,
+                             schema=out_schema)

@@ -288,6 +288,15 @@ PAST_WINDOW_PINS = {
     "kg_golden_distant_supervision": (29, ["conv_id", "obj_ent", "pred",
                                            "sent_idx", "subj_ent",
                                            "turn_idx"]),
+    # planted-corruption data-quality audit: stable 7-metric summary
+    # (SQL-oracled; base synthetic lineitem carries real dup keys too)
+    "lineitem_integrity_audit": (7, ["metric", "n"]),
+    # triplet hard positive/negative mining: one row per vec_id%100
+    # anchor (SQL-oracled)
+    "embeddings_hard_negatives": (5, ["anchor_id", "anchor_label",
+                                      "hard_neg_id", "hard_neg_sim",
+                                      "hard_pos_id", "hard_pos_sim",
+                                      "margin"]),
 }
 
 
