@@ -5045,6 +5045,217 @@ def _q_embeddings_hard_negatives(sf_dir: str):
         anchor_mod=100)
 
 
+def _q_events_latest_state(sf_dir: str):
+    """CDC compaction (stages/cdc.py latest_state): the events stream read
+    as a keyed mutation log — per user keep only the latest mutation by
+    (ts, event_id), and drop users whose latest op is the 'error'
+    tombstone.  Per-block pre-combine bounds the exchange at one row per
+    user per block regardless of log depth."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.cdc import (
+        latest_state,
+    )
+
+    return latest_state(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "event_type", "value"]),
+        key="user_id", order=["ts", "event_id"], op_col="event_type",
+        delete_value="error", payload=["value"])
+
+
+def _q_events_scd2_history(sf_dir: str):
+    """SCD type-2 versioned history (stages/cdc.py scd2_history): each
+    event becomes a version row valid until the user's next event
+    (valid_to null + is_current on the last) — one sort per user,
+    vectorized shift(-1) chain, no per-group Python."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.cdc import (
+        scd2_history,
+    )
+
+    return scd2_history(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]),
+        key="user_id", ts="ts", tiebreak=["event_id"], payload=["value"])
+
+
+def _q_events_purchase_followup(sf_dir: str):
+    """Keyed interval (range) join (stages/joins.py interval_join): each
+    purchase opens a [ts, ts+1h) follow-up window; view/click events of
+    the same user landing in the window attribute to it — one tagged-union
+    sort by user, vectorized in-block hash merge + range filter, then a
+    grouped rollup per purchase."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        pc_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        interval_join,
+    )
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id", "event_type",
+                            "value"])
+
+    def to_window(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        return pa.Table.from_arrays(
+            [batch.column("user_id"), batch.column("event_id"), ts,
+             pc.add(ts, pa.scalar(3_600_000_000, pa.duration("us")))],
+            names=["user_id", "purchase_id", "win_start", "win_end"])
+
+    windows = (events.filter(expr="event_type == 'purchase'")
+               .map_batches(to_window, batch_format="pyarrow"))
+    follows = events.filter(
+        expr="event_type == 'view' or event_type == 'click'")
+    joined = interval_join(follows, windows, by="user_id", point="ts",
+                           start="win_start", end="win_end",
+                           right_payload=["purchase_id"], suffix="")
+    agg = joined.groupby("purchase_id").aggregate(
+        Count(alias_name="n_follow"), Sum("value", alias_name="sum_v"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("purchase_id"),
+             batch.column("n_follow").cast(pa.int64()),
+             pc_round_away(batch.column("sum_v"), 2)],
+            names=["purchase_id", "n_follow", "total_value"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_lineitem_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-shaped star join: lineitem -> orders -> customer ->
+    nation -> region, revenue + distinct-order count per (region, nation).
+    Scale shape: pre-aggregate BEFORE every join so each exchange shrinks
+    (lineitems -> one row per order -> one row per customer -> one row per
+    nation) — the deepest join never moves more than the previous
+    aggregate's output, and the dimension joins run on keyed
+    sorted-block exchanges (no driver-side lookup dicts)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        pc_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        lookup_join,
+    )
+
+    def add_revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        return pa.Table.from_arrays([batch.column("l_orderkey"), rev],
+                                    names=["l_orderkey", "revenue"])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(add_revenue, batch_format="pyarrow")
+    per_order = auto_hash_aggregate(li, ["l_orderkey"],
+                                    [("revenue", "sum")])
+    per_order = per_order.map_batches(
+        lambda b: b.append_column("n_orders",
+                                  pa.array([1] * b.num_rows, pa.int64())),
+        batch_format="pyarrow")
+    w_cust = lookup_join(
+        per_order,
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        left_key="l_orderkey", right_key="o_orderkey",
+        payload=["o_custkey"], how="inner")
+    per_cust = auto_hash_aggregate(w_cust, ["o_custkey_r"],
+                                   [("revenue", "sum"),
+                                    ("n_orders", "sum")])
+    w_nat = lookup_join(
+        per_cust,
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        left_key="o_custkey_r", right_key="c_custkey",
+        payload=["c_nationkey"], how="inner")
+    per_nat = auto_hash_aggregate(w_nat, ["c_nationkey_r"],
+                                  [("revenue", "sum"),
+                                   ("n_orders", "sum")])
+    # nation (25 rows) and region (5) are CONSTANT-cardinality dims at any
+    # scale factor: broadcast them in the task closure (shipped once per
+    # task, never per batch) instead of two more sort exchanges
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rname = dict(zip(reg.column("r_regionkey").to_pylist(),
+                     reg.column("r_name").to_pylist()))
+    nat_map = {k: (n, rname[r]) for k, n, r in
+               zip(nat.column("n_nationkey").to_pylist(),
+                   nat.column("n_name").to_pylist(),
+                   nat.column("n_regionkey").to_pylist())}
+
+    def finish(batch: pa.Table) -> pa.Table:
+        names = [nat_map[k] for k in
+                 batch.column("c_nationkey_r").to_pylist()]
+        return pa.Table.from_arrays(
+            [pa.array([rn for _, rn in names], pa.string()),
+             pa.array([nn for nn, _ in names], pa.string()),
+             pc_round_away(batch.column("revenue"), 2),
+             batch.column("n_orders")],
+            names=["r_name", "n_name", "revenue", "n_orders"])
+
+    return per_nat.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_docs_inverted_index(sf_dir: str):
+    """Search-index build: distinct (token, doc_id) postings -> per-token
+    document frequency + the sorted posting list serialized as a
+    comma-joined string (hash-comparable against DuckDB's ordered
+    string_agg).  The exchange carries per-batch-distinct postings (the
+    combiner bound: one row per batch per distinct token), then ONE sort
+    by token; posting-list skew (stopword-grade tokens) is the documented
+    operating bound — a real index build would shard those terms' lists.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+
+    def batch_postings(batch: pa.Table) -> pa.Table:
+        from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (
+            re2_tokens,
+        )
+
+        toks: set[tuple[str, int]] = set()
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            for tok in set(re2_tokens(text or "")):
+                toks.add((tok, doc_id))
+        token_arr, doc_arr = (zip(*sorted(toks)) if toks else ((), ()))
+        return pa.Table.from_arrays(
+            [pa.array(list(token_arr), pa.string()),
+             pa.array(list(doc_arr), pa.int64())],
+            names=["token", "doc_id"])
+
+    postings = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(batch_postings, batch_format="pyarrow")
+
+    def index_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.sort_values(["token", "doc_id"], kind="mergesort")
+             .drop_duplicates(["token", "doc_id"]))
+        g["doc_id"] = g["doc_id"].astype(str)
+        agg = g.groupby("token", sort=False)["doc_id"] \
+            .agg(df_count="size", postings=",".join).reset_index()
+        return agg.rename(columns={"df_count": "df"})
+
+    return sorted_map_groups(
+        postings, ["token"], block_fn=index_block,
+        schema=pa.schema([("token", pa.string()), ("df", pa.int64()),
+                          ("postings", pa.string())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
     evaluates at most the FIRST 50 entries (observed r2 — the last 14 got
@@ -5328,6 +5539,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_integrity_audit": _q_lineitem_integrity_audit,
         # triplet hard positive/negative mining (SQL-oracled, r5)
         "embeddings_hard_negatives": _q_embeddings_hard_negatives,
+        # CDC tombstone compaction to latest state (SQL-oracled, r5 day-5)
+        "events_latest_state": _q_events_latest_state,
+        # SCD type-2 versioned history (SQL-oracled, r5 day-5)
+        "events_scd2_history": _q_events_scd2_history,
+        # keyed interval/range join + rollup (SQL-oracled, r5 day-5)
+        "events_purchase_followup": _q_events_purchase_followup,
+        # TPC-H-Q5-shaped 5-table star join, shrink-early (SQL-oracled)
+        "lineitem_revenue_by_nation": _q_lineitem_revenue_by_nation,
+        # inverted-index build with ordered posting lists (SQL-oracled)
+        "docs_inverted_index": _q_docs_inverted_index,
     }
 
 
@@ -8410,6 +8631,50 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
             SELECT node AS term, rank_scaled
             FROM ({_pagerank_sql(edges_sql=_WORD_EDGES_SQL)})
             ORDER BY rank_scaled DESC, term ASC LIMIT 20""",
+        "events_latest_state": """
+            SELECT user_id, ts, event_id, event_type, value
+            FROM (SELECT user_id, ts, event_id, event_type, value,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'""",
+        "events_scd2_history": """
+            SELECT user_id, event_id, value, ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   (lead(ts) OVER w IS NULL) AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "events_purchase_followup": """
+            SELECT p.event_id AS purchase_id,
+                   count(*) AS n_follow,
+                   round(sum(f.value), 2) AS total_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events
+                  WHERE event_type IN ('view', 'click')) f
+              ON f.user_id = p.user_id AND f.ts >= p.ts
+             AND f.ts < p.ts + INTERVAL 1 HOUR
+            GROUP BY p.event_id""",
+        "lineitem_revenue_by_nation": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name""",
+        "docs_inverted_index": r"""
+            SELECT token, count(*) AS df,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                       AS postings
+            FROM (SELECT DISTINCT token, doc_id
+                  FROM (SELECT doc_id,
+                               unnest(regexp_extract_all(text, '\S+'))
+                                   AS token
+                        FROM documents))
+            GROUP BY token""",
     }
 
 

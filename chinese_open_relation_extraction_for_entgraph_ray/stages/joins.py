@@ -467,3 +467,83 @@ def asof_join(left_ds, right_ds, *, by: str, ts: str,
         + [(oc, right_type[c]) for c, oc in zip(right_payload, payload_out)])
     return sorted_map_groups(unioned, [by], block_fn=merge_block,
                              schema=out_schema, arrow_blocks=True)
+
+
+def interval_join(left_ds, right_ds, *, by: str, point: str,
+                  start: str, end: str, right_payload: list[str],
+                  suffix: str = "_right"):
+    """Keyed range (interval) join: inner-join each left row to every right
+    row of the same ``by`` key whose ``[start, end)`` interval contains the
+    left row's ``point`` — SQL ``L JOIN R ON L.by = R.by AND L.point >=
+    R.start AND L.point < R.end``, with possibly-overlapping intervals.
+
+    Same tagged-union + one-sort exchange as ``asof_join`` above; within a
+    block of whole key groups the candidate pairs come from ONE vectorized
+    hash merge on ``by`` followed by a vectorized range filter — no
+    per-key or per-interval Python.  Output: left columns + each payload
+    column as ``<name><suffix>``.
+
+    Partitioning assumption: a key's points x intervals candidate product
+    fits in a worker heap (intervals per key is the operating knob — at
+    10^9 keys with tens of intervals each this is flat; one key with 10^6
+    overlapping intervals is a skew problem the caller must pre-split).
+    """
+    left_schema = left_ds.schema()
+    left_cols = list(left_schema.names)
+    left_type = dict(zip(left_schema.names, left_schema.types))
+    right_schema = right_ds.schema()
+    right_type = dict(zip(right_schema.names, right_schema.types))
+    payload_out = [f"{c}{suffix}" for c in right_payload]
+    right_keep = [c for c in [start, end] + right_payload]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        out = batch.select(left_cols).append_column(
+            "__side", pa.array([1] * batch.num_rows, pa.int8()))
+        for c in right_keep:
+            out = out.append_column(f"__r_{c}",
+                                    pa.nulls(batch.num_rows, right_type[c]))
+        return out
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {by: batch.column(by)}
+        for c in left_cols:
+            if c != by:
+                cols[c] = pa.nulls(n, left_type[c])
+        cols["__side"] = pa.array([0] * n, pa.int8())
+        for c in right_keep:
+            cols[f"__r_{c}"] = batch.column(c)
+        order = left_cols + ["__side"] + [f"__r_{c}" for c in right_keep]
+        return pa.Table.from_arrays([cols[c] for c in order], names=order)
+
+    out_schema = pa.schema(
+        [(c, left_type[c]) for c in left_cols]
+        + [(oc, right_type[c])
+           for c, oc in zip(right_payload, payload_out)])
+
+    def block_join(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = batch.column("__side")
+        lf = batch.filter(pc.equal(side, 1)).select(left_cols).to_pandas()
+        rt = (batch.filter(pc.equal(side, 0))
+              .select([by] + [f"__r_{c}" for c in right_keep]).to_pandas())
+        if len(lf) == 0 or len(rt) == 0:
+            return out_schema.empty_table()
+        merged = lf.merge(rt, on=by, how="inner")
+        hit = ((merged[point] >= merged[f"__r_{start}"])
+               & (merged[point] < merged[f"__r_{end}"]))
+        merged = merged[hit]
+        out = merged[left_cols].copy()
+        for c, oc in zip(right_payload, payload_out):
+            out[oc] = merged[f"__r_{c}"]
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
+
+    from .blockgroup import sorted_map_groups
+
+    unioned = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+               .union(right_ds.map_batches(tag_right,
+                                           batch_format="pyarrow")))
+    return sorted_map_groups(unioned, [by], block_fn=block_join,
+                             schema=out_schema, arrow_blocks=True)

@@ -297,6 +297,21 @@ PAST_WINDOW_PINS = {
                                       "hard_neg_id", "hard_neg_sim",
                                       "hard_pos_id", "hard_pos_sim",
                                       "margin"]),
+    # CDC latest-state compaction: one row per user whose latest op is
+    # not the tombstone (SQL-oracled)
+    "events_latest_state": (12, ["event_id", "event_type", "ts",
+                                 "user_id", "value"]),
+    # SCD2 history: one version row per event (SQL-oracled)
+    "events_scd2_history": (1000, ["event_id", "is_current", "user_id",
+                                   "valid_from", "valid_to", "value"]),
+    # interval-join purchase follow-up rollup (SQL-oracled)
+    "events_purchase_followup": (7, ["n_follow", "purchase_id",
+                                     "total_value"]),
+    # TPC-H-Q5-shaped 5-table star join (SQL-oracled)
+    "lineitem_revenue_by_nation": (25, ["n_name", "n_orders", "r_name",
+                                        "revenue"]),
+    # inverted-index build with ordered posting lists (SQL-oracled)
+    "docs_inverted_index": (31, ["df", "postings", "token"]),
 }
 
 
