@@ -5256,6 +5256,57 @@ def _q_docs_inverted_index(sf_dir: str):
                           ("postings", pa.string())]))
 
 
+def _q_events_debounced(sf_dir: str):
+    """Stream debounce (telemetry cleaning): drop an event arriving within
+    5 minutes of the previous event of the same (user, event_type) — the
+    lag-gap rule (SQL-mirrorable; a kept-anchor debounce would be the
+    iterative variant).  One sort per (user, type), vectorized lag."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+
+    def debounce_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "event_type", "ts", "event_id"],
+                           kind="mergesort")
+        g["__ts_us"] = g["ts"].astype("int64")
+        prev = (g.groupby(["user_id", "event_type"],
+                          sort=False)["__ts_us"].shift(1)
+                .to_numpy(dtype=np.float64))
+        keep = np.isnan(prev) | (g["__ts_us"].to_numpy() - prev
+                                 >= 300_000_000)
+        return g[keep][["event_id", "user_id", "event_type", "ts"]]
+
+    return sorted_map_groups(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "event_type"]),
+        ["user_id", "event_type"], block_fn=debounce_block,
+        schema=pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                          ("event_type", pa.string()),
+                          ("ts", pa.timestamp("us"))]))
+
+
+def _q_customers_without_urgent_orders(sf_dir: str):
+    """Coverage-audit anti-join: customers with no 1-URGENT order — the
+    distributed anti-join (stages/joins.semi_join anti=True: broadcast key
+    set under threshold, sorted-block exchange beyond), with the right
+    side filtered at the read."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        semi_join,
+    )
+
+    urgent = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"]) \
+        .filter(expr="o_orderpriority == '1-URGENT'")
+    return semi_join(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        urgent, left_key="c_custkey", right_key="o_custkey", anti=True,
+        left_key_nullable=False)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
     evaluates at most the FIRST 50 entries (observed r2 — the last 14 got
@@ -5549,6 +5600,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_revenue_by_nation": _q_lineitem_revenue_by_nation,
         # inverted-index build with ordered posting lists (SQL-oracled)
         "docs_inverted_index": _q_docs_inverted_index,
+        # lag-gap stream debounce (SQL-oracled, r5 day-5)
+        "events_debounced": _q_events_debounced,
+        # coverage-audit anti-join (SQL-oracled, r5 day-5)
+        "customers_without_urgent_orders":
+            _q_customers_without_urgent_orders,
     }
 
 
@@ -8675,6 +8731,19 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
                                    AS token
                         FROM documents))
             GROUP BY token""",
+        "events_debounced": """
+            SELECT event_id, user_id, event_type, ts
+            FROM (SELECT event_id, user_id, event_type, ts,
+                         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS gap_us
+                  FROM events)
+            WHERE gap_us IS NULL OR gap_us >= 300000000""",
+        "customers_without_urgent_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')""",
     }
 
 

@@ -312,6 +312,11 @@ PAST_WINDOW_PINS = {
                                         "revenue"]),
     # inverted-index build with ordered posting lists (SQL-oracled)
     "docs_inverted_index": (31, ["df", "postings", "token"]),
+    # lag-gap stream debounce (SQL-oracled; sf0.001 gaps all > 5 min)
+    "events_debounced": (1000, ["event_id", "event_type", "ts",
+                                "user_id"]),
+    # coverage-audit anti-join (SQL-oracled)
+    "customers_without_urgent_orders": (18, ["c_custkey", "c_name"]),
 }
 
 
