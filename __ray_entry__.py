@@ -5307,6 +5307,76 @@ def _q_customers_without_urgent_orders(sf_dir: str):
         left_key_nullable=False)
 
 
+def _q_events_hourly_gapfilled(sf_dir: str):
+    """Calendar-spine gap fill: per-(event_type, hour) counts LEFT-joined
+    onto the full hour x type grid so silent hours appear as 0 (the shape
+    every monitoring/training-data rollup needs).  The spine is built from
+    three TINY aggregates (global min/max hour + distinct types — driver
+    scalars, bounded by time span and type cardinality, not data size);
+    the join is the keyed sorted-block lookup, never a row-wise loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        lookup_join,
+    )
+
+    events = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ws = pc.multiply(
+            pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                      pa.scalar(3_600_000_000, pa.int64())),
+            pa.scalar(3600, pa.int64()))
+        return pa.Table.from_arrays(
+            [batch.column("event_type"), ws,
+             pa.array([1] * batch.num_rows, pa.int64())],
+            names=["event_type", "window_start", "n_events"])
+
+    windowed = events.map_batches(add_window, batch_format="pyarrow")
+    counts = auto_hash_aggregate(windowed, ["event_type", "window_start"],
+                                 [("n_events", "sum")])
+
+    bounds = windowed.aggregate(Min("window_start"), Max("window_start"))
+    lo, hi = bounds["min(window_start)"], bounds["max(window_start)"]
+    types = sorted(events.unique("event_type"))
+    hours = list(range(int(lo), int(hi) + 1, 3600))
+    import ray.data as rd
+
+    spine = rd.from_arrow(pa.table({
+        "event_type": pa.array([t for t in types for _ in hours],
+                               pa.string()),
+        "window_start": pa.array(hours * len(types), pa.int64()),
+    }))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch.column("event_type"),
+            pc.cast(batch.column("window_start"), pa.string()), "@")
+        return batch.append_column("k", key)
+
+    # counts cardinality is types x hours (time-span-bound, not data-
+    # size-bound): materialize to engage lookup_join's broadcast fast
+    # path — one pass over the spine, no sort exchange
+    joined = lookup_join(
+        spine.map_batches(keyed, batch_format="pyarrow"),
+        counts.map_batches(keyed, batch_format="pyarrow").materialize(),
+        left_key="k", right_key="k", payload=["n_events"], how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("event_type"), batch.column("window_start"),
+             pc.coalesce(batch.column("n_events_r"),
+                         pa.scalar(0, pa.int64()))],
+            names=["event_type", "window_start", "n_events"])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
     evaluates at most the FIRST 50 entries (observed r2 — the last 14 got
@@ -5605,6 +5675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # coverage-audit anti-join (SQL-oracled, r5 day-5)
         "customers_without_urgent_orders":
             _q_customers_without_urgent_orders,
+        # calendar-spine hourly gap fill (SQL-oracled, r5 day-5)
+        "events_hourly_gapfilled": _q_events_hourly_gapfilled,
     }
 
 
@@ -8744,6 +8816,21 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')""",
+        "events_hourly_gapfilled": """
+            WITH counts AS (
+              SELECT event_type,
+                     epoch_us(ts) // 3600000000 * 3600 AS window_start,
+                     count(*) AS n FROM events GROUP BY 1, 2),
+            bounds AS (SELECT min(window_start) AS lo,
+                              max(window_start) AS hi FROM counts),
+            hours AS (SELECT unnest(generate_series(lo, hi, 3600))
+                          AS window_start FROM bounds),
+            types AS (SELECT DISTINCT event_type FROM events)
+            SELECT t.event_type, h.window_start,
+                   coalesce(c.n, 0) AS n_events
+            FROM types t CROSS JOIN hours h
+            LEFT JOIN counts c ON c.event_type = t.event_type
+                              AND c.window_start = h.window_start""",
     }
 
 

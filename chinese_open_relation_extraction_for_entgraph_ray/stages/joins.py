@@ -188,12 +188,87 @@ def _sorted_block_equijoin(left_ds, right_ds, *, left_key: str,
     return out
 
 
+#: Right-side row count at or below which ``lookup_join`` broadcasts the
+#: (key, payload) table (ray.put once, zero-copy read + vectorized polars
+#: join in every task) instead of the two-side sort exchange.  2e6 rows of
+#: key + a few payload columns is tens of MB in the object store — cheap to
+#: broadcast, expensive to sort both sides for.
+BROADCAST_LOOKUP_THRESHOLD = 2_000_000
+
+
 def lookup_join(left_ds, right_ds, *, left_key: str, right_key: str,
-                payload: list[str], suffix: str = "_r", how: str = "inner"):
+                payload: list[str], suffix: str = "_r", how: str = "inner",
+                broadcast_threshold: int = BROADCAST_LOOKUP_THRESHOLD):
     """Attach the (unique-keyed) right side's ``payload`` columns to every
     left row by key equality — the distributed replacement for collecting a
     lookup dict to the driver.  ``how``: 'inner' drops unmatched left rows,
-    'left' keeps them with null payload."""
+    'left' keeps them with null payload.
+
+    When the right side is already MATERIALIZED and small
+    (<= ``broadcast_threshold`` rows), the (key, payload) table is
+    broadcast once via ``ray.put`` and the join is ONE polars hash merge
+    per left batch — one pass over the left side, no exchange (the same
+    auto-detection contract as :func:`semi_join`: only a materialized
+    right side is detected, because its count is O(1) block metadata;
+    ``.materialize()`` the right side to opt in, pass
+    ``broadcast_threshold=0`` to force the sort).  Semantics are identical
+    on both paths (pinned by tests/test_joins_dedup.py): duplicate right
+    keys multiply left rows exactly as in SQL, null keys never match, and
+    the polars merge keeps null-bearing int64 payloads exact above 2^53.
+    """
+    from ray.data.dataset import MaterializedDataset
+
+    if (broadcast_threshold and isinstance(right_ds, MaterializedDataset)
+            and right_ds.count() <= broadcast_threshold):
+        import polars as pl
+        import pyarrow.compute as pc
+        import ray
+
+        ls = left_ds.schema()
+        left_cols = list(ls.names)
+        left_type = dict(zip(ls.names, ls.types))
+        payload_out = [f"{c}{suffix}" for c in payload]
+        clash = set(payload_out) & set(left_cols)
+        if clash:
+            raise ValueError(
+                f"payload output column(s) {sorted(clash)} collide with "
+                f"left columns — pass a different suffix")
+        key_type = left_type[left_key]
+        out_cols = left_cols + payload_out
+
+        chunks: list[pa.Table] = []
+        for b in (right_ds.select_columns([right_key] + payload)
+                  .iter_batches(batch_format="pyarrow")):
+            # null right keys match nothing in either mode — drop here,
+            # mirroring tag_right on the sorted path
+            b = b.filter(pc.is_valid(b.column(right_key)))
+            b = b.set_column(b.schema.get_field_index(right_key),
+                             "__bk", b.column(right_key).cast(key_type))
+            chunks.append(b.rename_columns(["__bk"] + payload_out))
+        rt = (pa.concat_tables(chunks) if chunks
+              else pa.schema([("__bk", key_type)]
+                             + [(oc, right_ds.schema().types[
+                                 right_ds.schema().names.index(c)])
+                                for c, oc in zip(payload, payload_out)])
+              .empty_table())
+        rt_ref = ray.put(rt)
+
+        def bcast_join(batch: pa.Table) -> pa.Table:
+            rt = ray.get(rt_ref)
+            lf = pl.from_arrow(batch)
+            lf = lf.with_columns(
+                pl.col(left_key).alias("__bk")) if left_key != "__bk" \
+                else lf
+            joined = lf.join(pl.from_arrow(rt), on="__bk", how=how,
+                             nulls_equal=False, coalesce=True)
+            out = joined.select(out_cols).to_arrow()
+            return pa.Table.from_arrays(
+                [out.column(c).cast(
+                    rt.schema.field(c).type if c in payload_out
+                    else left_type[c])
+                 for c in out_cols], names=out_cols)
+
+        return left_ds.map_batches(bcast_join, batch_format="pyarrow")
     return _sorted_block_equijoin(left_ds, right_ds, left_key=left_key,
                                   right_key=right_key, payload=payload,
                                   suffix=suffix, mode=how)

@@ -465,3 +465,49 @@ def test_joins_preserve_full_range_int64(ray_session):
     both = [r for r in oj if r["a"] is not None and r["b"] is not None]
     assert sorted(r["k"] for r in both) == sorted(keys[10:20].tolist())
     assert all(want[r["k"]] == r["b"] for r in both)
+
+
+def test_lookup_join_broadcast_parity(ray_session):
+    """Broadcast fast path == sorted-block path, pinned on the tricky
+    semantics: duplicate right keys multiply rows (SQL), null keys never
+    match either side, int64 payloads above 2^53 survive exactly."""
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        lookup_join,
+    )
+
+    BIG = 2 ** 60 + 7
+    left = rd.from_arrow(pa.table({
+        "lid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "k": pa.array(["a", "b", "c", None, "a"], pa.string()),
+    }))
+    right_tbl = pa.table({
+        "rk": pa.array(["a", "b", "b", None], pa.string()),
+        "v": pa.array([BIG, 10, 11, 99], pa.int64()),
+    })
+
+    def canon(ds):
+        tbl = pa.concat_tables(
+            b for b in ds.iter_batches(batch_format="pyarrow"))
+        assert tbl.schema.field("v_r").type == pa.int64()
+        return sorted(
+            tuple(None if v is None else v for v in row)
+            for row in zip(*[tbl.column(c).to_pylist()
+                             for c in ("lid", "k", "v_r")]))
+
+    for how in ("inner", "left"):
+        by_sort = canon(lookup_join(
+            left, rd.from_arrow(right_tbl), left_key="k", right_key="rk",
+            payload=["v"], how=how, broadcast_threshold=0))
+        by_bcast = canon(lookup_join(
+            left, rd.from_arrow(right_tbl).materialize(), left_key="k",
+            right_key="rk", payload=["v"], how=how))
+        assert by_sort == by_bcast, how
+        assert (1, "a", BIG) in by_bcast          # exact > 2^53
+        assert ((2, "b", 10) in by_bcast
+                and (2, "b", 11) in by_bcast)     # dup right key multiplies
+        if how == "left":
+            assert (4, None, None) in by_bcast    # null key kept, no match
+        else:
+            assert all(r[0] != 4 for r in by_bcast)

@@ -317,6 +317,9 @@ PAST_WINDOW_PINS = {
                                 "user_id"]),
     # coverage-audit anti-join (SQL-oracled)
     "customers_without_urgent_orders": (18, ["c_custkey", "c_name"]),
+    # calendar-spine hourly gap fill: 5 types x 720 hours (SQL-oracled)
+    "events_hourly_gapfilled": (3600, ["event_type", "n_events",
+                                       "window_start"]),
 }
 
 
