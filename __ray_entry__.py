@@ -5377,6 +5377,54 @@ def _q_events_hourly_gapfilled(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_events_late_arrivals(sf_dir: str):
+    """Out-of-order-arrival audit (the batch analog of streaming watermark
+    accounting): an event is LATE if its ts is older than the max ts the
+    user's stream had already seen in arrival order.  The synthetic events
+    table is generated time-ordered, so arrival order is simulated by a
+    deterministic md5 permutation of event_id (mirrored exactly in the
+    oracle); the operator itself — grouped cummax + shift over an arrival
+    key — is arrival-key-agnostic.  One sort per user, vectorized;
+    lateness in exact microsecond arithmetic."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+
+    def late_block(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        df = df.assign(__arr=[hashlib.md5(str(e).encode()).hexdigest()
+                              for e in df["event_id"]])
+        g = df.sort_values(["user_id", "__arr"], kind="mergesort")
+        g["__e"] = g["ts"].astype("int64")
+        cm = g.groupby("user_id", sort=False)["__e"].cummax()
+        g["__prev"] = cm.groupby(g["user_id"], sort=False).shift(1)
+        late = g["__prev"].notna() & (g["__e"] < g["__prev"])
+        out = g[late]
+        diff = (out["__prev"].to_numpy(dtype=np.float64)
+                - out["__e"].to_numpy(dtype=np.float64))
+        return pd.DataFrame({
+            "event_id": out["event_id"].to_numpy(),
+            "user_id": out["user_id"].to_numpy(),
+            "ts": out["ts"].to_numpy(),
+            "late_by_sec": np_round_away(diff / 1e6, 6),
+        })
+
+    return sorted_map_groups(
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]),
+        ["user_id"], block_fn=late_block,
+        schema=pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                          ("ts", pa.timestamp("us")),
+                          ("late_by_sec", pa.float64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
     evaluates at most the FIRST 50 entries (observed r2 — the last 14 got
@@ -5677,6 +5725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_customers_without_urgent_orders,
         # calendar-spine hourly gap fill (SQL-oracled, r5 day-5)
         "events_hourly_gapfilled": _q_events_hourly_gapfilled,
+        # out-of-order / watermark-late arrival audit (SQL-oracled)
+        "events_late_arrivals": _q_events_late_arrivals,
     }
 
 
@@ -8831,6 +8881,17 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
             FROM types t CROSS JOIN hours h
             LEFT JOIN counts c ON c.event_type = t.event_type
                               AND c.window_start = h.window_start""",
+        "events_late_arrivals": """
+            SELECT event_id, user_id, ts,
+                   round((prev_max - e) / 1e6, 6) AS late_by_sec
+            FROM (SELECT event_id, user_id, ts, epoch_us(ts) AS e,
+                         max(epoch_us(ts)) OVER (
+                             PARTITION BY user_id
+                             ORDER BY md5(event_id::VARCHAR)
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_max
+                  FROM events)
+            WHERE prev_max IS NOT NULL AND e < prev_max""",
     }
 
 

@@ -320,6 +320,9 @@ PAST_WINDOW_PINS = {
     # calendar-spine hourly gap fill: 5 types x 720 hours (SQL-oracled)
     "events_hourly_gapfilled": (3600, ["event_type", "n_events",
                                        "window_start"]),
+    # watermark-late arrival audit under the md5 arrival permutation
+    "events_late_arrivals": (912, ["event_id", "late_by_sec", "ts",
+                                   "user_id"]),
 }
 
 
