@@ -5425,6 +5425,20 @@ def _q_events_late_arrivals(sf_dir: str):
                           ("late_by_sec", pa.float64())]))
 
 
+def _q_embeddings_neighborhood_agg(sf_dir: str):
+    """2-hop GraphSAGE-style mean aggregation over the 5-NN graph
+    (stages/similarity.neighborhood_mean_features): per hop one keyed
+    gather join + one grouped mean per (node, dim) — graph-ML feature
+    engineering on the audited exchange primitives."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.similarity import (
+        neighborhood_mean_features,
+    )
+
+    return neighborhood_mean_features(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=5, hops=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
     evaluates at most the FIRST 50 entries (observed r2 — the last 14 got
@@ -5727,6 +5741,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_gapfilled": _q_events_hourly_gapfilled,
         # out-of-order / watermark-late arrival audit (SQL-oracled)
         "events_late_arrivals": _q_events_late_arrivals,
+        # 2-hop GraphSAGE-style kNN feature aggregation (SQL-oracled)
+        "embeddings_neighborhood_agg": _q_embeddings_neighborhood_agg,
     }
 
 
@@ -8892,6 +8908,31 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
                                       AND 1 PRECEDING) AS prev_max
                   FROM events)
             WHERE prev_max IS NOT NULL AND e < prev_max""",
+        "embeddings_neighborhood_agg": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                         round(list_cosine_similarity(a.v, b.v), 4)
+                             AS cosine_sim
+                  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+            knn AS (SELECT src, dst FROM (
+                        SELECT *, row_number() OVER (
+                            PARTITION BY src
+                            ORDER BY cosine_sim DESC, dst ASC) AS rank
+                        FROM p) WHERE rank <= 5),
+            f0 AS (SELECT vec_id,
+                          generate_subscripts(v, 1) - 1 AS dim,
+                          unnest(v) AS val
+                   FROM e),
+            h1 AS (SELECT k.src AS vec_id, f.dim,
+                          round(avg(f.val), 6) AS val
+                   FROM knn k JOIN f0 f ON f.vec_id = k.dst
+                   GROUP BY 1, 2),
+            h2 AS (SELECT k.src AS vec_id, f.dim,
+                          round(avg(f.val), 6) AS val
+                   FROM knn k JOIN h1 f ON f.vec_id = k.dst
+                   GROUP BY 1, 2)
+            SELECT vec_id, dim, val AS feat FROM h2""",
     }
 
 

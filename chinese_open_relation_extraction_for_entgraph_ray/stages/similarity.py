@@ -719,3 +719,70 @@ def hard_negative_mining(embeddings_ds, *, anchor_mod: int = 100,
 
     return sorted_map_groups(cands, ["anchor_id"], reduce_anchor,
                              schema=out_schema)
+
+
+def neighborhood_mean_features(embeddings_ds, k: int = 5, hops: int = 2,
+                               round_digits: int = 6):
+    """GraphSAGE-style mean aggregation over the kNN graph — the feature-
+    engineering step of graph-ML training data: hop 1 replaces every
+    node's feature vector with the mean of its k nearest neighbors'
+    embeddings, hop 2 with the mean of THEIR hop-1 features, etc.
+
+    Distributed shape (the standard GNN gather/scatter): features live as
+    (vec_id, dim, val) rows; each hop is ONE keyed join (edge.dst ->
+    feature rows, the gather — duplicate-key multiplication IS the
+    semantics) followed by ONE grouped mean per (src, dim) (the scatter),
+    both on the audited exchange primitives.  Each hop's output is rounded
+    to ``round_digits`` so a fixed-round SQL mirror matches bit-for-bit.
+
+    Output: (vec_id, dim, feat) — dim 0-based; nodes with no outgoing kNN
+    edge (impossible for k >= 1 on a 2+-node table) would simply be absent.
+    """
+    import pyarrow.compute as pc
+
+    from .groupagg import auto_hash_aggregate
+    from .joins import lookup_join
+
+    edges = (knn_graph(embeddings_ds, k=k)
+             .select_columns(["src", "dst"]).materialize())
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        n, dim = mat.shape if mat.size else (0, 0)
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(ids, dim), pa.int64()),
+             pa.array(np.tile(np.arange(dim, dtype=np.int64), n)),
+             pa.array(mat.ravel(), pa.float64())],
+            names=["vec_id", "dim", "val"])
+
+    feats = embeddings_ds.map_batches(explode, batch_format="pyarrow")
+    for _ in range(hops):
+        gathered = lookup_join(edges, feats, left_key="dst",
+                               right_key="vec_id", payload=["dim", "val"],
+                               suffix="_f", how="inner")
+
+        def with_count(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [batch.column("src"), batch.column("dim_f"),
+                 batch.column("val_f"),
+                 pa.array(np.ones(batch.num_rows, dtype=np.int64))],
+                names=["vec_id", "dim", "val", "n"])
+
+        summed = auto_hash_aggregate(
+            gathered.map_batches(with_count, batch_format="pyarrow"),
+            ["vec_id", "dim"], [("val", "sum"), ("n", "sum")])
+
+        def mean_round(batch: pa.Table) -> pa.Table:
+            m = (batch.column("val").to_numpy(zero_copy_only=False)
+                 / batch.column("n").to_numpy(zero_copy_only=False))
+            return pa.Table.from_arrays(
+                [batch.column("vec_id"), batch.column("dim"),
+                 pa.array(np_round_away(m, round_digits), pa.float64())],
+                names=["vec_id", "dim", "val"])
+
+        feats = summed.map_batches(mean_round, batch_format="pyarrow")
+
+    return feats.map_batches(
+        lambda b: b.rename_columns(["vec_id", "dim", "feat"]),
+        batch_format="pyarrow")

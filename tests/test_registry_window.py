@@ -323,6 +323,8 @@ PAST_WINDOW_PINS = {
     # watermark-late arrival audit under the md5 arrival permutation
     "events_late_arrivals": (912, ["event_id", "late_by_sec", "ts",
                                    "user_id"]),
+    # 2-hop GraphSAGE mean aggregation: 500 vecs x 64 dims (SQL-oracled)
+    "embeddings_neighborhood_agg": (32000, ["dim", "feat", "vec_id"]),
 }
 
 
