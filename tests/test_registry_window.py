@@ -325,6 +325,9 @@ PAST_WINDOW_PINS = {
                                    "user_id"]),
     # 2-hop GraphSAGE mean aggregation: 500 vecs x 64 dims (SQL-oracled)
     "embeddings_neighborhood_agg": (32000, ["dim", "feat", "vec_id"]),
+    # TextTiling-style topic segmentation (SQL-oracled)
+    "transcripts_topic_boundaries": (482, ["conv_id", "is_boundary",
+                                           "sim_prev", "turn_idx"]),
 }
 
 
