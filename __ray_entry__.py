@@ -5494,6 +5494,37 @@ def _q_transcripts_topic_boundaries(sf_dir: str):
                           ("is_boundary", pa.bool_())]))
 
 
+def _q_transcripts_entity_golden_records(sf_dir: str):
+    """Master-data survivorship on top of entity resolution: per resolved
+    cluster pick the golden display name by rule (longest surface, then
+    lexicographic) — one grouped pass over the resolution output."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+
+    res = _q_transcripts_entity_resolution(sf_dir)
+
+    def pick_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(__L=df["entity"].str.len()).sort_values(
+            ["canonical", "__L", "entity"],
+            ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("canonical", sort=False).head(1)
+        return pd.DataFrame({
+            "canonical": top["canonical"].to_numpy(),
+            "golden_name": top["entity"].to_numpy(),
+            "n_variants": top["cluster_size"].to_numpy(),
+        })
+
+    return sorted_map_groups(
+        res, ["canonical"], block_fn=pick_block,
+        schema=pa.schema([("canonical", pa.string()),
+                          ("golden_name", pa.string()),
+                          ("n_variants", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
     evaluates at most the FIRST 50 entries (observed r2 — the last 14 got
@@ -5800,6 +5831,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_neighborhood_agg": _q_embeddings_neighborhood_agg,
         # TextTiling-style topic segmentation (SQL-oracled, r5 day-5)
         "transcripts_topic_boundaries": _q_transcripts_topic_boundaries,
+        # MDM survivorship golden records on resolution (SQL-oracled)
+        "transcripts_entity_golden_records":
+            _q_transcripts_entity_golden_records,
     }
 
 
@@ -7426,6 +7460,47 @@ def _golden_derived_oracles() -> dict[str, str]:
     }
 
 
+def _entity_resolution_sql(tglob: str) -> str:
+    """Recursive-CTE mirror of stages/entity_resolution.resolve_entities
+    over the planted-variant surface set — shared by the resolution query
+    and the survivorship golden-record query composed on it."""
+    import re as _re
+
+    pat = "|".join(_re.escape(s) for s in
+                   sorted(_mention_surface_label(), key=len, reverse=True))
+    return f"""
+            WITH RECURSIVE
+            surf AS (SELECT DISTINCT unnest(regexp_extract_all(text,
+                '{pat}'))
+                AS s FROM read_parquet('{tglob}')),
+            strs AS (SELECT s FROM surf
+                     UNION SELECT s || '·' FROM surf
+                     UNION SELECT '老' || s FROM surf),
+            ks AS (SELECT 'p' || substr(s, 1, 1) AS k, s FROM strs
+                   UNION ALL
+                   SELECT 's' || substr(s, length(s), 1) AS k, s
+                   FROM strs),
+            pairs AS (SELECT DISTINCT x.s AS a, y.s AS b
+                      FROM ks x JOIN ks y ON x.k = y.k AND x.s < y.s
+                      WHERE levenshtein(x.s, y.s) <= 3),
+            edges AS (SELECT a AS u, b AS v FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach(node, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT reach.node, e.v FROM reach JOIN edges e
+                ON reach.r = e.u),
+            comp AS (SELECT node, min(r) AS canonical
+                     FROM reach GROUP BY node),
+            lab AS (SELECT s AS entity, coalesce(c.canonical, s)
+                        AS canonical
+                    FROM strs LEFT JOIN comp c ON c.node = s),
+            sz AS (SELECT canonical, count(*)::BIGINT AS cluster_size
+                   FROM lab GROUP BY 1)
+            SELECT entity, lab.canonical, cluster_size
+            FROM lab JOIN sz USING (canonical)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return _oracle_sql_impl(
         os.path.join(_ensure_sql_transcripts(), "transcripts-*.parquet"))
@@ -8480,37 +8555,17 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
                    CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM t""",
-        "transcripts_entity_resolution": f"""
-            WITH RECURSIVE
-            surf AS (SELECT DISTINCT unnest(regexp_extract_all(text,
-                '{"|".join(__import__("re").escape(s) for s in sorted(_mention_surface_label(), key=len, reverse=True))}'))
-                AS s FROM read_parquet('{tglob}')),
-            strs AS (SELECT s FROM surf
-                     UNION SELECT s || '·' FROM surf
-                     UNION SELECT '老' || s FROM surf),
-            ks AS (SELECT 'p' || substr(s, 1, 1) AS k, s FROM strs
-                   UNION ALL
-                   SELECT 's' || substr(s, length(s), 1) AS k, s
-                   FROM strs),
-            pairs AS (SELECT DISTINCT x.s AS a, y.s AS b
-                      FROM ks x JOIN ks y ON x.k = y.k AND x.s < y.s
-                      WHERE levenshtein(x.s, y.s) <= 3),
-            edges AS (SELECT a AS u, b AS v FROM pairs
-                      UNION SELECT b, a FROM pairs),
-            reach(node, r) AS (
-              SELECT u, u FROM edges
-              UNION
-              SELECT reach.node, e.v FROM reach JOIN edges e
-                ON reach.r = e.u),
-            comp AS (SELECT node, min(r) AS canonical
-                     FROM reach GROUP BY node),
-            lab AS (SELECT s AS entity, coalesce(c.canonical, s)
-                        AS canonical
-                    FROM strs LEFT JOIN comp c ON c.node = s),
-            sz AS (SELECT canonical, count(*)::BIGINT AS cluster_size
-                   FROM lab GROUP BY 1)
-            SELECT entity, lab.canonical, cluster_size
-            FROM lab JOIN sz USING (canonical)""",
+        "transcripts_entity_resolution":
+            _entity_resolution_sql(tglob),
+        # survivorship golden records composed on the resolution CTE
+        "transcripts_entity_golden_records": f"""
+            SELECT canonical, entity AS golden_name,
+                   cluster_size AS n_variants
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY canonical
+                      ORDER BY length(entity) DESC, entity ASC) AS rn
+                  FROM ({_entity_resolution_sql(tglob)}))
+            WHERE rn = 1""",
         # planted-corruption integrity audit: replant the per-modulus
         # corruption classes on lineitem copies, then recount every
         # violation the engine's three streaming passes count.

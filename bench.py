@@ -70,7 +70,12 @@ def _timed_queries() -> dict[str, float]:
              "events_user_cumulative_value", "docs_top_tokens",
              "docs_duplicate_spans", "docs_resample_mixture",
              "docs_dsir_weights", "docs_chunked",
-             "embeddings_knn_graph", "graph_hits", "docs_word_pagerank"]
+             "embeddings_knn_graph", "graph_hits", "docs_word_pagerank",
+             # r5 day-5 additions: deep star join, CDC compaction,
+             # interval join, GNN aggregation, segmentation
+             "lineitem_revenue_by_nation", "events_latest_state",
+             "events_purchase_followup", "embeddings_neighborhood_agg",
+             "transcripts_topic_boundaries"]
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -236,29 +236,35 @@ def lookup_join(left_ds, right_ds, *, left_key: str, right_key: str,
         key_type = left_type[left_key]
         out_cols = left_cols + payload_out
 
+        rs = right_ds.schema()
+        right_type = dict(zip(rs.names, rs.types))
+        rt_schema = pa.schema([("__bk", key_type)]
+                              + [(oc, right_type[c])
+                                 for c, oc in zip(payload, payload_out)])
         chunks: list[pa.Table] = []
         for b in (right_ds.select_columns([right_key] + payload)
                   .iter_batches(batch_format="pyarrow")):
             # null right keys match nothing in either mode — drop here,
-            # mirroring tag_right on the sorted path
+            # mirroring tag_right on the sorted path; per-column casts
+            # normalize the null-typed columns an all-null block carries
             b = b.filter(pc.is_valid(b.column(right_key)))
-            b = b.set_column(b.schema.get_field_index(right_key),
-                             "__bk", b.column(right_key).cast(key_type))
-            chunks.append(b.rename_columns(["__bk"] + payload_out))
-        rt = (pa.concat_tables(chunks) if chunks
-              else pa.schema([("__bk", key_type)]
-                             + [(oc, right_ds.schema().types[
-                                 right_ds.schema().names.index(c)])
-                                for c, oc in zip(payload, payload_out)])
-              .empty_table())
+            chunks.append(pa.Table.from_arrays(
+                [b.column(right_key).cast(key_type)]
+                + [b.column(c).cast(right_type[c]) for c in payload],
+                schema=rt_schema))
+        rt = pa.concat_tables(chunks) if chunks else rt_schema.empty_table()
         rt_ref = ray.put(rt)
 
         def bcast_join(batch: pa.Table) -> pa.Table:
             rt = ray.get(rt_ref)
-            lf = pl.from_arrow(batch)
-            lf = lf.with_columns(
-                pl.col(left_key).alias("__bk")) if left_key != "__bk" \
-                else lf
+            # cast every left column to its dataset-schema type: a block
+            # whose column is all-null arrives null-typed, which would
+            # fail the polars key comparison / schema union
+            batch = pa.Table.from_arrays(
+                [batch.column(c).cast(left_type[c]) for c in left_cols],
+                names=left_cols)
+            lf = pl.from_arrow(batch).with_columns(
+                pl.col(left_key).alias("__bk"))
             joined = lf.join(pl.from_arrow(rt), on="__bk", how=how,
                              nulls_equal=False, coalesce=True)
             out = joined.select(out_cols).to_arrow()

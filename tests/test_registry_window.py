@@ -328,6 +328,9 @@ PAST_WINDOW_PINS = {
     # TextTiling-style topic segmentation (SQL-oracled)
     "transcripts_topic_boundaries": (482, ["conv_id", "is_boundary",
                                            "sim_prev", "turn_idx"]),
+    # MDM survivorship golden records on resolution (SQL-oracled)
+    "transcripts_entity_golden_records": (45, ["canonical", "golden_name",
+                                               "n_variants"]),
 }
 
 
