@@ -5525,6 +5525,63 @@ def _q_transcripts_entity_golden_records(sf_dir: str):
                           ("n_variants", pa.int64())]))
 
 
+def _q_events_ab_test(sf_dir: str):
+    """Experimentation analytics: users split into A/B arms by a
+    deterministic hash (md5 parity — the assignment every experiment
+    platform ships), per-arm purchase-value mean/variance/count plus the
+    pooled two-sample t statistic.  Shape: one pre-combined grouped pass
+    for the moments (sum, sum of squares, n — re-aggregatable partials),
+    then constant-size driver math."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    def arm_moments(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("event_type"),
+                                      pa.scalar("purchase")))
+        arms = [int(hashlib.md5(str(u).encode()).hexdigest()[-1], 16) % 2
+                for u in batch.column("user_id").to_pylist()]
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(["B" if a else "A" for a in arms], pa.string()),
+             pa.array(v, pa.float64()),
+             pa.array(v * v, pa.float64()),
+             pa.array(np.ones(len(v), dtype=np.int64))],
+            names=["arm", "s1", "s2", "n"])
+
+    moments = auto_hash_aggregate(
+        _read(sf_dir, "events",
+              columns=["user_id", "event_type", "value"])
+        .map_batches(arm_moments, batch_format="pyarrow"),
+        ["arm"], [("s1", "sum"), ("s2", "sum"), ("n", "sum")])
+
+    df = moments.to_pandas().sort_values("arm").reset_index(drop=True)
+    n = df["n"].to_numpy(dtype=np.float64)
+    mean = df["s1"].to_numpy() / n
+    # sample variance (n-1 denominator), matching SQL var_samp
+    var = (df["s2"].to_numpy() - n * mean * mean) / (n - 1)
+    se = float(np.sqrt(var[0] / n[0] + var[1] / n[1]))
+    t = (mean[0] - mean[1]) / se
+    return pd.DataFrame({
+        "arm": df["arm"],
+        "n_purchases": df["n"].astype("int64"),
+        "mean_value": np_round_away(mean, 6),
+        "var_value": np_round_away(var, 6),
+        "t_stat": np_round_away(np.array([t, t]), 6),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
     evaluates at most the FIRST 50 entries (observed r2 — the last 14 got
@@ -5834,6 +5891,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MDM survivorship golden records on resolution (SQL-oracled)
         "transcripts_entity_golden_records":
             _q_transcripts_entity_golden_records,
+        # hash-armed A/B purchase-value t-test (SQL-oracled, r5 day-5)
+        "events_ab_test": _q_events_ab_test,
     }
 
 
@@ -9040,6 +9099,27 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
                                       AND 1 PRECEDING) AS prev_max
                   FROM events)
             WHERE prev_max IS NOT NULL AND e < prev_max""",
+        "events_ab_test": """
+            WITH p AS (SELECT CASE WHEN substr(md5(user_id::VARCHAR),
+                                              32, 1)
+                                   IN ('1','3','5','7','9','b','d','f')
+                              THEN 'B' ELSE 'A' END AS arm, value
+                       FROM events WHERE event_type = 'purchase'),
+            s AS (SELECT arm, count(*)::BIGINT AS n_purchases,
+                         avg(value) AS m, var_samp(value) AS v
+                  FROM p GROUP BY arm),
+            t AS (SELECT (max(CASE WHEN arm = 'A' THEN m END)
+                          - max(CASE WHEN arm = 'B' THEN m END))
+                         / sqrt(max(CASE WHEN arm = 'A' THEN v END)
+                                / max(CASE WHEN arm = 'A'
+                                      THEN n_purchases END)
+                              + max(CASE WHEN arm = 'B' THEN v END)
+                                / max(CASE WHEN arm = 'B'
+                                      THEN n_purchases END)) AS tt
+                  FROM s)
+            SELECT arm, n_purchases, round(m, 6) AS mean_value,
+                   round(v, 6) AS var_value, round(tt, 6) AS t_stat
+            FROM s, t""",
         "embeddings_neighborhood_agg": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),

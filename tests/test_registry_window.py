@@ -331,6 +331,9 @@ PAST_WINDOW_PINS = {
     # MDM survivorship golden records on resolution (SQL-oracled)
     "transcripts_entity_golden_records": (45, ["canonical", "golden_name",
                                                "n_variants"]),
+    # hash-armed A/B purchase-value t-test (SQL-oracled)
+    "events_ab_test": (2, ["arm", "mean_value", "n_purchases", "t_stat",
+                           "var_value"]),
 }
 
 
