@@ -5582,6 +5582,26 @@ def _q_events_ab_test(sf_dir: str):
     })
 
 
+BETWEENNESS_SOURCES = ["北京", "张伟"]
+
+
+def _q_transcripts_entity_betweenness(sf_dir: str):
+    """Bounded-depth Brandes betweenness from 2 fixed pivots over the
+    entity co-occurrence graph (stages/graph.betweenness_from_sources,
+    max_hops=3) — the path-centrality capstone of the graph family:
+    forward sigma counting + backward dependency accumulation, every step
+    a keyed gather join / grouped sum on materialized levels (broadcast
+    fast paths under the thresholds, sorted-block beyond)."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        betweenness_from_sources,
+    )
+
+    edges = (_q_transcripts_entity_cooccurrence(sf_dir)
+             .select_columns(["a", "b"]))
+    return betweenness_from_sources(edges, BETWEENNESS_SOURCES,
+                                    max_hops=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
     evaluates at most the FIRST 50 entries (observed r2 — the last 14 got
@@ -5893,6 +5913,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_transcripts_entity_golden_records,
         # hash-armed A/B purchase-value t-test (SQL-oracled, r5 day-5)
         "events_ab_test": _q_events_ab_test,
+        # bounded-depth Brandes betweenness from fixed pivots (SQL-oracled)
+        "transcripts_entity_betweenness":
+            _q_transcripts_entity_betweenness,
     }
 
 
@@ -6171,6 +6194,58 @@ def _bfs_sql(tglob: str, seed: str = "北京", max_hops: int = 3) -> str:
         WITH {", ".join(parts)}
         {" UNION ALL ".join(f"SELECT node, dist FROM {v}" for v in all_v)}
     """
+
+
+def _betweenness_sql(tglob: str, sources: list[str],
+                     max_hops: int = 3) -> str:
+    """Unrolled bounded-depth Brandes mirror of
+    ``stages/graph.betweenness_from_sources``: per source, forward
+    level/sigma CTEs (grouped sigma sums per hop, visited-set exclusion),
+    then backward dependency CTEs delta_d = sigma_v * sum over level-(d+1)
+    successors of (1 + delta_w) / sigma_w; contributions from all levels
+    1..max_hops of all sources are summed per node and rounded."""
+    parts = [
+        f"coocc AS MATERIALIZED ({_cooccurrence_sql(tglob)})",
+        """und AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM coocc
+            UNION ALL SELECT b, a FROM coocc)""",
+    ]
+    outs = []
+    for k, src in enumerate(sources):
+        parts.append(f"""
+            s{k}l0 AS (SELECT '{src}' AS node, 1.0::DOUBLE AS sigma)""")
+        seen = [f"s{k}l0"]
+        for d in range(1, max_hops + 1):
+            vis = " UNION ALL ".join(f"SELECT node FROM {v}"
+                                     for v in seen)
+            parts.append(f"""
+                s{k}l{d} AS MATERIALIZED (
+                    SELECT und.dst AS node, sum(f.sigma) AS sigma
+                    FROM und JOIN s{k}l{d - 1} f ON f.node = und.src
+                    WHERE und.dst NOT IN ({vis})
+                    GROUP BY 1)""")
+            seen.append(f"s{k}l{d}")
+        parts.append(f"""
+            s{k}d{max_hops} AS (SELECT node, 0.0::DOUBLE AS delta
+                                FROM s{k}l{max_hops})""")
+        for d in range(max_hops - 1, 0, -1):
+            parts.append(f"""
+                s{k}d{d} AS MATERIALIZED (
+                    SELECT v.node,
+                           v.sigma * coalesce(sum(
+                               (1 + dn.delta) / w.sigma), 0) AS delta
+                    FROM s{k}l{d} v
+                    LEFT JOIN und e ON e.src = v.node
+                    LEFT JOIN s{k}l{d + 1} w ON w.node = e.dst
+                    LEFT JOIN s{k}d{d + 1} dn ON dn.node = e.dst
+                    GROUP BY v.node, v.sigma)""")
+        outs.extend(f"SELECT node, delta FROM s{k}d{d}"
+                    for d in range(1, max_hops + 1))
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT node AS entity, round(sum(delta), 6) AS betweenness
+        FROM ({" UNION ALL ".join(outs)})
+        GROUP BY node"""
 
 
 def _sssp_sql(tglob: str, seed: str = "北京", rounds: int = 3) -> str:
@@ -8943,6 +9018,8 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
         "docs_quality_lr": _logreg_sql(),
         "transcripts_entity_ppr": _ppr_sql(tglob),
         "transcripts_entity_bfs": _bfs_sql(tglob),
+        "transcripts_entity_betweenness":
+            _betweenness_sql(tglob, BETWEENNESS_SOURCES),
         "transcripts_entity_sssp": _sssp_sql(tglob),
         "docs_repetition_stats": r"""
             WITH toks AS (

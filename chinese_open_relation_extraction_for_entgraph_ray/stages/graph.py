@@ -1294,3 +1294,164 @@ def k_truss(edges_ds, k: int = 4, *, a: str = "a", b: str = "b",
         f"k_truss: no fixpoint after {max_rounds} rounds (k={k}) — raise "
         f"max_rounds; the peel shrinks monotonically, so this bounds the "
         f"round count, never the result")
+
+
+def betweenness_from_sources(edges_ds, sources: list[str], *,
+                             max_hops: int = 3, round_digits: int = 6):
+    """Bounded-depth Brandes betweenness from a fixed source set — the
+    sampled-pivot approximation (Brandes 2001; Bader et al.'s pivot
+    sampling) that makes betweenness tractable at graph scale: exact
+    dependency accumulation from each listed source, truncated at
+    ``max_hops`` (contributions through longer shortest paths are not
+    counted — the documented approximation knob, like sssp_distances'
+    round bound).
+
+    Per source, forward phase per hop: shortest-path counts sigma arrive
+    as ONE keyed gather join (edge.src -> frontier sigma) + ONE grouped
+    sum per new node + one anti semi-join against the visited set; the
+    backward phase mirrors it along the level DAG (successor terms
+    (1 + delta_w) / sigma_w gathered per edge, summed per predecessor,
+    scaled by sigma_v).  Every step is an audited exchange primitive;
+    levels and the visited set are materialized, so under the broadcast
+    thresholds each join takes lookup_join/semi_join's broadcast fast
+    path — zero sort exchanges for bounded neighborhoods, automatic
+    sorted-block fallback beyond.
+
+    sigma stays exact (integer-valued float64 sums, exact below 2^53);
+    delta is float with ``round_digits`` rounding at the end, mirrored by
+    the unrolled SQL oracle.  Returns (entity, betweenness) over every
+    node within ``max_hops`` of any source, sources themselves excluded
+    (Brandes' v != s), including 0.0 rows for frontier leaves.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .groupagg import auto_hash_aggregate
+    from .joins import lookup_join, semi_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([t.column("a").cast(pa.string())
+                              .combine_chunks(),
+                              t.column("b").cast(pa.string())
+                              .combine_chunks()])
+        v = pa.concat_arrays([t.column("b").cast(pa.string())
+                              .combine_chunks(),
+                              t.column("a").cast(pa.string())
+                              .combine_chunks()])
+        return pa.Table.from_arrays([u, v], names=["src", "dst"])
+
+    und = edges_ds.map_batches(canon, batch_format="pyarrow").materialize()
+    level_schema = pa.schema([("node", pa.string()),
+                              ("sigma", pa.float64())])
+
+    def _with_schema(ds, schema=None):
+        """An exhausted frontier (or anything derived from one through
+        map_batches, which drops empty blocks) materializes with NO
+        schema — replace it with a one-empty-block dataset so downstream
+        joins keep typed columns (common case: a small-diameter graph
+        empties the deepest level)."""
+        if ds.count() == 0:
+            return rd.from_arrow(
+                (schema or level_schema).empty_table()).materialize()
+        return ds
+
+    contribs = []
+
+    for s in sources:
+        levels = [rd.from_arrow(pa.table({
+            "node": pa.array([s], pa.string()),
+            "sigma": pa.array([1.0], pa.float64())})).materialize()]
+        visited = levels[0].select_columns(["node"]).materialize()
+        for _ in range(max_hops):
+            gathered = lookup_join(und, levels[-1], left_key="src",
+                                   right_key="node", payload=["sigma"],
+                                   suffix="_f", how="inner")
+            cand = auto_hash_aggregate(
+                gathered.map_batches(
+                    lambda t: pa.Table.from_arrays(
+                        [t.column("dst"), t.column("sigma_f")],
+                        names=["node", "sigma"]),
+                    batch_format="pyarrow"),
+                ["node"], [("sigma", "sum")])
+            new = _with_schema(semi_join(cand, visited, left_key="node",
+                                         right_key="node", anti=True,
+                                         left_key_nullable=False)
+                               .materialize())
+            levels.append(new)
+            visited = (visited.union(new.select_columns(["node"]))
+                       .repartition(max(1, visited.num_blocks()))
+                       .materialize())
+
+        # backward: deepest level's delta is 0 by construction
+        def zeros(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [t.column("node"), t.column("sigma"),
+                 pa.array(np.zeros(t.num_rows))],
+                names=["node", "sigma", "delta"])
+
+        delta_schema = pa.schema([("node", pa.string()),
+                                  ("sigma", pa.float64()),
+                                  ("delta", pa.float64())])
+        delta = _with_schema(levels[max_hops].map_batches(
+            zeros, batch_format="pyarrow").materialize(), delta_schema)
+        contribs.append(delta.select_columns(["node", "delta"]))
+        for d in range(max_hops - 1, 0, -1):
+            def term(t: pa.Table) -> pa.Table:
+                w = (1.0 + pc.cast(t.column("delta"), pa.float64())
+                     .to_numpy(zero_copy_only=False)) \
+                    / t.column("sigma").to_numpy(zero_copy_only=False)
+                return pa.Table.from_arrays(
+                    [t.column("node"), pa.array(w)],
+                    names=["node", "term"])
+
+            terms = _with_schema(
+                delta.map_batches(term, batch_format="pyarrow")
+                .materialize(),
+                pa.schema([("node", pa.string()),
+                           ("term", pa.float64())]))
+            succ = lookup_join(und, terms, left_key="dst",
+                               right_key="node", payload=["term"],
+                               suffix="_w", how="inner")
+            sums = _with_schema(
+                auto_hash_aggregate(
+                    succ.map_batches(
+                        lambda t: pa.Table.from_arrays(
+                            [t.column("src"), t.column("term_w")],
+                            names=["node", "t"]),
+                        batch_format="pyarrow"),
+                    ["node"], [("t", "sum")]).materialize(),
+                pa.schema([("node", pa.string()), ("t", pa.float64())]))
+            joined = lookup_join(levels[d], sums, left_key="node",
+                                 right_key="node", payload=["t"],
+                                 suffix="_s", how="left")
+
+            def scale(t: pa.Table) -> pa.Table:
+                tt = pc.coalesce(t.column("t_s"), pa.scalar(0.0)) \
+                    .to_numpy(zero_copy_only=False)
+                sg = t.column("sigma").to_numpy(zero_copy_only=False)
+                return pa.Table.from_arrays(
+                    [t.column("node"), t.column("sigma"),
+                     pa.array(sg * tt)],
+                    names=["node", "sigma", "delta"])
+
+            delta = joined.map_batches(
+                scale, batch_format="pyarrow").materialize()
+            contribs.append(delta.select_columns(["node", "delta"]))
+
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total.union(c)
+    summed = auto_hash_aggregate(total, ["node"], [("delta", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        from ..functions.fputil import np_round_away
+
+        return pa.Table.from_arrays(
+            [t.column("node"),
+             pa.array(np_round_away(
+                 t.column("delta").to_numpy(zero_copy_only=False),
+                 round_digits))],
+            names=["entity", "betweenness"])
+
+    return summed.map_batches(finish, batch_format="pyarrow")

@@ -400,3 +400,47 @@ def test_triangle_key_separator_is_collision_safe(ray_session):
     with pytest.raises(Exception, match="separator"):
         enumerate_triangles(
             ray.data.from_pandas(bad).materialize()).to_pandas()
+
+
+def test_betweenness_from_sources_path_graph(ray_session):
+    """Hand-worked Brandes on the path a-b-c-d-e from source a: delta
+    accumulates (1+delta(next))/1 down the chain; the max_hops bound
+    truncates contributions through deeper nodes."""
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        betweenness_from_sources,
+    )
+
+    edges = rd.from_items([
+        {"a": "a", "b": "b"}, {"a": "b", "b": "c"},
+        {"a": "c", "b": "d"}, {"a": "d", "b": "e"},
+    ])
+    got = {r["entity"]: r["betweenness"]
+           for r in betweenness_from_sources(edges, ["a"],
+                                             max_hops=4).take_all()}
+    assert got == {"b": 3.0, "c": 2.0, "d": 1.0, "e": 0.0}
+
+    # depth bound: e (hop 4) excluded; d becomes the zero-delta frontier
+    got3 = {r["entity"]: r["betweenness"]
+            for r in betweenness_from_sources(edges, ["a"],
+                                              max_hops=3).take_all()}
+    assert got3 == {"b": 2.0, "c": 1.0, "d": 0.0}
+
+
+def test_betweenness_two_sources_sum(ray_session):
+    """Star graph hub: every source's dependency passes through the hub;
+    contributions from multiple pivots add."""
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        betweenness_from_sources,
+    )
+
+    edges = rd.from_items([{"a": "h", "b": x} for x in "pqr"])
+    got = {r["entity"]: r["betweenness"]
+           for r in betweenness_from_sources(edges, ["p", "q"],
+                                             max_hops=3).take_all()}
+    # from p: delta(h) = (1+0)/1 + (1+0)/1 = 2 (q and r hang off h);
+    # same from q; leaves get 0 from each run they appear in
+    assert got == {"h": 4.0, "p": 0.0, "q": 0.0, "r": 0.0}

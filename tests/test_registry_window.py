@@ -334,6 +334,8 @@ PAST_WINDOW_PINS = {
     # hash-armed A/B purchase-value t-test (SQL-oracled)
     "events_ab_test": (2, ["arm", "mean_value", "n_purchases", "t_stat",
                            "var_value"]),
+    # bounded-depth Brandes betweenness from 2 pivots (SQL-oracled)
+    "transcripts_entity_betweenness": (60, ["betweenness", "entity"]),
 }
 
 
