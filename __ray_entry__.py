@@ -5602,6 +5602,125 @@ def _q_transcripts_entity_betweenness(sf_dir: str):
                                     max_hops=3)
 
 
+def _q_customer_revenue_gini(sf_dir: str):
+    """Revenue-concentration audit: per-nation Gini coefficient over
+    customer order totals — the inequality metric of data-distribution
+    monitoring (skew in revenue == skew in keys).  Shape: one shrinking
+    pre-combined aggregate to per-customer totals, one sort per nation
+    with a vectorized rank/cumsum Gini (G = 2*sum(i*x_i)/(n*sum(x)) -
+    (n+1)/n over ascending x)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.joins import (
+        lookup_join,
+    )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("o_custkey"), batch.column("o_totalprice")],
+            names=["c_custkey", "revenue"])
+
+    per_cust = auto_hash_aggregate(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(order_rows, batch_format="pyarrow"),
+        ["c_custkey"], [("revenue", "sum")])
+    with_nat = lookup_join(
+        per_cust,
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        left_key="c_custkey", right_key="c_custkey", payload=["c_nationkey"],
+        suffix="_n", how="inner")
+
+    def gini_block(df: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_g, out_n = [], [], []
+        for key, g in df.groupby("c_nationkey_n", sort=False):
+            x = np.sort(g["revenue"].to_numpy(dtype=np.float64))
+            n = len(x)
+            tot = x.sum()
+            i = np.arange(1, n + 1, dtype=np.float64)
+            gini = (2.0 * float((i * x).sum()) / (n * tot)
+                    - (n + 1.0) / n) if tot > 0 else 0.0
+            out_k.append(key)
+            out_g.append(gini)
+            out_n.append(n)
+        return pd.DataFrame({
+            "nationkey": pd.array(out_k, dtype="int64"),
+            "gini": np_round_away(np.asarray(out_g, dtype=np.float64), 6),
+            "n_customers": pd.array(out_n, dtype="int64"),
+        })
+
+    return sorted_map_groups(
+        with_nat, ["c_nationkey_n"], block_fn=gini_block,
+        schema=pa.schema([("nationkey", pa.int64()),
+                          ("gini", pa.float64()),
+                          ("n_customers", pa.int64())]))
+
+
+def _q_events_value_mad_outliers(sf_dir: str):
+    """Robust per-type outlier audit: median / MAD (median absolute
+    deviation) of event value per event_type, plus the count of events
+    whose |value - median| > 3*MAD — the robust-statistics cousin of the
+    z-score monitors, immune to the very outliers it counts.  Shape: one
+    sorted-block group exchange on the (tiny-cardinality) event_type key;
+    per-group math is vectorized numpy over the whole partition."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+
+    ev = (_read(sf_dir, "events", columns=["event_type", "value"])
+          .map_batches(lambda t: t.filter(pc.is_valid(t.column("value"))),
+                       batch_format="pyarrow"))
+
+    def mad_block(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"event_type": [], "med": [], "mad": [],
+               "n_outliers": [], "n_events": []}
+        for key, g in df.groupby("event_type", sort=False):
+            x = g["value"].to_numpy(dtype=np.float64)
+            med = float(np.median(x))
+            dev = np.abs(x - med)
+            mad = float(np.median(dev))
+            out["event_type"].append(key)
+            out["med"].append(med)
+            out["mad"].append(mad)
+            out["n_outliers"].append(int((dev > 3.0 * mad).sum()))
+            out["n_events"].append(len(x))
+        return pd.DataFrame({
+            "event_type": pd.array(out["event_type"], dtype="string"),
+            "med": np_round_away(
+                np.asarray(out["med"], dtype=np.float64), 6),
+            "mad": np_round_away(
+                np.asarray(out["mad"], dtype=np.float64), 6),
+            "n_outliers": pd.array(out["n_outliers"], dtype="int64"),
+            "n_events": pd.array(out["n_events"], dtype="int64"),
+        })
+
+    return sorted_map_groups(
+        ev, ["event_type"], block_fn=mad_block,
+        schema=pa.schema([("event_type", pa.string()),
+                          ("med", pa.float64()),
+                          ("mad", pa.float64()),
+                          ("n_outliers", pa.int64()),
+                          ("n_events", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
     evaluates at most the FIRST 50 entries (observed r2 — the last 14 got
@@ -5916,6 +6035,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded-depth Brandes betweenness from fixed pivots (SQL-oracled)
         "transcripts_entity_betweenness":
             _q_transcripts_entity_betweenness,
+        # per-nation revenue-concentration Gini (SQL-oracled, r5 day-5)
+        "customer_revenue_gini": _q_customer_revenue_gini,
+        # robust median/MAD outlier audit per event type (SQL-oracled)
+        "events_value_mad_outliers": _q_events_value_mad_outliers,
     }
 
 
@@ -9021,6 +9144,49 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
         "transcripts_entity_betweenness":
             _betweenness_sql(tglob, BETWEENNESS_SOURCES),
         "transcripts_entity_sssp": _sssp_sql(tglob),
+        # Gini over ascending per-customer revenue: ties contribute
+        # x * sum(ranks) regardless of tie-break order, so row_number is
+        # deterministic here despite equal revenues.
+        "customer_revenue_gini": """
+            WITH per_cust AS (
+                SELECT o_custkey AS c_custkey,
+                       sum(o_totalprice) AS revenue
+                FROM orders GROUP BY 1),
+            j AS (
+                SELECT c.c_nationkey AS nationkey, p.revenue
+                FROM per_cust p
+                JOIN customer c ON c.c_custkey = p.c_custkey),
+            r AS (
+                SELECT nationkey, revenue,
+                       row_number() OVER (PARTITION BY nationkey
+                                          ORDER BY revenue) AS i
+                FROM j)
+            SELECT nationkey,
+                   round(CASE WHEN sum(revenue) > 0
+                              THEN 2.0 * sum(i * revenue)
+                                   / (count(*) * sum(revenue))
+                                   - (count(*) + 1.0) / count(*)
+                              ELSE 0.0 END, 6) AS gini,
+                   count(*)::BIGINT AS n_customers
+            FROM r GROUP BY 1""",
+        "events_value_mad_outliers": """
+            WITH e AS (SELECT event_type, value FROM events
+                       WHERE value IS NOT NULL),
+            m AS (SELECT event_type, median(value) AS med
+                  FROM e GROUP BY 1),
+            d AS (SELECT e.event_type, m.med,
+                         abs(e.value - m.med) AS dev
+                  FROM e JOIN m ON e.event_type = m.event_type),
+            md AS (SELECT event_type, median(dev) AS mad
+                   FROM d GROUP BY 1)
+            SELECT d.event_type,
+                   round(any_value(d.med), 6) AS med,
+                   round(any_value(md.mad), 6) AS mad,
+                   sum(CASE WHEN d.dev > 3.0 * md.mad
+                            THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+                   count(*)::BIGINT AS n_events
+            FROM d JOIN md ON d.event_type = md.event_type
+            GROUP BY d.event_type""",
         "docs_repetition_stats": r"""
             WITH toks AS (
                 SELECT doc_id,

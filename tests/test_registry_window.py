@@ -336,6 +336,11 @@ PAST_WINDOW_PINS = {
                            "var_value"]),
     # bounded-depth Brandes betweenness from 2 pivots (SQL-oracled)
     "transcripts_entity_betweenness": (60, ["betweenness", "entity"]),
+    # per-nation revenue-concentration Gini (SQL-oracled)
+    "customer_revenue_gini": (25, ["gini", "n_customers", "nationkey"]),
+    # robust median/MAD outlier audit per event type (SQL-oracled)
+    "events_value_mad_outliers": (5, ["event_type", "mad", "med",
+                                      "n_events", "n_outliers"]),
 }
 
 
