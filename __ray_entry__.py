@@ -5721,6 +5721,131 @@ def _q_events_value_mad_outliers(sf_dir: str):
                           ("n_events", pa.int64())]))
 
 
+def _q_events_funnel(sf_dir: str):
+    """Strict-order conversion funnel view -> click -> purchase: a user
+    reaches step k only via events strictly AFTER their first step-(k-1)
+    event (the product-analytics funnel, not mere set membership).
+    Shape: one whole-user group exchange; inside each block the min-ts
+    cascade is pure vectorized pandas merges (no per-user Python), each
+    block emits a 3-row partial histogram, and a summable groupby plus
+    constant-size driver math finish it — users reaching step k are a
+    subset of step k-1, so the partial counts are already cumulative."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    STEPS = ["view", "click", "purchase"]
+
+    ev = (_read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+          .map_batches(
+              lambda t: t.filter(pc.is_in(t.column("event_type"),
+                                          value_set=pa.array(STEPS))),
+              batch_format="pyarrow"))
+
+    def step_partials(df: pd.DataFrame) -> pd.DataFrame:
+        t1 = (df[df["event_type"] == STEPS[0]]
+              .groupby("user_id")["ts"].min().rename("t_prev")
+              .reset_index())
+        c = df[df["event_type"] == STEPS[1]][["user_id", "ts"]].merge(
+            t1, on="user_id")
+        t2 = (c[c["ts"] > c["t_prev"]]
+              .groupby("user_id")["ts"].min().rename("t_prev")
+              .reset_index())
+        p = df[df["event_type"] == STEPS[2]][["user_id", "ts"]].merge(
+            t2, on="user_id")
+        n3 = int((p[p["ts"] > p["t_prev"]])["user_id"].nunique())
+        return pd.DataFrame({
+            "step": pd.array([1, 2, 3], dtype="int64"),
+            "n_users": pd.array([len(t1), len(t2), n3], dtype="int64"),
+        })
+
+    hist = auto_hash_aggregate(
+        sorted_map_groups(
+            ev, ["user_id"], block_fn=step_partials,
+            schema=pa.schema([("step", pa.int64()),
+                              ("n_users", pa.int64())])),
+        ["step"], [("n_users", "sum")])
+
+    out = hist.to_pandas().sort_values("step").reset_index(drop=True)
+    n1 = max(int(out["n_users"].iloc[0]), 1)
+    return pd.DataFrame({
+        "step": out["step"].astype("int64"),
+        "step_type": pd.array(STEPS, dtype="string"),
+        "n_users": out["n_users"].astype("int64"),
+        "conv_rate": np_round_away(
+            out["n_users"].to_numpy(dtype=np.float64) / n1, 6),
+    })
+
+
+def _q_events_type_transitions(sf_dir: str):
+    """First-order Markov transition matrix over each user's event
+    stream: consecutive event-type bigrams under the deterministic
+    (ts, event_id) order, with row-normalized transition probabilities.
+    Shape: one whole-user group exchange; per block a single vectorized
+    sort + shift emits pre-combined pair counts (a combiner — blocks ship
+    at most |types|^2 rows each), one tiny keyed sum, constant-size
+    driver normalization."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.blockgroup import (
+        sorted_map_groups,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        same_user = df["user_id"].shift(1) == df["user_id"]
+        pairs = pd.DataFrame({
+            "prev_type": df["event_type"].shift(1)[same_user],
+            "next_type": df["event_type"][same_user],
+        })
+        out = (pairs.groupby(["prev_type", "next_type"], sort=False)
+               .size().reset_index(name="n_transitions"))
+        return pd.DataFrame({
+            "prev_type": out["prev_type"].astype("string"),
+            "next_type": out["next_type"].astype("string"),
+            "n_transitions": out["n_transitions"].astype("int64"),
+        })
+
+    counts = auto_hash_aggregate(
+        sorted_map_groups(
+            ev, ["user_id"], block_fn=pair_partials,
+            schema=pa.schema([("prev_type", pa.string()),
+                              ("next_type", pa.string()),
+                              ("n_transitions", pa.int64())])),
+        ["prev_type", "next_type"], [("n_transitions", "sum")])
+
+    df = counts.to_pandas()
+    tot = df.groupby("prev_type")["n_transitions"].transform("sum")
+    df["prob"] = np_round_away(
+        df["n_transitions"].to_numpy(dtype=np.float64)
+        / tot.to_numpy(dtype=np.float64), 6)
+    df["n_transitions"] = df["n_transitions"].astype("int64")
+    return df.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
     evaluates at most the FIRST 50 entries (observed r2 — the last 14 got
@@ -6039,6 +6164,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_gini": _q_customer_revenue_gini,
         # robust median/MAD outlier audit per event type (SQL-oracled)
         "events_value_mad_outliers": _q_events_value_mad_outliers,
+        # strict-order view->click->purchase conversion funnel (SQL-oracled)
+        "events_funnel": _q_events_funnel,
+        # first-order Markov event-type transition matrix (SQL-oracled)
+        "events_type_transitions": _q_events_type_transitions,
     }
 
 
@@ -9187,6 +9316,52 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
                    count(*)::BIGINT AS n_events
             FROM d JOIN md ON d.event_type = md.event_type
             GROUP BY d.event_type""",
+        # strict-order funnel: step k requires an event strictly after the
+        # user's first step-(k-1) event, so each CTE chains min-ts filters
+        "events_funnel": """
+            WITH t1 AS (
+                SELECT user_id, min(ts) AS t_prev FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+            t2 AS (
+                SELECT e.user_id, min(e.ts) AS t_prev
+                FROM events e JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'click' AND e.ts > t1.t_prev
+                GROUP BY 1),
+            t3 AS (
+                SELECT e.user_id, min(e.ts) AS t_prev
+                FROM events e JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > t2.t_prev
+                GROUP BY 1),
+            hist AS (
+                SELECT * FROM (VALUES
+                    (1, 'view', (SELECT count(*) FROM t1)),
+                    (2, 'click', (SELECT count(*) FROM t2)),
+                    (3, 'purchase', (SELECT count(*) FROM t3)))
+                    AS v(step, step_type, n_users))
+            SELECT step::BIGINT AS step, step_type,
+                   n_users::BIGINT AS n_users,
+                   round(n_users::DOUBLE
+                         / greatest((SELECT n_users FROM hist
+                                     WHERE step = 1), 1)::DOUBLE,
+                         6) AS conv_rate
+            FROM hist""",
+        "events_type_transitions": """
+            WITH ord AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS next_type
+                FROM events),
+            pairs AS (
+                SELECT event_type AS prev_type, next_type,
+                       count(*)::BIGINT AS n_transitions
+                FROM ord WHERE next_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT prev_type, sum(n_transitions) AS tot
+                    FROM pairs GROUP BY 1)
+            SELECT p.prev_type, p.next_type, p.n_transitions,
+                   round(p.n_transitions::DOUBLE / t.tot::DOUBLE, 6)
+                       AS prob
+            FROM pairs p JOIN tot t ON p.prev_type = t.prev_type""",
         "docs_repetition_stats": r"""
             WITH toks AS (
                 SELECT doc_id,

@@ -341,6 +341,11 @@ PAST_WINDOW_PINS = {
     # robust median/MAD outlier audit per event type (SQL-oracled)
     "events_value_mad_outliers": (5, ["event_type", "mad", "med",
                                       "n_events", "n_outliers"]),
+    # strict-order view->click->purchase funnel (SQL-oracled)
+    "events_funnel": (3, ["conv_rate", "n_users", "step", "step_type"]),
+    # first-order Markov event-type transition matrix (SQL-oracled)
+    "events_type_transitions": (25, ["n_transitions", "next_type",
+                                     "prev_type", "prob"]),
 }
 
 
