@@ -3570,20 +3570,6 @@ def _q_events_value_quantiles_by_type(sf_dir: str):
         "event_type", "value", [0.25, 0.5, 0.75])
 
 
-def _q_events_funnel(sf_dir: str):
-    """Ordered view->click->purchase funnel (stages/funnel.py): per-user
-    depth via one sort-by-user exchange + per-block pass vectorized
-    ACROSS users, then a constant-size count-per-depth aggregate."""
-    from chinese_open_relation_extraction_for_entgraph_ray.stages.funnel import (
-        funnel_stage_counts,
-    )
-
-    return funnel_stage_counts(
-        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
-        user_col="user_id", ts_col="ts", type_col="event_type",
-        stages=["view", "click", "purchase"])
-
-
 def _q_embeddings_semdedup(sf_dir: str):
     """SemDeDup semantic dedup (stages/semdedup.py): spherical k-means
     clusters + in-cluster exact-cosine greedy min-id survivors.  Rows-only
@@ -6009,7 +5995,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,  # oracled (r4)
         "events_value_quantiles_by_type":
             _q_events_value_quantiles_by_type,  # oracled (r4)
-        "events_funnel": _q_events_funnel,  # oracled (r4)
+        # strict-order conversion funnel (reworked r5 day-5; the def and
+        # oracle live with the other day-5 additions below)
+        "events_funnel": _q_events_funnel,  # oracled (r5)
         "embeddings_semdedup": _q_embeddings_semdedup,  # rows-only
         # planted-fixture VALUES oracle beside it (keep-set provable
         # independently of the k-means partition)
@@ -6164,8 +6152,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_gini": _q_customer_revenue_gini,
         # robust median/MAD outlier audit per event type (SQL-oracled)
         "events_value_mad_outliers": _q_events_value_mad_outliers,
-        # strict-order view->click->purchase conversion funnel (SQL-oracled)
-        "events_funnel": _q_events_funnel,
         # first-order Markov event-type transition matrix (SQL-oracled)
         "events_type_transitions": _q_events_type_transitions,
     }
@@ -9041,21 +9027,6 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
                    quantile_disc(value, 0.50) AS p50,
                    quantile_disc(value, 0.75) AS p75
             FROM events GROUP BY event_type""",
-        "events_funnel": """
-            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
-                        WHERE event_type = 'view' GROUP BY user_id),
-            s2 AS (SELECT e.user_id, min(e.ts) AS t
-                   FROM events e JOIN s1 USING (user_id)
-                   WHERE e.event_type = 'click' AND e.ts >= s1.t
-                   GROUP BY e.user_id),
-            s3 AS (SELECT e.user_id, min(e.ts) AS t
-                   FROM events e JOIN s2 USING (user_id)
-                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t
-                   GROUP BY e.user_id)
-            SELECT 'view' AS stage, 1::BIGINT AS stage_idx,
-                   count(*)::BIGINT AS n_users FROM s1
-            UNION ALL SELECT 'click', 2, count(*) FROM s2
-            UNION ALL SELECT 'purchase', 3, count(*) FROM s3""",
         "events_type_pivot": """
             SELECT user_id,
                    count(*) FILTER (WHERE event_type = 'view')

@@ -146,7 +146,6 @@ PAST_WINDOW_PINS = {
                            "total_price"]),
     "events_value_quantiles_by_type": (5, ["event_type", "p25", "p50",
                                            "p75"]),
-    "events_funnel": (3, ["n_users", "stage", "stage_idx"]),
     "embeddings_semdedup": (500, ["cluster", "keep", "vec_id"]),
     # planted-fixture VALUES oracle beside it (hash-checked by full gate)
     "semdedup_golden": (20, ["keep", "vec_id"]),
