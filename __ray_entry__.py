@@ -4507,31 +4507,76 @@ def _q_docs_quality_lr(sf_dir: str):
         train_logreg,
     )
 
-    def features(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        text = pc.fill_null(t.column("text"), "")
-        n_tok = pc.count_substring_regex(text, r"\S+") \
-            .cast(pa.int64()).to_numpy(zero_copy_only=False)
-        e_cnt = pc.count_substring_regex(text, "e") \
-            .cast(pa.float64()).to_numpy(zero_copy_only=False)
-        ln = pc.utf8_length(text).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        x1 = t.column("n_chars").to_numpy().astype(np.float64) / 1000.0
-        x2 = e_cnt / np.maximum(ln, 1).astype(np.float64)
-        y = (n_tok >= 55).astype(np.float64)
-        return pa.Table.from_arrays(
-            [t.column("doc_id"), pa.array(x1), pa.array(x2),
-             pa.array(y)],
-            names=["doc_id", "x1", "x2", "y"])
-
     feats = _read(sf_dir, "documents",
                   columns=["doc_id", "text", "n_chars"]) \
-        .map_batches(features, batch_format="pyarrow").materialize()
+        .map_batches(_lr_quality_features, batch_format="pyarrow") \
+        .materialize()
     w = train_logreg(feats, feature_cols=["x1", "x2"], label_col="y",
                      rounds=8, lr=5.0)
     return score_logreg(feats, w, feature_cols=["x1", "x2"],
                         id_col="doc_id")
+
+
+def _lr_quality_features(t):
+    """Shared quality-classifier feature pass (docs_quality_lr and its AUC
+    evaluator): x1 = n_chars/1000, x2 = 'e'-density, label y = n_tok>=55;
+    fill_null(text,'') mirrored by coalesce in the SQL oracles."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = pc.fill_null(t.column("text"), "")
+    n_tok = pc.count_substring_regex(text, r"\S+") \
+        .cast(pa.int64()).to_numpy(zero_copy_only=False)
+    e_cnt = pc.count_substring_regex(text, "e") \
+        .cast(pa.float64()).to_numpy(zero_copy_only=False)
+    ln = pc.utf8_length(text).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    x1 = t.column("n_chars").to_numpy().astype(np.float64) / 1000.0
+    x2 = e_cnt / np.maximum(ln, 1).astype(np.float64)
+    y = (n_tok >= 55).astype(np.float64)
+    return pa.Table.from_arrays(
+        [t.column("doc_id"), pa.array(x1), pa.array(x2), pa.array(y)],
+        names=["doc_id", "x1", "x2", "y"])
+
+
+def _q_docs_quality_lr_auc(sf_dir: str):
+    """Model-evaluation metric: exact tied-rank ROC AUC of the trained
+    quality classifier against its labels (stages/logreg.roc_auc — the
+    grouped Mann-Whitney formulation: per-block (score -> pos, n)
+    pre-combine, ONE bounded-key aggregate — score cardinality <= 1e6+1 by
+    the 6-digit rounding, independent of corpus size — then a vectorized
+    driver cumsum with the numerator in exact int64).  SQL-oracled
+    bit-for-bit: training is the shared unrolled fixed-point mirror, and
+    the AUC numerator is order-independent integer arithmetic."""
+    import numpy as np
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.logreg import (
+        _sigmoid,
+        _z,
+        roc_auc,
+        train_logreg,
+    )
+
+    feats = _read(sf_dir, "documents",
+                  columns=["doc_id", "text", "n_chars"]) \
+        .map_batches(_lr_quality_features, batch_format="pyarrow") \
+        .materialize()
+    w = train_logreg(feats, feature_cols=["x1", "x2"], label_col="y",
+                     rounds=8, lr=5.0)
+
+    def score_with_label(t: pa.Table) -> pa.Table:
+        s = np_round_away(_sigmoid(_z(t, w, ["x1", "x2"])), 6)
+        return pa.Table.from_arrays(
+            [pa.array(np.asarray(s), pa.float64()), t.column("y")],
+            names=["score", "y"])
+
+    scored = feats.map_batches(score_with_label, batch_format="pyarrow")
+    return roc_auc(scored, score_col="score", label_col="y")
 
 
 def _q_docs_redacted(sf_dir: str):
@@ -6079,6 +6124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_embeddings_label_propagation,  # oracled (r4)
         "graph_hits": _q_graph_hits,  # oracled (r4)
         "docs_quality_lr": _q_docs_quality_lr,  # oracled (r4)
+        # exact tied-rank ROC AUC of that classifier (SQL-oracled)
+        "docs_quality_lr_auc": _q_docs_quality_lr_auc,  # oracled (r5)
         # rows-only: cascade-KG panel; math SQL-proved by graph_hits +
         # transcripts_entity_kcore
         "kg_entity_analytics": _q_kg_entity_analytics,
@@ -6572,13 +6619,15 @@ def _ppr_sql(tglob: str, seed: str = "北京", damping: float = 0.85,
         FROM p{iters}"""
 
 
-def _logreg_sql(rounds: int = 8, lr: float = 5.0) -> str:
-    """Unrolled fixed-round full-batch logistic regression — the exact
-    update of ``stages/logreg.train_logreg``: z and the per-row gradient
-    contributions use the same left-to-right float expressions, and every
-    contribution is quantized with floor(c*2^20 + 0.5) (identical numpy /
-    DuckDB semantics) before the BIGINT sum, so the learned weights — and
-    therefore the scores — match the engine bit-for-bit."""
+def _logreg_parts(rounds: int = 8, lr: float = 5.0) -> tuple[str, str, str]:
+    """Shared CTE builder for the unrolled fixed-round full-batch logistic
+    regression — the exact update of ``stages/logreg.train_logreg``: z and
+    the per-row gradient contributions use the same left-to-right float
+    expressions, and every contribution is quantized with
+    floor(c*2^20 + 0.5) (identical numpy / DuckDB semantics) before the
+    BIGINT sum, so the learned weights — and therefore the scores — match
+    the engine bit-for-bit.  Returns (joined CTE parts, sigmoid expr over
+    aliases f/w, final weight-CTE name)."""
     fp = float(1 << 20)
     sig = "1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2)))"
     parts = [
@@ -6619,11 +6668,47 @@ def _logreg_sql(rounds: int = 8, lr: float = 5.0) -> str:
                            AS w2
                 FROM {prev} w, g{i} g)""")
         prev = f"w{i}s"
+    return ", ".join(parts), sig, prev
+
+
+def _logreg_sql(rounds: int = 8, lr: float = 5.0) -> str:
+    """Per-doc scores/preds from the shared unrolled-training CTEs."""
+    parts, sig, prev = _logreg_parts(rounds, lr)
     return f"""
-        WITH {", ".join(parts)}
+        WITH {parts}
         SELECT f.doc_id, round({sig}, 6) AS score,
                round({sig}, 6) >= 0.5 AS pred
         FROM f, {prev} w"""
+
+
+def _logreg_auc_sql(rounds: int = 8, lr: float = 5.0) -> str:
+    """Exact tied-rank ROC AUC over the shared unrolled-training scores —
+    the grouped Mann-Whitney formulation of ``stages/logreg.roc_auc``:
+    AUC = sum_s pos_s*(2*neg_below_s + neg_s) / (2*n_pos*n_neg).  The
+    numerator stays in exact integer arithmetic (DuckDB sums BIGINT into
+    HUGEINT), so only the final division is float — bit-parity with the
+    engine is structural, not accumulation-order luck."""
+    parts, sig, prev = _logreg_parts(rounds, lr)
+    return f"""
+        WITH {parts},
+        scored AS (SELECT round({sig}, 6) AS score, f.y
+                   FROM f, {prev} w),
+        g AS (SELECT score,
+                     cast(sum(y) AS BIGINT) AS pos,
+                     count(*) - cast(sum(y) AS BIGINT) AS neg
+              FROM scored GROUP BY score),
+        c AS (SELECT pos, neg,
+                     coalesce(sum(neg) OVER (
+                         ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS neg_below
+              FROM g),
+        t AS (SELECT cast(sum(pos) AS BIGINT) AS n_pos,
+                     cast(sum(neg) AS BIGINT) AS n_neg FROM g)
+        SELECT round(sum(c.pos * (2 * c.neg_below + c.neg))
+                         / (2.0 * t.n_pos * t.n_neg), 6) AS auc,
+               t.n_pos, t.n_neg
+        FROM c, t GROUP BY t.n_pos, t.n_neg"""
 
 
 # consecutive-token adjacency multiset over documents (TextRank edges)
@@ -9239,6 +9324,7 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
                FROM embeddings WHERE vec_id % 10 = 0"""),
         "graph_hits": _hits_sql(),
         "docs_quality_lr": _logreg_sql(),
+        "docs_quality_lr_auc": _logreg_auc_sql(),
         "transcripts_entity_ppr": _ppr_sql(tglob),
         "transcripts_entity_bfs": _bfs_sql(tglob),
         "transcripts_entity_betweenness":

@@ -97,3 +97,66 @@ def score_logreg(features_ds, w: np.ndarray, *,
             names=[id_col, "score", "pred"])
 
     return features_ds.map_batches(score, batch_format="pyarrow")
+
+
+def roc_auc(scored_ds, *, score_col: str, label_col: str,
+            round_digits: int = 6):
+    """Exact ROC AUC (Mann-Whitney U with average-rank tie handling) —
+    the model-evaluation companion of :func:`train_logreg`: the
+    probability a random positive outscores a random negative, ties at
+    half credit.
+
+    Scale shape: NO global sort of the data.  Per-block pre-combine to
+    (score -> n_pos, n) partials, then ONE auto_hash_aggregate on the
+    score key — whose cardinality is bounded by the scorer's rounding
+    (round_digits=6 on [0,1] gives <= 1e6+1 distinct keys REGARDLESS of
+    corpus size), so the folded aggregate is a bounded table the driver
+    finishes with a vectorized cumsum.
+
+    Bit-parity discipline: the grouped formulation
+    AUC = sum_s pos_s * (2*neg_below_s + neg_s) / (2 * n_pos * n_neg)
+    keeps the numerator in EXACT int64 arithmetic (order-independent,
+    hence partition-invariant and identical to the DuckDB mirror's
+    HUGEINT sum); only the final single division is float.  int64 bound:
+    numerator <= n_pos*2*n_neg <= n^2/2 — exact up to ~4e9 rows.
+
+    Returns a one-row Dataset {auc, n_pos, n_neg}; auc is NULL when a
+    class is absent."""
+    from .groupagg import auto_hash_aggregate
+    from ..functions.fputil import np_round_away
+
+    def partials(t: pa.Table) -> pa.Table:
+        y = np.asarray(t.column(label_col), dtype=np.float64)
+        return pa.Table.from_arrays(
+            [t.column(score_col),
+             pa.array((y >= 0.5).astype(np.int64), pa.int64()),
+             pa.array(np.ones(t.num_rows, dtype=np.int64), pa.int64())],
+            names=[score_col, "pos", "n"])
+
+    grouped = auto_hash_aggregate(
+        scored_ds.map_batches(partials, batch_format="pyarrow"),
+        [score_col], [("pos", "sum"), ("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column(score_col).to_numpy(zero_copy_only=False)
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        pos, neg = pos[order], (n - pos)[order]
+        n_pos, n_neg = int(pos.sum()), int(neg.sum())
+        if n_pos == 0 or n_neg == 0:
+            auc = None
+        else:
+            neg_below = np.concatenate(([0], np.cumsum(neg)[:-1]))
+            num = int(np.sum(pos * (2 * neg_below + neg)))
+            auc = float(np_round_away(
+                np.array([num / (2.0 * n_pos * n_neg)]), round_digits)[0])
+        return pa.Table.from_arrays(
+            [pa.array([auc], pa.float64()),
+             pa.array([n_pos], pa.int64()), pa.array([n_neg], pa.int64())],
+            names=["auc", "n_pos", "n_neg"])
+
+    # the grouped table is bounded by score cardinality (<= 1e6+1), not
+    # data size — one node finishes it
+    return grouped.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

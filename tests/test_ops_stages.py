@@ -844,6 +844,46 @@ def test_logreg_partition_parity_learning_and_noise_weight(ray_session):
     assert (w0 == 0).all()
 
 
+def test_roc_auc_hand_checked_ties_and_block_invariance(ray_session):
+    """roc_auc must reproduce the hand-computed tied-rank Mann-Whitney
+    value, be invariant to block structure, score a perfect ranker 1.0 /
+    an inverted one 0.0, and return NULL auc when a class is absent."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.logreg import (
+        roc_auc,
+    )
+
+    # scores: pos {0.9, 0.5, 0.5}, neg {0.5, 0.3}.
+    # pairs = 6; pos beats neg: (0.9>0.5), (0.9>0.3), (0.5>0.3)x2 = 4;
+    # ties at half: (0.5,0.5)x2 -> 1.0.  AUC = 5/6 = 0.833333.
+    df = pd.DataFrame({"score": [0.9, 0.5, 0.5, 0.5, 0.3],
+                       "y": [1.0, 1.0, 1.0, 0.0, 0.0]})
+    for parts in (1, 3):
+        out = roc_auc(ray.data.from_pandas(df).repartition(parts),
+                      score_col="score", label_col="y").to_pandas()
+        assert out.shape == (1, 3)
+        assert out.n_pos[0] == 3 and out.n_neg[0] == 2
+        assert out.auc[0] == 0.833333, out.auc[0]
+
+    # perfect / inverted rankers
+    df2 = pd.DataFrame({"score": [0.1, 0.2, 0.8, 0.9],
+                        "y": [0.0, 0.0, 1.0, 1.0]})
+    assert roc_auc(ray.data.from_pandas(df2), score_col="score",
+                   label_col="y").to_pandas().auc[0] == 1.0
+    df2["y"] = 1.0 - df2["y"]
+    assert roc_auc(ray.data.from_pandas(df2), score_col="score",
+                   label_col="y").to_pandas().auc[0] == 0.0
+
+    # single-class input -> NULL auc, counts still reported
+    df3 = pd.DataFrame({"score": [0.4, 0.6], "y": [1.0, 1.0]})
+    out3 = roc_auc(ray.data.from_pandas(df3), score_col="score",
+                   label_col="y").to_pandas()
+    assert np.isnan(out3.auc[0]) and out3.n_neg[0] == 0
+
+
 def test_md5_plane_mode_deterministic_and_distinct():
     """plane_mode='md5' (the embedding_near_dups_explicit oracle seam):
     pure function of (dim, tables, bits) — same across calls/processes —

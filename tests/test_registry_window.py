@@ -251,6 +251,8 @@ PAST_WINDOW_PINS = {
     # 8-round distributed logistic regression, bit-for-bit SQL-oracled
     # training (fixed-point gradient sums); 308 of 500 predicted positive
     "docs_quality_lr": (500, ["doc_id", "pred", "score"]),
+    # exact tied-rank ROC AUC of that classifier (SQL-oracled)
+    "docs_quality_lr_auc": (1, ["auc", "n_neg", "n_pos"]),
     # cascade-KG analytics panel: HITS + 2-core membership (rows-only;
     # math SQL-proved by graph_hits + transcripts_entity_kcore)
     "kg_entity_analytics": (109, ["authority", "hub", "in_2core",
