@@ -4579,6 +4579,23 @@ def _q_docs_quality_lr_auc(sf_dir: str):
     return roc_auc(scored, score_col="score", label_col="y")
 
 
+def _q_docs_winnowing(sf_dir: str):
+    """Winnowing (MOSS) fingerprints (stages/textstats.winnow_fingerprints,
+    Schleimer et al. 2003): k=5 char-gram Mersenne31 hashes, rightmost-min
+    selection per w=4 window — the LOCAL-alignment fingerprint family
+    beside the global sketches (any shared substring of length >= k+w-1
+    shares a fingerprint).  Pure per-doc map — no shuffle at any scale;
+    the per-doc summary (count + exact int64 sum/min/max of the selected
+    hashes) pins the fingerprint set against the DuckDB char-explode
+    mirror without shipping it."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (
+        winnow_fingerprints,
+    )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(winnow_fingerprints, batch_format="pyarrow")
+
+
 def _q_docs_redacted(sf_dir: str):
     """PII scrub (email/URL/phone -> [REDACTED]): per-doc match counts +
     md5 of the scrubbed text (stages/textstats.redact_pii; the md5 lets the
@@ -6126,6 +6143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_lr": _q_docs_quality_lr,  # oracled (r4)
         # exact tied-rank ROC AUC of that classifier (SQL-oracled)
         "docs_quality_lr_auc": _q_docs_quality_lr_auc,  # oracled (r5)
+        # winnowing (MOSS) local fingerprints (SQL-oracled)
+        "docs_winnowing": _q_docs_winnowing,  # oracled (r5)
         # rows-only: cascade-KG panel; math SQL-proved by graph_hits +
         # transcripts_entity_kcore
         "kg_entity_analytics": _q_kg_entity_analytics,
@@ -6709,6 +6728,57 @@ def _logreg_auc_sql(rounds: int = 8, lr: float = 5.0) -> str:
                          / (2.0 * t.n_pos * t.n_neg), 6) AS auc,
                t.n_pos, t.n_neg
         FROM c, t GROUP BY t.n_pos, t.n_neg"""
+
+
+def _winnowing_sql() -> str:
+    """Winnowing mirror: explode chars once (codepoints — DuckDB unicode()
+    == the engine's utf-32 reinterpret), K-way self-join on consecutive
+    positions for the gram hash (same Mersenne31 weights, single mod at
+    the end — both sides accumulate < 2^55 exactly), min-hash per w-window
+    via a COUNT-guarded frame, rightmost tie via max(p) on the min, then
+    the same distinct-set aggregate."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.textstats import (
+        _MSH_MOD,
+        _WINNOW_WEIGHTS,
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    joins = " ".join(
+        f"JOIN ch c{j} ON c{j}.doc_id = c0.doc_id AND c{j}.i = c0.i + {j}"
+        for j in range(1, WINNOW_K))
+    hexpr = " + ".join(f"c{j}.c * {w}::BIGINT"
+                       for j, w in enumerate(_WINNOW_WEIGHTS))
+    return f"""
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        ch AS (SELECT doc_id, i, unicode(substr(t, i, 1))::BIGINT AS c
+               FROM d, LATERAL (SELECT unnest(generate_series(1, length(t)))
+                                AS i)),
+        g AS (SELECT c0.doc_id, c0.i AS p, ({hexpr}) % {_MSH_MOD} AS h
+              FROM ch c0 {joins}),
+        w1 AS (SELECT doc_id, p AS s,
+                      min(h) OVER fr AS mh, count(*) OVER fr AS cnt
+               FROM g
+               WINDOW fr AS (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN CURRENT ROW
+                                      AND {WINNOW_W - 1} FOLLOWING)),
+        sel AS (SELECT w.doc_id, w.s, max(g.p) AS pos, w.mh
+                FROM w1 w JOIN g ON g.doc_id = w.doc_id
+                     AND g.p BETWEEN w.s AND w.s + {WINNOW_W - 1}
+                     AND g.h = w.mh
+                WHERE w.cnt = {WINNOW_W}
+                GROUP BY w.doc_id, w.s, w.mh),
+        fp AS (SELECT DISTINCT doc_id, pos, mh AS h FROM sel),
+        agg AS (SELECT doc_id, count(*)::BIGINT AS n_fingerprints,
+                       cast(sum(h) AS BIGINT) AS fp_sum,
+                       min(h) AS fp_min, max(h) AS fp_max
+                FROM fp GROUP BY doc_id)
+        SELECT d.doc_id,
+               greatest(length(d.t) - {WINNOW_K - 1}, 0)::BIGINT AS n_grams,
+               coalesce(agg.n_fingerprints, 0)::BIGINT AS n_fingerprints,
+               coalesce(agg.fp_sum, 0)::BIGINT AS fp_sum,
+               agg.fp_min, agg.fp_max
+        FROM d LEFT JOIN agg USING (doc_id)"""
 
 
 # consecutive-token adjacency multiset over documents (TextRank edges)
@@ -9325,6 +9395,7 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
         "graph_hits": _hits_sql(),
         "docs_quality_lr": _logreg_sql(),
         "docs_quality_lr_auc": _logreg_auc_sql(),
+        "docs_winnowing": _winnowing_sql(),
         "transcripts_entity_ppr": _ppr_sql(tglob),
         "transcripts_entity_bfs": _bfs_sql(tglob),
         "transcripts_entity_betweenness":

@@ -346,3 +346,58 @@ def normalize_text(batch: pa.Table) -> pa.Table:
          pc.utf8_length(out).cast(pa.int64()),
          pa.array(md5s, pa.string())],
         names=["doc_id", "n_chars_norm", "norm_md5"])
+
+
+# --- winnowing (MOSS) fingerprints ------------------------------------------
+# Schleimer/Wilkerson/Aiken 2003: hash every k-char-gram, then in each
+# window of w consecutive gram hashes select the minimum (rightmost on
+# ties); the distinct selected (position, hash) set is the document's
+# fingerprint — the guarantee: any shared substring of length >= k+w-1
+# yields at least one shared fingerprint, so it is the local-alignment
+# complement of the global MinHash/SimHash sketches.
+WINNOW_K = 5
+WINNOW_W = 4
+_WINNOW_WEIGHTS = tuple(pow(_MSH_BASES[0], WINNOW_K - 1 - j, _MSH_MOD)
+                        for j in range(WINNOW_K))
+
+
+def winnow_fingerprints(batch: pa.Table) -> pa.Table:
+    """Per-doc winnowing summary: n_grams, n_fingerprints, and the exact
+    int64 fp_sum / fp_min / fp_max over the selected gram hashes (pins the
+    fingerprint SET against the DuckDB mirror without shipping it).
+
+    Vectorized per doc: char codes via a utf-32 reinterpret, ONE
+    (grams x k) @ weights int64 matmul mod Mersenne31 (codes < 2^21 x
+    weights < 2^31 x k=5 terms < 2^55 — exact), then a (windows x w)
+    sliding view with rightmost-argmin via the reversed-argmin trick.
+    Hash/tie semantics mirrored term-for-term by the oracle's char-explode
+    + 5-way join + window-frame SQL."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    W = np.array(_WINNOW_WEIGHTS, dtype=np.int64)
+    n_grams_c, n_fp_c, s_c, mn_c, mx_c = [], [], [], [], []
+    for t in batch.column("text").to_pylist():
+        t = t or ""
+        n_grams = max(len(t) - WINNOW_K + 1, 0)
+        n_grams_c.append(n_grams)
+        if n_grams < WINNOW_W:
+            n_fp_c.append(0), s_c.append(0)
+            mn_c.append(None), mx_c.append(None)
+            continue
+        codes = np.frombuffer(t.encode("utf-32-le"),
+                              dtype=np.uint32).astype(np.int64)
+        h = (sliding_window_view(codes, WINNOW_K) @ W) % _MSH_MOD
+        sw = sliding_window_view(h, WINNOW_W)
+        right_argmin = WINNOW_W - 1 - np.argmin(sw[:, ::-1], axis=1)
+        sel = np.unique(np.arange(len(sw)) + right_argmin)
+        fp = h[sel]
+        n_fp_c.append(len(fp)), s_c.append(int(fp.sum()))
+        mn_c.append(int(fp.min())), mx_c.append(int(fp.max()))
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"),
+         pa.array(n_grams_c, pa.int64()), pa.array(n_fp_c, pa.int64()),
+         pa.array(s_c, pa.int64()), pa.array(mn_c, pa.int64()),
+         pa.array(mx_c, pa.int64())],
+        names=["doc_id", "n_grams", "n_fingerprints", "fp_sum",
+               "fp_min", "fp_max"])

@@ -253,6 +253,9 @@ PAST_WINDOW_PINS = {
     "docs_quality_lr": (500, ["doc_id", "pred", "score"]),
     # exact tied-rank ROC AUC of that classifier (SQL-oracled)
     "docs_quality_lr_auc": (1, ["auc", "n_neg", "n_pos"]),
+    # winnowing (MOSS) local fingerprints (SQL-oracled)
+    "docs_winnowing": (500, ["doc_id", "fp_max", "fp_min", "fp_sum",
+                             "n_fingerprints", "n_grams"]),
     # cascade-KG analytics panel: HITS + 2-core membership (rows-only;
     # math SQL-proved by graph_hits + transcripts_entity_kcore)
     "kg_entity_analytics": (109, ["authority", "hub", "in_2core",
