@@ -4344,6 +4344,43 @@ def _q_embeddings_label_propagation(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_embeddings_lp_modularity(sf_dir: str):
+    """Newman modularity audit of the label-propagation communities over
+    the mutual 5-NN graph (the community-QUALITY metric beside the
+    community-ASSIGNMENT ops): per community c on the labeled subgraph,
+    q_contrib = intra_c/m - degree_sum_c^2/(2m)^2; Q = sum(q_contrib).
+
+    Scale shape: labels attach to edge endpoints via TWO keyed lookup
+    joins (broadcast under threshold), then every reduce is ONE
+    pre-combined aggregate on the label key (cardinality = #classes, ~10)
+    — partials are exact int64 counts, so the only float math is the
+    per-community single expression at the end (bit-identical in DuckDB).
+    Nodes the 4 LP rounds never reach are excluded with their edges —
+    the same labeled-subgraph convention both sides mirror."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id")
+        m = pc.equal(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 10), 10)), 0)
+        t = t.filter(m)
+        return pa.Table.from_arrays(
+            [t.column("vec_id"), t.column("label").cast(pa.int64())],
+            names=["node", "label"])
+
+    edges = _mutual_knn_edges(sf_dir)
+    seeds = _read(sf_dir, "embeddings", columns=["vec_id", "label"]) \
+        .map_batches(seed_rows, batch_format="pyarrow")
+    labels = label_propagation(edges, seeds, rounds=4)
+    return modularity(edges, labels)
+
+
 def _q_embeddings_knn_components(sf_dir: str):
     """Connected components over the mutual 5-NN graph
     (stages/cluster.dedup_cluster_representatives — min-label rounds +
@@ -6139,6 +6176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_word_pagerank": _q_docs_word_pagerank,  # oracled (r4)
         "embeddings_label_propagation":
             _q_embeddings_label_propagation,  # oracled (r4)
+        # Newman modularity audit of those communities (SQL-oracled)
+        "embeddings_lp_modularity": _q_embeddings_lp_modularity,  # r5
         "graph_hits": _q_graph_hits,  # oracled (r4)
         "docs_quality_lr": _q_docs_quality_lr,  # oracled (r4)
         # exact tied-rank ROC AUC of that classifier (SQL-oracled)
@@ -9392,6 +9431,40 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
             _MUTUAL_KNN_SQL,
             """SELECT vec_id AS node, label::BIGINT AS label
                FROM embeddings WHERE vec_id % 10 = 0"""),
+        # Newman modularity of the LP communities on the labeled subgraph
+        "embeddings_lp_modularity": f"""
+            WITH lp AS MATERIALIZED (
+                SELECT vec_id AS node, label FROM (
+                    {_label_prop_sql(
+                        _MUTUAL_KNN_SQL,
+                        '''SELECT vec_id AS node, label::BIGINT AS label
+                           FROM embeddings WHERE vec_id % 10 = 0''')})),
+            eg AS MATERIALIZED (SELECT a, b FROM ({_MUTUAL_KNN_SQL})),
+            le AS MATERIALIZED (
+                SELECT la.label AS label_a, lb.label AS label_b
+                FROM eg JOIN lp la ON la.node = eg.a
+                        JOIN lp lb ON lb.node = eg.b),
+            mm AS (SELECT count(*)::BIGINT AS m FROM le),
+            dg AS (SELECT label, count(*)::BIGINT AS degree_sum FROM
+                   (SELECT label_a AS label FROM le
+                    UNION ALL SELECT label_b FROM le) GROUP BY 1),
+            ic AS (SELECT label_a AS label, count(*)::BIGINT AS intra_edges
+                   FROM le WHERE label_a = label_b GROUP BY 1),
+            nn AS (SELECT label, count(*)::BIGINT AS n_nodes
+                   FROM lp GROUP BY label)
+            SELECT nn.label, nn.n_nodes,
+                   coalesce(ic.intra_edges, 0)::BIGINT AS intra_edges,
+                   coalesce(dg.degree_sum, 0)::BIGINT AS degree_sum,
+                   CASE WHEN (SELECT m FROM mm) > 0 THEN
+                       round(coalesce(ic.intra_edges, 0)
+                                 / (SELECT m FROM mm)::DOUBLE
+                             - (coalesce(dg.degree_sum, 0)
+                                * coalesce(dg.degree_sum, 0))
+                               / (4.0 * (SELECT m FROM mm)
+                                      * (SELECT m FROM mm)), 6)
+                   END AS q_contrib
+            FROM nn LEFT JOIN dg USING (label)
+                    LEFT JOIN ic USING (label)""",
         "graph_hits": _hits_sql(),
         "docs_quality_lr": _logreg_sql(),
         "docs_quality_lr_auc": _logreg_auc_sql(),

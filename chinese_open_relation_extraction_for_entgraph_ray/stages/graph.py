@@ -1455,3 +1455,87 @@ def betweenness_from_sources(edges_ds, sources: list[str], *,
             names=["entity", "betweenness"])
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def modularity(edges_ds, labels_ds, *, round_digits: int = 6):
+    """Newman modularity of a node partition on an undirected
+    distinct-pair edge list (columns ``a``, ``b``) — the community-QUALITY
+    audit beside the community-assignment ops (label_propagation,
+    dedup clusters): per community c on the labeled subgraph,
+    q_contrib = intra_c/m − degree_sum_c²/(2m)²; Q = Σ q_contrib.
+
+    ``labels_ds`` has columns (node, label); edges with an unlabeled
+    endpoint are excluded (the labeled-subgraph convention).  Scale
+    shape: labels attach to edge endpoints via TWO keyed lookup joins
+    (broadcast under threshold), then ONE pre-combined aggregate on the
+    label key (cardinality = #communities); partials are exact int64, so
+    the only float math is one single-expression pass over the bounded
+    per-community table — bit-identical in a SQL mirror.
+
+    Returns (label, n_nodes, intra_edges, degree_sum, q_contrib);
+    q_contrib is NULL when the labeled subgraph has no edges."""
+    import numpy as np
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity w/ file)
+
+    from ..functions.fputil import np_round_away
+    from .groupagg import auto_hash_aggregate
+    from .joins import lookup_join
+
+    # normalize both sides to Arrow schemas (a pandas-backed Dataset's
+    # schema types are numpy dtypes, which the equijoin's schema builder
+    # rejects — the sssp_distances convention) and prune to live columns
+    labels = labels_ds.map_batches(
+        lambda t: t.select(["node", "label"]),
+        batch_format="pyarrow").materialize()
+    edges = edges_ds.map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    le = lookup_join(
+        lookup_join(edges, labels, left_key="a", right_key="node",
+                    payload=["label"], suffix="_a"),
+        labels, left_key="b", right_key="node",
+        payload=["label"], suffix="_b")
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        one = np.ones(t.num_rows, dtype=np.int64)
+        zero = np.zeros(t.num_rows, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [t.column("label"), pa.array(one), pa.array(zero),
+             pa.array(zero)],
+            names=["label", "n_nodes", "intra_edges", "degree_sum"])
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        la = t.column("label_a").to_numpy(zero_copy_only=False)
+        lb = t.column("label_b").to_numpy(zero_copy_only=False)
+        lab = np.concatenate([la, lb])
+        zero = np.zeros(len(lab), dtype=np.int64)
+        intra = np.concatenate([(la == lb).astype(np.int64),
+                                np.zeros(len(lb), dtype=np.int64)])
+        return pa.Table.from_arrays(
+            [pa.array(lab), pa.array(zero), pa.array(intra),
+             pa.array(np.ones(len(lab), dtype=np.int64))],
+            names=["label", "n_nodes", "intra_edges", "degree_sum"])
+
+    per_label = auto_hash_aggregate(
+        labels.map_batches(node_partial, batch_format="pyarrow")
+        .union(le.map_batches(edge_partial, batch_format="pyarrow")),
+        ["label"],
+        [("n_nodes", "sum"), ("intra_edges", "sum"),
+         ("degree_sum", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        deg = t.column("degree_sum").to_numpy(zero_copy_only=False)
+        intra = t.column("intra_edges").to_numpy(zero_copy_only=False)
+        m = int(deg.sum()) // 2
+        if m > 0:
+            q = np_round_away(
+                intra / float(m) - (deg * deg) / (4.0 * m * m),
+                round_digits)
+            qa = pa.array(np.asarray(q), pa.float64())
+        else:
+            qa = pa.array([None] * t.num_rows, pa.float64())
+        return t.append_column("q_contrib", qa)
+
+    # per-label table is bounded by community cardinality — one node
+    # finishes it
+    return per_label.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

@@ -444,3 +444,40 @@ def test_betweenness_two_sources_sum(ray_session):
     # from p: delta(h) = (1+0)/1 + (1+0)/1 = 2 (q and r hang off h);
     # same from q; leaves get 0 from each run they appear in
     assert got == {"h": 4.0, "p": 0.0, "q": 0.0, "r": 0.0}
+
+
+def test_modularity_hand_checked_two_triangles(ray_session):
+    """Two 3-cliques joined by one bridge, labeled by clique: m=7,
+    each community intra=3 / degree_sum=7 -> q_contrib = 3/7 - (7/14)^2
+    = 0.178571 each, Q = 0.357143.  An unlabeled pendant's edge must be
+    excluded (labeled-subgraph convention); a partition whose labeled
+    subgraph has no edges yields NULL q_contrib."""
+    import pandas as pd
+    import ray.data
+
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.graph import (
+        modularity,
+    )
+
+    edges = pd.DataFrame(
+        {"a": ["a1", "a2", "a3", "b1", "b2", "b3", "a1", "a2"],
+         "b": ["a2", "a3", "a1", "b2", "b3", "b1", "b1", "c"]})
+    labels = pd.DataFrame(
+        {"node": ["a1", "a2", "a3", "b1", "b2", "b3"],
+         "label": [0, 0, 0, 1, 1, 1]})
+    out = modularity(ray.data.from_pandas(edges),
+                     ray.data.from_pandas(labels)) \
+        .to_pandas().set_index("label").sort_index()
+    assert list(out.n_nodes) == [3, 3]
+    assert list(out.intra_edges) == [3, 3]
+    assert list(out.degree_sum) == [7, 7]
+    assert list(out.q_contrib) == [0.178571, 0.178571]
+
+    # no edges between labeled nodes -> m=0 -> NULL contributions
+    import numpy as np
+
+    lonely = pd.DataFrame({"node": ["x", "y"], "label": [0, 1]})
+    out0 = modularity(ray.data.from_pandas(edges),
+                      ray.data.from_pandas(lonely)).to_pandas()
+    assert len(out0) == 2 and out0.q_contrib.isna().all()
+    assert (out0.degree_sum == 0).all()

@@ -246,6 +246,9 @@ PAST_WINDOW_PINS = {
     # seeded 4-round label propagation over the mutual 5-NN graph
     # (SQL-oracled): 50 seeds + 447 propagated of 500
     "embeddings_label_propagation": (497, ["is_seed", "label", "vec_id"]),
+    # Newman modularity audit of the LP communities (SQL-oracled)
+    "embeddings_lp_modularity": (10, ["degree_sum", "intra_edges", "label",
+                                      "n_nodes", "q_contrib"]),
     # HITS hubs/authorities over the customer->order graph (SQL-oracled)
     "graph_hits": (1650, ["authority", "hub", "node"]),
     # 8-round distributed logistic regression, bit-for-bit SQL-oracled
