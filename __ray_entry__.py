@@ -4616,6 +4616,67 @@ def _q_docs_quality_lr_auc(sf_dir: str):
     return roc_auc(scored, score_col="score", label_col="y")
 
 
+def _q_docs_quality_lr_calibration(sf_dir: str):
+    """Model-calibration reliability table for the quality classifier:
+    decile buckets of predicted probability vs the empirical positive
+    rate (the diagnostic behind Platt scaling / temperature tuning).
+    Exact-int discipline: per block pre-combine (bucket -> n, pos,
+    micro-unit score sum — scores are 6-dp so round(score*1e6) is an
+    EXACT int64), ONE 10-key aggregate, and the only float math is two
+    single divisions per bucket — bit-identical in the DuckDB mirror
+    (no float accumulation anywhere)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.logreg import (
+        _sigmoid,
+        _z,
+        train_logreg,
+    )
+
+    feats = _read(sf_dir, "documents",
+                  columns=["doc_id", "text", "n_chars"]) \
+        .map_batches(_lr_quality_features, batch_format="pyarrow") \
+        .materialize()
+    w = train_logreg(feats, feature_cols=["x1", "x2"], label_col="y",
+                     rounds=8, lr=5.0)
+
+    def partials(t: pa.Table) -> pa.Table:
+        s = np.asarray(np_round_away(_sigmoid(_z(t, w, ["x1", "x2"])), 6))
+        bucket = np.minimum(np.floor(s * 10.0), 9.0).astype(np.int64)
+        s_micro = np.asarray(np_round_away(s * 1e6, 0)).astype(np.int64)
+        y = (np.asarray(t.column("y"), dtype=np.float64)
+             >= 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(bucket), pa.array(np.ones(len(s), dtype=np.int64)),
+             pa.array(y), pa.array(s_micro)],
+            names=["bucket", "n", "pos", "s_micro"])
+
+    g = auto_hash_aggregate(
+        feats.map_batches(partials, batch_format="pyarrow"),
+        ["bucket"], [("n", "sum"), ("pos", "sum"), ("s_micro", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        sm = t.column("s_micro").to_numpy(zero_copy_only=False)
+        mean_score = np_round_away(sm / (n * 1000000.0), 6)
+        frac_pos = np_round_away(pos / n.astype(np.float64), 6)
+        return pa.Table.from_arrays(
+            [t.column("bucket"), t.column("n"), t.column("pos"),
+             pa.array(np.asarray(mean_score), pa.float64()),
+             pa.array(np.asarray(frac_pos), pa.float64())],
+            names=["bucket", "n", "pos", "mean_score", "frac_pos"])
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_docs_winnowing(sf_dir: str):
     """Winnowing (MOSS) fingerprints (stages/textstats.winnow_fingerprints,
     Schleimer et al. 2003): k=5 char-gram Mersenne31 hashes, rightmost-min
@@ -6182,6 +6243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_lr": _q_docs_quality_lr,  # oracled (r4)
         # exact tied-rank ROC AUC of that classifier (SQL-oracled)
         "docs_quality_lr_auc": _q_docs_quality_lr_auc,  # oracled (r5)
+        # reliability/calibration table for that classifier (SQL-oracled)
+        "docs_quality_lr_calibration":
+            _q_docs_quality_lr_calibration,  # oracled (r5)
         # winnowing (MOSS) local fingerprints (SQL-oracled)
         "docs_winnowing": _q_docs_winnowing,  # oracled (r5)
         # rows-only: cascade-KG panel; math SQL-proved by graph_hits +
@@ -6767,6 +6831,29 @@ def _logreg_auc_sql(rounds: int = 8, lr: float = 5.0) -> str:
                          / (2.0 * t.n_pos * t.n_neg), 6) AS auc,
                t.n_pos, t.n_neg
         FROM c, t GROUP BY t.n_pos, t.n_neg"""
+
+
+def _logreg_calibration_sql(rounds: int = 8, lr: float = 5.0) -> str:
+    """Reliability-table mirror over the shared unrolled-training scores:
+    decile buckets, exact-int micro-unit score sums (scores are 6-dp, so
+    round(score*1e6) is an exact BIGINT on both sides), two single
+    divisions per bucket — no float accumulation anywhere."""
+    parts, sig, prev = _logreg_parts(rounds, lr)
+    return f"""
+        WITH {parts},
+        scored AS (SELECT round({sig}, 6) AS score, f.y
+                   FROM f, {prev} w),
+        b AS (SELECT least(floor(score * 10.0), 9.0)::BIGINT AS bucket,
+                     round(score * 1000000.0, 0)::BIGINT AS s_micro,
+                     CASE WHEN y >= 0.5 THEN 1 ELSE 0 END AS pos
+              FROM scored)
+        SELECT bucket, count(*)::BIGINT AS n,
+               cast(sum(pos) AS BIGINT) AS pos,
+               round(cast(sum(s_micro) AS BIGINT)
+                         / (count(*) * 1000000.0), 6) AS mean_score,
+               round(cast(sum(pos) AS BIGINT)
+                         / count(*)::DOUBLE, 6) AS frac_pos
+        FROM b GROUP BY bucket"""
 
 
 def _winnowing_sql() -> str:
@@ -9468,6 +9555,7 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
         "graph_hits": _hits_sql(),
         "docs_quality_lr": _logreg_sql(),
         "docs_quality_lr_auc": _logreg_auc_sql(),
+        "docs_quality_lr_calibration": _logreg_calibration_sql(),
         "docs_winnowing": _winnowing_sql(),
         "transcripts_entity_ppr": _ppr_sql(tglob),
         "transcripts_entity_bfs": _bfs_sql(tglob),

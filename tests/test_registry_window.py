@@ -256,6 +256,9 @@ PAST_WINDOW_PINS = {
     "docs_quality_lr": (500, ["doc_id", "pred", "score"]),
     # exact tied-rank ROC AUC of that classifier (SQL-oracled)
     "docs_quality_lr_auc": (1, ["auc", "n_neg", "n_pos"]),
+    # reliability/calibration deciles of that classifier (SQL-oracled)
+    "docs_quality_lr_calibration": (4, ["bucket", "frac_pos", "mean_score",
+                                        "n", "pos"]),
     # winnowing (MOSS) local fingerprints (SQL-oracled)
     "docs_winnowing": (500, ["doc_id", "fp_max", "fp_min", "fp_sum",
                              "n_fingerprints", "n_grams"]),
