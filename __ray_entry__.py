@@ -4118,6 +4118,26 @@ def _exact_pairs(sf_dir: str, threshold: float = 0.5):
     return out
 
 
+def _q_docs_containment_pairs(sf_dir: str):
+    """EXACT asymmetric containment pairs C(A|B)=|A∩B|/|A| >= 0.6 in
+    either direction (stages/dedup.containment_pairs_exact, Broder 1997)
+    — the superset/excerpt detector Jaccard structurally misses (a short
+    doc fully embedded in a long one scores J ~ |A|/|B| but
+    containment_a = 1.0); same inverted-index substrate as
+    docs_similar_pairs_exact."""
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        containment_pairs_exact,
+    )
+
+    key = ("contain", sf_dir, 0.6)
+    out = _PAIRS_MEMO.get(key)
+    if out is None:
+        out = _PAIRS_MEMO[key] = containment_pairs_exact(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            threshold=0.6).materialize()
+    return out
+
+
 def _q_docs_similar_pairs_exact(sf_dir: str):
     """EXACT all-pairs word-3-shingle Jaccard >= 0.5 via the distributed
     inverted shingle index (stages/dedup.similar_pairs_exact) — the
@@ -6248,6 +6268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_docs_quality_lr_calibration,  # oracled (r5)
         # winnowing (MOSS) local fingerprints (SQL-oracled)
         "docs_winnowing": _q_docs_winnowing,  # oracled (r5)
+        # asymmetric containment pairs on the exact-shingle substrate
+        # (the superset/excerpt detector; SQL-oracled)
+        "docs_containment_pairs": _q_docs_containment_pairs,  # r5
         # rows-only: cascade-KG panel; math SQL-proved by graph_hits +
         # transcripts_entity_kcore
         "kg_entity_analytics": _q_kg_entity_analytics,
@@ -8788,6 +8811,22 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
             FROM inter_t JOIN sz sa ON inter_t.a = sa.doc_id
                          JOIN sz sb ON inter_t.b = sb.doc_id
             WHERE n * 1.0 / (sa.ns + sb.ns - n) >= 0.5""",
+        "docs_containment_pairs": f"""
+            WITH src_docs AS (SELECT doc_id, text FROM documents),
+            {_shingle_cte()},
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            inter_t AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                               count(*) AS n
+                        FROM ex x JOIN ex y
+                          ON x.g = y.g AND x.doc_id < y.doc_id
+                        GROUP BY 1, 2),
+            sz AS (SELECT doc_id, len(s) AS ns FROM sh)
+            SELECT a, b,
+                   round(n * 1.0 / sa.ns, 4) AS containment_a,
+                   round(n * 1.0 / sb.ns, 4) AS containment_b
+            FROM inter_t JOIN sz sa ON inter_t.a = sa.doc_id
+                         JOIN sz sb ON inter_t.b = sb.doc_id
+            WHERE greatest(n * 1.0 / sa.ns, n * 1.0 / sb.ns) >= 0.6""",
         "docs_curated": rf"""
             WITH f AS (
               SELECT doc_id, text,

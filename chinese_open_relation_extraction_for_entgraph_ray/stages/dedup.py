@@ -682,25 +682,22 @@ def _shingle_strings(text: str, k: int = 3) -> list[str]:
     return list(word_shingles(text, k))
 
 
-def similar_pairs_exact(docs_ds, threshold: float = 0.5, k: int = 3,
-                        max_df: int | None = None):
-    """EXACT all-pairs word-k-shingle Jaccard >= ``threshold`` — no LSH
-    probability anywhere, via the classic distributed inverted-index join:
+def shingle_intersections(docs_ds, k: int = 3,
+                          max_df: int | None = None):
+    """EXACT per-pair shingle-intersection counts — the shared substrate
+    of :func:`similar_pairs_exact` (Jaccard) and
+    :func:`containment_pairs_exact` (asymmetric overlap), via the classic
+    distributed inverted-index join:
 
         docs -> distinct (shingle_hash128, doc_id) index rows
              -> ONE sort by shingle -> per-bucket pair emission (RLE block
                 scan; boundary buckets through a tiny second pass)
              -> sorted-block count per (a, b)  == |shingle intersection|
-             -> two keyed lookups attach |A| and |B| -> J = i/(|A|+|B|-i)
+             -> two keyed lookups attach |A| and |B|
 
-    Deterministic complement to :func:`jaccard_near_dups` (whose recall is
-    the LSH's): the output is exactly every pair sharing >= 1 indexed
-    shingle with true Jaccard over the threshold — i.e. every pair with
-    J > 0 (a pair of zero-shingle docs, which :func:`jaccard` scores 1.0
-    by convention, has no index rows and is NOT emitted).  Exact and
-    SQL-mirrorable (the DuckDB oracle in ``__ray_entry__`` runs the same
-    join over unnested shingle lists, which misses the same degenerate
-    pairs by construction).
+    Returns (a, b, n_shared, n_shingles_a, n_shingles_b), one row per
+    pair sharing >= 1 indexed shingle (a pair of zero-shingle docs has no
+    index rows and is NOT emitted — its consumers mirror that).
 
     100-TB shape: the only quadratic danger is a shingle shared by many
     documents (bucket of size d emits d^2/2 pairs).  ``max_df`` drops
@@ -866,9 +863,19 @@ def similar_pairs_exact(docs_ds, threshold: float = 0.5, k: int = 3,
         ["a", "b"], [("n_shared", "sum")])
     with_a = lookup_join(inter, sizes, left_key="a", right_key="doc_id",
                          payload=["n_shingles"], suffix="_a", how="inner")
-    with_ab = lookup_join(with_a, sizes, left_key="b", right_key="doc_id",
-                          payload=["n_shingles"], suffix="_b", how="inner")
+    return lookup_join(with_a, sizes, left_key="b", right_key="doc_id",
+                       payload=["n_shingles"], suffix="_b", how="inner")
 
+
+def similar_pairs_exact(docs_ds, threshold: float = 0.5, k: int = 3,
+                        max_df: int | None = None):
+    """EXACT all-pairs word-k-shingle Jaccard >= ``threshold`` over the
+    :func:`shingle_intersections` substrate — the deterministic complement
+    to :func:`jaccard_near_dups` (whose recall is the LSH's): exactly
+    every pair with J > 0 over the threshold, no recall probability
+    anywhere.  SQL-mirrorable (the DuckDB oracle runs the same join over
+    unnested shingle lists, missing the same zero-shingle degenerate
+    pairs by construction)."""
     from ..functions.fputil import np_round_away
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -884,4 +891,35 @@ def similar_pairs_exact(docs_ds, threshold: float = 0.5, k: int = 3,
              pa.array(np_round_away(j[keep], 4), pa.float64())],
             names=["a", "b", "jaccard"])
 
-    return with_ab.map_batches(finish, batch_format="pyarrow")
+    return shingle_intersections(docs_ds, k=k, max_df=max_df) \
+        .map_batches(finish, batch_format="pyarrow")
+
+
+def containment_pairs_exact(docs_ds, threshold: float = 0.6, k: int = 3,
+                            max_df: int | None = None):
+    """EXACT asymmetric containment pairs — C(A|B) = |A∩B| / |A| per
+    direction over the :func:`shingle_intersections` substrate, kept when
+    EITHER direction clears ``threshold``.  The superset/subset detector
+    Jaccard structurally misses: a short doc fully embedded in a long one
+    scores J ≈ |A|/|B| (arbitrarily low) but containment_a = 1.0 — the
+    quote/boilerplate/excerpt case of corpus dedup (cf. Broder 1997's
+    resemblance-vs-containment distinction).  Same exactness and
+    zero-shingle conventions as :func:`similar_pairs_exact`."""
+    from ..functions.fputil import np_round_away
+
+    def finish(batch: pa.Table) -> pa.Table:
+        inter_n = batch.column("n_shared").to_numpy().astype(np.float64)
+        na = batch.column("n_shingles_a").to_numpy().astype(np.float64)
+        nb = batch.column("n_shingles_b").to_numpy().astype(np.float64)
+        ca = inter_n / na           # index rows exist => na, nb >= 1
+        cb = inter_n / nb
+        keep = np.maximum(ca, cb) >= threshold
+        return pa.Table.from_arrays(
+            [batch.column("a").combine_chunks().filter(pa.array(keep)),
+             batch.column("b").combine_chunks().filter(pa.array(keep)),
+             pa.array(np_round_away(ca[keep], 4), pa.float64()),
+             pa.array(np_round_away(cb[keep], 4), pa.float64())],
+            names=["a", "b", "containment_a", "containment_b"])
+
+    return shingle_intersections(docs_ds, k=k, max_df=max_df) \
+        .map_batches(finish, batch_format="pyarrow")

@@ -511,3 +511,50 @@ def test_lookup_join_broadcast_parity(ray_session):
             assert (4, None, None) in by_bcast    # null key kept, no match
         else:
             assert all(r[0] != 4 for r in by_bcast)
+
+
+def test_containment_pairs_exact_superset_detection(ray_session):
+    """containment_pairs_exact must (a) match the O(n^2) brute-force
+    containment over the fixture corpus, and (b) catch a short doc fully
+    embedded in a long one — the case Jaccard structurally misses."""
+    import numpy as np
+    import ray.data as rd
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.dedup import (
+        containment_pairs_exact,
+        similar_pairs_exact,
+        word_shingles,
+    )
+
+    long_text = " ".join(f"tok{i}" for i in range(60))
+    short_text = " ".join(f"tok{i}" for i in range(20, 28))  # embedded
+    docs = _fixture_corpus()
+    docs.append({"doc_id": 200, "text": long_text})
+    docs.append({"doc_id": 201, "text": short_text})
+    ds = rd.from_items(docs).repartition(4)
+
+    got = {(r["a"], r["b"]): (r["containment_a"], r["containment_b"])
+           for r in containment_pairs_exact(ds, threshold=0.6).take_all()}
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            sa = word_shingles(docs[i]["text"])
+            sb = word_shingles(docs[j]["text"])
+            if sa & sb:
+                ca = len(sa & sb) / len(sa)
+                cb = len(sa & sb) / len(sb)
+                if max(ca, cb) >= 0.6:
+                    r4 = lambda v: float(np_round_away(np.array([v]), 4)[0])
+                    want[(docs[i]["doc_id"],
+                          docs[j]["doc_id"])] = (r4(ca), r4(cb))
+    assert got == want and len(want) > 0
+
+    # the embedded short doc: containment catches it, Jaccard at the same
+    # threshold does not
+    assert got[(200, 201)][1] == 1.0
+    jac = {(r["a"], r["b"]) for r in similar_pairs_exact(
+        ds, threshold=0.6).take_all()}
+    assert (200, 201) not in jac

@@ -262,6 +262,9 @@ PAST_WINDOW_PINS = {
     # winnowing (MOSS) local fingerprints (SQL-oracled)
     "docs_winnowing": (500, ["doc_id", "fp_max", "fp_min", "fp_sum",
                              "n_fingerprints", "n_grams"]),
+    # asymmetric containment pairs, exact-shingle substrate (SQL-oracled)
+    "docs_containment_pairs": (28, ["a", "b", "containment_a",
+                                    "containment_b"]),
     # cascade-KG analytics panel: HITS + 2-core membership (rows-only;
     # math SQL-proved by graph_hits + transcripts_entity_kcore)
     "kg_entity_analytics": (109, ["authority", "hub", "in_2core",
