@@ -2763,6 +2763,19 @@ def _q_docs_top_tokens(sf_dir: str):
     dict pre-aggregation (combiner) -> small grouped sum -> sort+limit;
     the exchange carries one row per (batch, distinct token), never raw
     tokens."""
+    # token cardinality is corpus-vocabulary-bound (can reach 1e8+ at
+    # 100 TB): observed-cardinality dispatch — small vocab reduces on the
+    # no-sort path, a web-scale vocab takes the sorted-block aggregate
+    return (_token_counts(sf_dir)
+            .sort(["n", "token"], descending=[True, False])
+            .limit(20))
+
+
+def _token_counts(sf_dir: str):
+    """Corpus-wide exact (token, n) counts — per-batch dict pre-aggregation
+    (combiner) + observed-cardinality grouped sum; the exchange carries one
+    row per (batch, distinct token), never raw tokens.  Shared by
+    docs_top_tokens and docs_zipf_fit."""
     import pyarrow as pa
 
     from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
@@ -2783,15 +2796,54 @@ def _q_docs_top_tokens(sf_dir: str):
              pa.array(list(counts.values()), pa.int64())],
             names=["token", "n"])
 
-    # token cardinality is corpus-vocabulary-bound (can reach 1e8+ at
-    # 100 TB): observed-cardinality dispatch — small vocab reduces on the
-    # no-sort path, a web-scale vocab takes the sorted-block aggregate
-    return (auto_hash_aggregate(
-                _read(sf_dir, "documents", columns=["text"])
-                .map_batches(batch_counts, batch_format="pyarrow"),
-                ["token"], [("n", "sum")])
-            .sort(["n", "token"], descending=[True, False])
-            .limit(20))
+    return auto_hash_aggregate(
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(batch_counts, batch_format="pyarrow"),
+        ["token"], [("n", "sum")])
+
+
+def _q_docs_zipf_fit(sf_dir: str):
+    """Corpus-statistics audit: least-squares fit of ln(freq) ~ slope *
+    ln(rank) + intercept over the top-200 tokens (Zipf's law check —
+    natural text reads slope ~ -1; a drifting slope flags boilerplate or
+    synthetic contamination).  Shape: the shared pre-combined token-count
+    aggregate, one (200-row) sort+limit, then CONSTANT-SIZE driver math.
+    Bit-parity: each per-rank term (ln x, ln y, their squares/products) is
+    quantized to 2^20 fixed point BEFORE the sums (the train_logreg
+    discipline — floor(v*2^20+0.5) has identical numpy/DuckDB semantics,
+    and the quantization slack absorbs any last-ulp libm ln()
+    difference), so the regression inputs are exact int64 and the
+    slope/intercept are single float expressions over them."""
+    import numpy as np
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+
+    top = _token_counts(sf_dir) \
+        .sort(["n", "token"], descending=[True, False]) \
+        .limit(200).take_all()
+    k = len(top)
+    fp = float(1 << 20)
+    rank = np.arange(1, k + 1, dtype=np.float64)
+    freq = np.array([r["n"] for r in top], dtype=np.float64)
+    x, y = np.log(rank), np.log(freq)
+
+    def q(v: np.ndarray) -> int:
+        return int(np.floor(v * fp + 0.5).astype(np.int64).sum())
+
+    sx, sy, sxx, sxy = q(x), q(y), q(x * x), q(x * y)
+    num = k * sxy / fp - (sx / fp) * (sy / fp)
+    den = k * sxx / fp - (sx / fp) * (sx / fp)
+    slope = num / den
+    intercept = (sy / fp - slope * (sx / fp)) / k
+    r = np_round_away(np.array([slope, intercept]), 6)
+    return pa.Table.from_arrays(
+        [pa.array([k], pa.int64()),
+         pa.array([float(r[0])], pa.float64()),
+         pa.array([float(r[1])], pa.float64())],
+        names=["n_ranks", "slope", "intercept"])
 
 
 def _q_events_user_cumulative_value(sf_dir: str):
@@ -6271,6 +6323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # asymmetric containment pairs on the exact-shingle substrate
         # (the superset/excerpt detector; SQL-oracled)
         "docs_containment_pairs": _q_docs_containment_pairs,  # r5
+        # Zipf rank-frequency regression audit (SQL-oracled)
+        "docs_zipf_fit": _q_docs_zipf_fit,  # r5
         # rows-only: cascade-KG panel; math SQL-proved by graph_hits +
         # transcripts_entity_kcore
         "kg_entity_analytics": _q_kg_entity_analytics,
@@ -9595,6 +9649,42 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
         "docs_quality_lr": _logreg_sql(),
         "docs_quality_lr_auc": _logreg_auc_sql(),
         "docs_quality_lr_calibration": _logreg_calibration_sql(),
+        # Zipf rank-frequency fit: 2^20-quantized regression inputs (the
+        # train_logreg fixed-point discipline) so sums are exact int64
+        "docs_zipf_fit": r"""
+            WITH counts AS (
+              SELECT token, count(*)::BIGINT AS n
+              FROM (SELECT unnest(regexp_extract_all(text, '\S+'))
+                        AS token FROM documents)
+              GROUP BY token),
+            top AS (SELECT n, row_number() OVER (
+                        ORDER BY n DESC, token ASC) AS rank
+                    FROM counts ORDER BY n DESC, token ASC LIMIT 200),
+            t AS (SELECT ln(rank::DOUBLE) AS x, ln(n::DOUBLE) AS y
+                  FROM top),
+            s AS (SELECT count(*)::BIGINT AS k,
+                         cast(sum(floor(x * 1048576.0 + 0.5)) AS BIGINT)
+                             AS sx,
+                         cast(sum(floor(y * 1048576.0 + 0.5)) AS BIGINT)
+                             AS sy,
+                         cast(sum(floor(x * x * 1048576.0 + 0.5))
+                              AS BIGINT) AS sxx,
+                         cast(sum(floor(x * y * 1048576.0 + 0.5))
+                              AS BIGINT) AS sxy
+                  FROM t)
+            SELECT k AS n_ranks,
+                   round((k * sxy / 1048576.0
+                          - (sx / 1048576.0) * (sy / 1048576.0))
+                         / (k * sxx / 1048576.0
+                            - (sx / 1048576.0) * (sx / 1048576.0)), 6)
+                       AS slope,
+                   round((sy / 1048576.0
+                          - ((k * sxy / 1048576.0
+                              - (sx / 1048576.0) * (sy / 1048576.0))
+                             / (k * sxx / 1048576.0
+                                - (sx / 1048576.0) * (sx / 1048576.0)))
+                            * (sx / 1048576.0)) / k, 6) AS intercept
+            FROM s""",
         "docs_winnowing": _winnowing_sql(),
         "transcripts_entity_ppr": _ppr_sql(tglob),
         "transcripts_entity_bfs": _bfs_sql(tglob),

@@ -265,6 +265,8 @@ PAST_WINDOW_PINS = {
     # asymmetric containment pairs, exact-shingle substrate (SQL-oracled)
     "docs_containment_pairs": (28, ["a", "b", "containment_a",
                                     "containment_b"]),
+    # Zipf rank-frequency regression audit (SQL-oracled)
+    "docs_zipf_fit": (1, ["intercept", "n_ranks", "slope"]),
     # cascade-KG analytics panel: HITS + 2-core membership (rows-only;
     # math SQL-proved by graph_hits + transcripts_entity_kcore)
     "kg_entity_analytics": (109, ["authority", "hub", "in_2core",
