@@ -5380,9 +5380,13 @@ def _q_lineitem_revenue_by_nation(sf_dir: str):
         lambda b: b.append_column("n_orders",
                                   pa.array([1] * b.num_rows, pa.int64())),
         batch_format="pyarrow")
+    # right sides MATERIALIZED so lookup_join's observed-size dispatch can
+    # broadcast them when they fit (lazy datasets always take the sorted
+    # exchange); beyond the bound the sorted path engages automatically
     w_cust = lookup_join(
         per_order,
-        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey"]).materialize(),
         left_key="l_orderkey", right_key="o_orderkey",
         payload=["o_custkey"], how="inner")
     per_cust = auto_hash_aggregate(w_cust, ["o_custkey_r"],
@@ -5390,7 +5394,8 @@ def _q_lineitem_revenue_by_nation(sf_dir: str):
                                     ("n_orders", "sum")])
     w_nat = lookup_join(
         per_cust,
-        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "customer",
+              columns=["c_custkey", "c_nationkey"]).materialize(),
         left_key="o_custkey_r", right_key="c_custkey",
         payload=["c_nationkey"], how="inner")
     per_nat = auto_hash_aggregate(w_nat, ["c_nationkey_r"],
