@@ -1140,6 +1140,84 @@ def _q_transcripts_from_csv(sf_dir: str):
          ("sum_text_chars", "sum"), ("n_convs", "sum")])
 
 
+def _q_transcripts_from_jsonl(sf_dir: str):
+    """JSONL source parity through the newsspike pre-split dialect
+    (sources/jsonl.read_transcripts_jsonl split_field — the reference's
+    preprocess_corpus.py:343 shape): the parquet transcripts are exported
+    ONCE to cached NDJSON (one entry per conversation, splitted_text =
+    turn texts in turn_idx order; duckdb FORMAT JSON), read back through
+    the engine's OWN JSONL reader, and reduced to a per-bucket content
+    checksum (bucket = last conv_id char; turn count, sum of reader
+    positions, sum of text chars, exact-distinct conversations via the
+    two-level aggregate).  The oracle computes the same checksum from the
+    PARQUET — reader positions are enumerate-order, so sum_pos must equal
+    n*(n-1)/2 per conversation; any dialect-parsing corruption breaks the
+    hash."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd  # noqa: F401
+
+    from chinese_open_relation_extraction_for_entgraph_ray.sources.jsonl import (
+        read_transcripts_jsonl,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    tdir = _transcripts_dir(sf_dir)
+    jpath = os.path.join("/tmp/entgraph_jsonl",
+                         tdir.strip("/").replace("/", "_") + ".jsonl")
+    if not os.path.exists(jpath):
+        import duckdb
+
+        os.makedirs(os.path.dirname(jpath), exist_ok=True)
+        tmp = jpath + f".tmp.{os.getpid()}"
+        duckdb.sql(
+            f"COPY (SELECT conv_id, "
+            f"             list(text ORDER BY turn_idx) AS splitted_text "
+            f"      FROM read_parquet('{tdir}/*.parquet') "
+            f"      GROUP BY conv_id) "
+            f"TO '{tmp}' (FORMAT JSON)")
+        os.replace(tmp, jpath)
+
+    ds = read_transcripts_jsonl(jpath, id_field="conv_id",
+                                split_field="splitted_text")
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_chars = pc.fill_null(
+            pc.utf8_length(b.column("text")), 0).cast(pa.int64())
+        bucket = pc.utf8_slice_codeunits(b.column("conv_id"), -1)
+        return pa.Table.from_arrays(
+            [bucket, b.column("conv_id"),
+             pa.array(np.ones(b.num_rows, dtype=np.int64)),
+             b.column("turn_idx").cast(pa.int64()), n_chars],
+            names=["bucket", "conv_id", "n_turns", "sum_pos",
+                   "sum_text_chars"])
+
+    per_conv = auto_hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["bucket", "conv_id"],
+        [("n_turns", "sum"), ("sum_pos", "sum"),
+         ("sum_text_chars", "sum")])
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("bucket"), b.column("n_turns"), b.column("sum_pos"),
+             b.column("sum_text_chars"),
+             pa.array(np.ones(b.num_rows, dtype=np.int64))],
+            names=["bucket", "n_turns", "sum_pos", "sum_text_chars",
+                   "n_convs"])
+
+    return auto_hash_aggregate(
+        per_conv.map_batches(ones, batch_format="pyarrow"), ["bucket"],
+        [("n_turns", "sum"), ("sum_pos", "sum"),
+         ("sum_text_chars", "sum"), ("n_convs", "sum")])
+
+
 def _q_transcripts_entity_cooccurrence_window(sf_dir: str):
     """WINDOWED entity co-occurrence — the cross-turn KG edge signal
     same-turn co-occurrence misses (coref-adjacent entities usually sit
@@ -6322,6 +6400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_entity_cooccurrence_window":
             _q_transcripts_entity_cooccurrence_window,  # oracled (r4)
         "transcripts_from_csv": _q_transcripts_from_csv,  # oracled (r4)
+        # JSONL round-trip through the newsspike split_field dialect
+        "transcripts_from_jsonl": _q_transcripts_from_jsonl,  # oracled r5
         "transcripts_kg_negatives":
             _q_transcripts_kg_negatives,  # oracled (r4)
         "transcripts_predicate_types":
@@ -8525,6 +8605,22 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
                    sum(sum_text_chars)::BIGINT AS sum_text_chars,
                    count(*)::BIGINT AS n_convs
             FROM per_conv GROUP BY role""",
+        # JSONL round-trip: reader positions are enumerate-order within
+        # each conversation, so sum_pos == n*(n-1)/2 per conv by
+        # construction — the oracle derives it rather than re-reading JSON
+        "transcripts_from_jsonl": f"""
+            WITH per_conv AS (
+              SELECT substr(conv_id, length(conv_id)) AS bucket, conv_id,
+                     count(*)::BIGINT AS n_turns,
+                     (count(*) * (count(*) - 1) / 2)::BIGINT AS sum_pos,
+                     sum(coalesce(length(text), 0))::BIGINT
+                         AS sum_text_chars
+              FROM read_parquet('{tglob}') GROUP BY 1, 2)
+            SELECT bucket, sum(n_turns)::BIGINT AS n_turns,
+                   sum(sum_pos)::BIGINT AS sum_pos,
+                   sum(sum_text_chars)::BIGINT AS sum_text_chars,
+                   count(*)::BIGINT AS n_convs
+            FROM per_conv GROUP BY bucket""",
         "transcripts_kg_negatives": f"""
             WITH m AS (SELECT row_number() OVER () AS i,
                               role || ':' || tool AS pred,

@@ -219,6 +219,9 @@ PAST_WINDOW_PINS = {
     # CSV source round-trip parity checksum (SQL-oracled vs parquet)
     "transcripts_from_csv": (3, ["n_convs", "n_turns", "role",
                                  "sum_text_chars", "sum_turn_idx"]),
+    # JSONL round-trip through the newsspike split_field dialect
+    "transcripts_from_jsonl": (10, ["bucket", "n_convs", "n_turns",
+                                    "sum_pos", "sum_text_chars"]),
     # deterministic corrupt-tail negatives, 2 per distinct triple
     "transcripts_kg_negatives": (4300, ["neg_i", "neg_obj", "obj",
                                         "pred", "subj"]),
