@@ -5341,6 +5341,58 @@ def _q_embeddings_hard_negatives(sf_dir: str):
         anchor_mod=100)
 
 
+def _q_events_decayed_popularity(sf_dir: str):
+    """Exponentially time-decayed popularity per event type (half-life
+    style recency weighting — the batch analog of a streaming decayed
+    counter; cf. recommendation-system trending scores): weight =
+    exp(-age_days) against the corpus max timestamp.  Shape: ONE tiny
+    global max(ts) aggregate broadcast by closure, then ONE pre-combined
+    grouped sum on the (constant-cardinality) type key.  Bit-parity: each
+    per-event weight is quantized floor(w*2^20+0.5) BEFORE the sum (the
+    train_logreg discipline — int64 partials are order-independent and
+    the slack absorbs last-ulp exp() differences), so the only float math
+    is one division per output row."""
+    import numpy as np
+    import pyarrow as pa
+
+    from chinese_open_relation_extraction_for_entgraph_ray.functions.fputil import (
+        np_round_away,
+    )
+    from chinese_open_relation_extraction_for_entgraph_ray.stages.groupagg import (
+        auto_hash_aggregate,
+    )
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+    # normalize the driver-scalar max(ts) to integer MICROSECONDS exactly
+    # as DuckDB's epoch_us(ts)
+    ref_us = int(np.datetime64(ev.max("ts"), "us").astype(np.int64))
+    fp = float(1 << 20)
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = (ref_us - us) / 86400000000.0
+        wq = np.floor(np.exp(-d) * fp + 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [t.column("event_type"), pa.array(wq),
+             pa.array(np.ones(len(wq), dtype=np.int64))],
+            names=["event_type", "wq", "n_events"])
+
+    g = auto_hash_aggregate(
+        ev.map_batches(partials, batch_format="pyarrow"),
+        ["event_type"], [("wq", "sum"), ("n_events", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        score = np_round_away(
+            t.column("wq").to_numpy(zero_copy_only=False) / fp, 6)
+        return pa.Table.from_arrays(
+            [t.column("event_type"), t.column("n_events"),
+             pa.array(np.asarray(score), pa.float64())],
+            names=["event_type", "n_events", "decayed_count"])
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_events_latest_state(sf_dir: str):
     """CDC compaction (stages/cdc.py latest_state): the events stream read
     as a keyed mutation log — per user keep only the latest mutation by
@@ -6474,6 +6526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # triplet hard positive/negative mining (SQL-oracled, r5)
         "embeddings_hard_negatives": _q_embeddings_hard_negatives,
         # CDC tombstone compaction to latest state (SQL-oracled, r5 day-5)
+        # exponentially time-decayed popularity (SQL-oracled)
+        "events_decayed_popularity": _q_events_decayed_popularity,  # r5
         "events_latest_state": _q_events_latest_state,
         # SCD type-2 versioned history (SQL-oracled, r5 day-5)
         "events_scd2_history": _q_events_scd2_history,
@@ -9978,6 +10032,16 @@ def _oracle_sql_impl(tglob: str) -> dict[str, str]:
             SELECT node AS term, rank_scaled
             FROM ({_pagerank_sql(edges_sql=_WORD_EDGES_SQL)})
             ORDER BY rank_scaled DESC, term ASC LIMIT 20""",
+        # per-event weights quantized to 2^20 fixed point BEFORE the sum —
+        # exact BIGINT partials, one float division per output row
+        "events_decayed_popularity": """
+            WITH r AS (SELECT epoch_us(max(ts))::BIGINT AS ref FROM events)
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   round(cast(sum(floor(
+                       exp(-((SELECT ref FROM r) - epoch_us(ts))
+                           / 86400000000.0) * 1048576.0 + 0.5)) AS BIGINT)
+                       / 1048576.0, 6) AS decayed_count
+            FROM events GROUP BY event_type""",
         "events_latest_state": """
             SELECT user_id, ts, event_id, event_type, value
             FROM (SELECT user_id, ts, event_id, event_type, value,

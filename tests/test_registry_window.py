@@ -270,6 +270,9 @@ PAST_WINDOW_PINS = {
                                     "containment_b"]),
     # Zipf rank-frequency regression audit (SQL-oracled)
     "docs_zipf_fit": (1, ["intercept", "n_ranks", "slope"]),
+    # exponentially time-decayed popularity per type (SQL-oracled)
+    "events_decayed_popularity": (5, ["decayed_count", "event_type",
+                                      "n_events"]),
     # cascade-KG analytics panel: HITS + 2-core membership (rows-only;
     # math SQL-proved by graph_hits + transcripts_entity_kcore)
     "kg_entity_analytics": (109, ["authority", "hub", "in_2core",
