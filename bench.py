@@ -75,7 +75,12 @@ def _timed_queries() -> dict[str, float]:
              # interval join, GNN aggregation, segmentation
              "lineitem_revenue_by_nation", "events_latest_state",
              "events_purchase_followup", "embeddings_neighborhood_agg",
-             "transcripts_topic_boundaries"]
+             "transcripts_topic_boundaries",
+             # r5 day-5 second wave: evaluation + corpus-statistics ops
+             "docs_quality_lr_auc", "docs_winnowing",
+             "docs_containment_pairs", "docs_zipf_fit",
+             "events_decayed_popularity", "embeddings_lp_modularity",
+             "transcripts_from_jsonl"]
     qs = entrymod.queries()
     out = {}
     for name in names:
