@@ -868,14 +868,16 @@ def shingle_intersections(docs_ds, k: int = 3,
 
 
 def similar_pairs_exact(docs_ds, threshold: float = 0.5, k: int = 3,
-                        max_df: int | None = None):
+                        max_df: int | None = None, *, intersections=None):
     """EXACT all-pairs word-k-shingle Jaccard >= ``threshold`` over the
     :func:`shingle_intersections` substrate — the deterministic complement
     to :func:`jaccard_near_dups` (whose recall is the LSH's): exactly
     every pair with J > 0 over the threshold, no recall probability
     anywhere.  SQL-mirrorable (the DuckDB oracle runs the same join over
     unnested shingle lists, missing the same zero-shingle degenerate
-    pairs by construction)."""
+    pairs by construction).  Pass ``intersections`` (a prior
+    :func:`shingle_intersections` result) to share the expensive substrate
+    with a sibling finisher."""
     from ..functions.fputil import np_round_away
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -891,12 +893,14 @@ def similar_pairs_exact(docs_ds, threshold: float = 0.5, k: int = 3,
              pa.array(np_round_away(j[keep], 4), pa.float64())],
             names=["a", "b", "jaccard"])
 
-    return shingle_intersections(docs_ds, k=k, max_df=max_df) \
-        .map_batches(finish, batch_format="pyarrow")
+    if intersections is None:
+        intersections = shingle_intersections(docs_ds, k=k, max_df=max_df)
+    return intersections.map_batches(finish, batch_format="pyarrow")
 
 
 def containment_pairs_exact(docs_ds, threshold: float = 0.6, k: int = 3,
-                            max_df: int | None = None):
+                            max_df: int | None = None, *,
+                            intersections=None):
     """EXACT asymmetric containment pairs — C(A|B) = |A∩B| / |A| per
     direction over the :func:`shingle_intersections` substrate, kept when
     EITHER direction clears ``threshold``.  The superset/subset detector
@@ -921,5 +925,6 @@ def containment_pairs_exact(docs_ds, threshold: float = 0.6, k: int = 3,
              pa.array(np_round_away(cb[keep], 4), pa.float64())],
             names=["a", "b", "containment_a", "containment_b"])
 
-    return shingle_intersections(docs_ds, k=k, max_df=max_df) \
-        .map_batches(finish, batch_format="pyarrow")
+    if intersections is None:
+        intersections = shingle_intersections(docs_ds, k=k, max_df=max_df)
+    return intersections.map_batches(finish, batch_format="pyarrow")
