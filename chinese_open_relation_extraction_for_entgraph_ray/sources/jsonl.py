@@ -52,6 +52,10 @@ def presplit_sentences_with_spaces(text: str) -> list[str]:
     assert "".join(spans) == text, "sentence spans must reconstruct the text"
     return [s.strip() for s in spans if s.strip()]
 
+# tests flip this off to pin fast-path == row-path parity; the row path
+# (per-line json.loads through _entry_rows) is the dialect reference.
+FAST_SPLIT_PATH = True
+
 TRANSCRIPTS_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
     ("turn_idx", pa.int32()),
@@ -113,9 +117,9 @@ def read_transcripts_jsonl(path: str, *, text_field: str = "text",
         raise ValueError("presplit applies to whole-text entries; "
                          "split_field entries are already pre-split")
 
-    def parse(batch: pa.Table) -> pa.Table:
+    def parse_rows(lines: list) -> pa.Table:
         rows: list[dict] = []
-        for line in batch.column("text").to_pylist():
+        for line in lines:
             if not line or not line.strip():
                 continue
             rows.extend(_entry_rows(json.loads(line), line,
@@ -124,6 +128,74 @@ def read_transcripts_jsonl(path: str, *, text_field: str = "text",
                                     split_field=split_field,
                                     presplit=presplit))
         return _rows_to_table(rows)
+
+    def parse_fast_split(batch: pa.Table) -> pa.Table | None:
+        """Arrow-native fast path for the explicit-id split_field dialect:
+        ONE pyarrow C++ JSON parse per block + vectorized list explode —
+        no per-line json.loads.  Measured: parse-stage CPU roughly halves;
+        end-to-end warm wall for the 260 MB sf0.1 round-trip is ~10.3 s ->
+        ~9.7 s (median of 3) because the read_text line scan dominates on
+        this host — the CPU saving is the scale argument, not local wall.
+        Returns None when the block needs the general row path
+        (missing/odd fields, non-string elements, null ids), whose
+        semantics are the dialect reference."""
+        import io
+
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.json as pajson
+
+        lines = [ln for ln in batch.column("text").to_pylist()
+                 if ln and ln.strip()]
+        if not lines:
+            return _rows_to_table([])
+        try:
+            tbl = pajson.read_json(
+                io.BytesIO(("\n".join(lines)).encode("utf-8")))
+        except Exception:
+            return None
+        names = set(tbl.column_names)
+        if id_field not in names or split_field not in names:
+            return None
+        ids = tbl.column(id_field)
+        parts = tbl.column(split_field)
+        if (not pa.types.is_string(ids.type)
+                or not pa.types.is_list(parts.type)
+                or not pa.types.is_string(parts.type.value_type)
+                or ids.null_count):
+            return None
+        parts = parts.combine_chunks() if isinstance(
+            parts, pa.ChunkedArray) else parts
+        flat = pc.list_flatten(parts)
+        if flat.null_count:          # null elements -> str(None) quirk:
+            return None              # defer to the reference row path
+        lengths = pc.fill_null(pc.list_value_length(parts), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(len(lengths)), lengths)
+        starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+        turn_idx = np.arange(int(lengths.sum()), dtype=np.int64) - starts
+        n = len(turn_idx)
+        ids_flat = pc.take(ids, pa.array(parent, pa.int64()))
+        return pa.Table.from_arrays(
+            [ids_flat.combine_chunks() if isinstance(
+                ids_flat, pa.ChunkedArray) else ids_flat,
+             pa.array(turn_idx.astype(np.int32), pa.int32()),
+             pa.array(["doc"] * n, pa.string()),
+             flat.combine_chunks() if isinstance(
+                 flat, pa.ChunkedArray) else flat,
+             pa.nulls(n, pa.string()),
+             pa.nulls(n, pa.timestamp("us"))],
+            schema=TRANSCRIPTS_SCHEMA)
+
+    fast_eligible = (FAST_SPLIT_PATH and split_field is not None
+                     and id_field is not None and not presplit)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        if fast_eligible:
+            out = parse_fast_split(batch)
+            if out is not None:
+                return out
+        return parse_rows(batch.column("text").to_pylist())
 
     return rd.read_text(path).map_batches(parse, batch_format="pyarrow")
 

@@ -154,3 +154,51 @@ def test_jsonl_presplit_dialect_roundtrip_build_kg(ray_session, tmp_path):
     with pytest.raises(ValueError, match="presplit"):
         read_transcripts_jsonl(str(src), split_field="splitted_text",
                                presplit=True)
+
+
+def test_jsonl_split_fast_path_parity(ray_session, tmp_path, monkeypatch):
+    """The Arrow-native fast path for the explicit-id split dialect must be
+    row-for-row identical to the per-line json.loads reference path — on
+    clean blocks (fast path engages) AND quirk blocks (missing id ->
+    md5-of-raw fallback, int elements -> str(), null split list -> no rows)
+    where the fast path must bail to the row path per batch."""
+    from chinese_open_relation_extraction_for_entgraph_ray.sources import jsonl
+
+    clean = tmp_path / "clean.jsonl"
+    with open(clean, "w", encoding="utf8") as fp:
+        fp.write(json.dumps({"conv_id": "a", "splitted_text": SENTS},
+                            ensure_ascii=False) + "\n")
+        fp.write(json.dumps({"conv_id": "b", "splitted_text": SENTS[:1]},
+                            ensure_ascii=False) + "\n")
+        fp.write(json.dumps({"conv_id": "c", "splitted_text": []}) + "\n")
+
+    quirky = tmp_path / "quirky.jsonl"
+    with open(quirky, "w", encoding="utf8") as fp:
+        fp.write(json.dumps({"conv_id": "a", "splitted_text": SENTS},
+                            ensure_ascii=False) + "\n")
+        fp.write(json.dumps({"splitted_text": SENTS[:2]},
+                            ensure_ascii=False) + "\n")   # no id -> md5(raw)
+        fp.write(json.dumps({"conv_id": "n", "splitted_text": [1, 2]})
+                 + "\n")                                  # ints -> str()
+        fp.write(json.dumps({"conv_id": "z", "splitted_text": None}) + "\n")
+
+    def read(path):
+        rows = jsonl.read_transcripts_jsonl(
+            str(path), id_field="conv_id",
+            split_field="splitted_text").take_all()
+        return sorted((r["conv_id"], r["turn_idx"], r["role"], r["text"],
+                       r["tool"], r["ts"]) for r in rows)
+
+    for path in (clean, quirky):
+        fast = read(path)
+        monkeypatch.setattr(jsonl, "FAST_SPLIT_PATH", False)
+        slow = read(path)
+        monkeypatch.setattr(jsonl, "FAST_SPLIT_PATH", True)
+        assert fast == slow, path.name
+        assert len(fast) > 0
+
+    # the clean file's fast output is also pinned against literal expectation
+    got = read(clean)
+    assert got == sorted(
+        [("a", i, "doc", s, None, None) for i, s in enumerate(SENTS)]
+        + [("b", 0, "doc", SENTS[0], None, None)])
